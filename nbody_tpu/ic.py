@@ -1,0 +1,118 @@
+"""Initial-condition generators: RANDOM, SHELL, EXPAND.
+
+Same geometry and scale rules as the reference's ``randomise_bodies``
+(/root/reference/src/nbody/randomise_bodies.cpp:47-189), re-implemented as
+vectorized, *seeded* NumPy sampling (the reference uses unseeded libc
+``rand()``, which is only accidentally deterministic; we make the seed a
+first-class argument instead — SURVEY.md §7 "Determinism parity").
+
+Generation runs on the host: it is O(N) setup work, while every hot path is
+O(N²) on device — uploading the result once via ``jax.device_put`` is the
+TPU-idiomatic split.
+
+Scale rules (per generator, matching the reference):
+* RANDOM: scale = cluster_scale * max(1, N/1024); vscale = velocity_scale * scale;
+  positions and velocities uniform in balls of radius scale / vscale.
+* SHELL:  scale = cluster_scale; vscale = scale * velocity_scale;
+  direction uniform on the unit sphere (rejection on the unit ball), each
+  coordinate gets an *independent* radius in [2.5*scale, 4*scale] (a quirk of
+  the reference: three separate rng() draws per body); velocity = cross(pos,
+  axis) * vscale with axis = z-hat unless the direction is at the +z pole
+  (then axis = normalize([dir_y, dir_x, 1])).
+* EXPAND: scale = cluster_scale * N/1024, falling back to cluster_scale when
+  that is < 1; vscale = scale * velocity_scale; velocity is radial: point *
+  vscale.
+
+All bodies have mass 1 (pos[:, 3]); vel[:, 3] is 0.
+Returns AoS float arrays pos (N, 4), vel (N, 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nbody_tpu.config import NBodyConfig
+
+
+def _uniform_ball(rng: np.random.Generator, n: int, dtype) -> np.ndarray:
+    """n points uniform in the closed unit ball, via vectorized rejection."""
+    out = np.empty((n, 3), dtype=np.float64)
+    filled = 0
+    while filled < n:
+        need = n - filled
+        # acceptance rate of the unit ball in [-1,1]^3 is pi/6 ~ 0.52
+        cand = rng.uniform(-1.0, 1.0, size=(int(need * 2.2) + 16, 3))
+        ok = (cand * cand).sum(axis=1) <= 1.0
+        acc = cand[ok][:need]
+        out[filled : filled + len(acc)] = acc
+        filled += len(acc)
+    return out.astype(dtype)
+
+
+def _unit_sphere(rng: np.random.Generator, n: int, dtype) -> np.ndarray:
+    """n directions uniform on the unit sphere (normalized ball rejection,
+    like the reference's normalize-then-accept-if-len<=1)."""
+    pts = _uniform_ball(rng, n, np.float64)
+    norm = np.linalg.norm(pts, axis=1, keepdims=True)
+    # a zero-length draw has probability 0; guard like the reference's 1e-6
+    norm = np.where(norm > 1e-6, norm, 1.0)
+    return (pts / norm).astype(dtype)
+
+
+def generate(
+    config: NBodyConfig,
+    num_bodies: int,
+    cluster_scale: float,
+    velocity_scale: float,
+    *,
+    seed: int = 42,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate (pos, vel) AoS arrays for the given configuration."""
+    rng = np.random.default_rng(seed)
+    n = int(num_bodies)
+    pos = np.zeros((n, 4), dtype=dtype)
+    vel = np.zeros((n, 4), dtype=dtype)
+    pos[:, 3] = 1.0  # unit masses
+
+    if config == NBodyConfig.RANDOM:
+        scale = cluster_scale * max(1.0, n / 1024.0)
+        vscale = velocity_scale * scale
+        pos[:, :3] = _uniform_ball(rng, n, dtype) * dtype(scale)
+        vel[:, :3] = _uniform_ball(rng, n, dtype) * dtype(vscale)
+
+    elif config == NBodyConfig.SHELL:
+        scale = cluster_scale
+        vscale = scale * velocity_scale
+        inner = 2.5 * scale
+        outer = 4.0 * scale
+        d = _unit_sphere(rng, n, np.float64)
+        # independent radius per coordinate — reference quirk
+        radii = inner + (outer - inner) * rng.uniform(0.0, 1.0, size=(n, 3))
+        p = d * radii
+        # rotation axis: z-hat, except at the +z pole
+        axis = np.broadcast_to(np.array([0.0, 0.0, 1.0]), (n, 3)).copy()
+        pole = (1.0 - d[:, 2]) < 1e-6
+        if pole.any():
+            a = np.stack(
+                [d[pole, 1], d[pole, 0], np.ones(pole.sum())], axis=1
+            )
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            axis[pole] = a
+        v = np.cross(p, axis) * vscale
+        pos[:, :3] = p.astype(dtype)
+        vel[:, :3] = v.astype(dtype)
+
+    elif config == NBodyConfig.EXPAND:
+        scale = cluster_scale * n / 1024.0
+        if scale < 1.0:
+            scale = cluster_scale
+        vscale = scale * velocity_scale
+        point = _uniform_ball(rng, n, dtype)
+        pos[:, :3] = point * dtype(scale)
+        vel[:, :3] = point * dtype(vscale)
+
+    else:  # pragma: no cover
+        raise ValueError(f"unknown config {config}")
+
+    return pos, vel

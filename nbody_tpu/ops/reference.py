@@ -1,0 +1,93 @@
+"""XLA (pure jnp) all-pairs N-body step.
+
+This is the framework's *portable* compute path: it runs on TPU, CPU, and in
+fp64, and it is the correctness anchor the Pallas kernel is validated against
+(which in turn is validated against the native C++ / NumPy oracles,
+mirroring the reference's GPU-vs-CPU QA compare,
+/root/reference/src/nbody/compute_cuda.cpp:294-333).
+
+Physics (same math as the reference's bodyBodyInteraction + integrateBodies,
+/root/reference/src/nbody/bodysystemcuda.cu:98-184, re-derived not copied):
+
+    r_ij      = p_j - p_i
+    s_ij      = m_j * (|r_ij|^2 + softening^2) ** (-3/2)      (Plummer)
+    a_i       = sum_j s_ij * r_ij          (self term j==i contributes 0)
+    v'        = (v + a * dt) * damping     (semi-implicit Euler w/ damping)
+    p'        = p + v' * dt
+
+Memory: the naive broadcast needs O(N^2) — fine to ~16K bodies. Above that,
+``chunk_size`` splits the i-rows and ``lax.map`` streams (C, N) slabs, so peak
+memory is O(chunk * N) while XLA still fuses the inner elementwise chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CHUNK = 4096
+
+
+def _pick_chunk(n: int, chunk_size: int | None) -> int:
+    """Largest divisor of n that is <= the requested chunk size."""
+    if chunk_size is None:
+        chunk_size = DEFAULT_CHUNK
+    c = min(n, int(chunk_size))
+    while n % c:
+        c -= 1
+    return c
+
+
+def _accel_rows(rows_p, all_p, all_m, eps2):
+    """Acceleration on `rows_p` (C,3) due to all bodies (N,3)/(N,)."""
+    dx = all_p[None, :, :] - rows_p[:, None, :]  # (C, N, 3)
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2  # (C, N)
+    inv = jax.lax.rsqrt(r2)
+    s = all_m[None, :] * (inv * inv * inv)  # (C, N)
+    return jnp.einsum("cn,cnk->ck", s, dx)
+
+
+def compute_accel_xla(pos, softening, *, chunk_size: int | None = None):
+    """Gravitational acceleration (N,3) for AoS state pos (N,4)=[x,y,z,m]."""
+    n = pos.shape[0]
+    p3 = pos[:, :3]
+    m = pos[:, 3]
+    eps2 = jnp.asarray(softening, pos.dtype) ** 2
+    c = _pick_chunk(n, chunk_size)
+    if c == n:
+        return _accel_rows(p3, p3, m, eps2)
+    rows = p3.reshape(n // c, c, 3)
+    acc = jax.lax.map(lambda r: _accel_rows(r, p3, m, eps2), rows)
+    return acc.reshape(n, 3)
+
+
+def nbody_step_xla(pos, vel, dt, softening, damping, *, chunk_size: int | None = None):
+    """One integration step; returns (new_pos, new_vel), same (N,4) layout.
+
+    Mass (pos[:,3]) and the velocity w-lane are passed through untouched.
+    """
+    dt = jnp.asarray(dt, pos.dtype)
+    damping = jnp.asarray(damping, pos.dtype)
+    acc = compute_accel_xla(pos, softening, chunk_size=chunk_size)
+    v3 = (vel[:, :3] + acc * dt) * damping
+    p3 = pos[:, :3] + v3 * dt
+    new_pos = jnp.concatenate([p3, pos[:, 3:4]], axis=1)
+    new_vel = jnp.concatenate([v3, vel[:, 3:4]], axis=1)
+    return new_pos, new_vel
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "chunk_size"), donate_argnums=(0, 1))
+def rollout_xla(pos, vel, dt, softening, damping, *, steps: int, chunk_size: int | None = None):
+    """`steps` integration steps under one jit, via lax.scan (compiler-friendly
+    loop; no per-step dispatch). Buffers are donated: the functional
+    double-buffering equivalent of the reference's ping-pong position buffers
+    (/root/reference/src/nbody/bodysystemcuda.hpp:68-69)."""
+
+    def body(state, _):
+        p, v = state
+        return nbody_step_xla(p, v, dt, softening, damping, chunk_size=chunk_size), None
+
+    (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
+    return pos, vel

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native C++ oracle, with NumPy fallback.
+
+The shared library is built on demand (first use) if a compiler is present;
+otherwise ``step`` silently uses the NumPy oracle. Tests assert the native
+path when it is available and skip otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+from typing import Optional
+
+import numpy as np
+
+from nbody_tpu.oracle.numpy_oracle import step_numpy
+
+_LIB_PATH = pathlib.Path(__file__).resolve().parent / "_nbody_oracle.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            from nbody_tpu.oracle.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    for suffix, ct in (("f32", ctypes.c_float), ("f64", ctypes.c_double)):
+        ptr = ctypes.POINTER(ct)
+        getattr(lib, f"nbody_accel_{suffix}").argtypes = [ptr, i64, ct, ptr]
+        getattr(lib, f"nbody_step_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct]
+        getattr(lib, f"nbody_rollout_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct, i64]
+    lib.nbody_oracle_num_threads.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _fns(dtype):
+    lib = _load()
+    assert lib is not None
+    if dtype == np.float32:
+        return lib.nbody_step_f32, lib.nbody_rollout_f32, lib.nbody_accel_f32, ctypes.c_float
+    if dtype == np.float64:
+        return lib.nbody_step_f64, lib.nbody_rollout_f64, lib.nbody_accel_f64, ctypes.c_double
+    raise TypeError(f"unsupported dtype {dtype}")
+
+
+def accel_native(pos: np.ndarray, softening: float) -> np.ndarray:
+    _, _, accel, ct = _fns(pos.dtype.type)
+    pos = np.ascontiguousarray(pos)
+    n = pos.shape[0]
+    acc = np.empty((n, 3), dtype=pos.dtype)
+    ptr = ctypes.POINTER(ct)
+    accel(pos.ctypes.data_as(ptr), n, ct(softening), acc.ctypes.data_as(ptr))
+    return acc
+
+
+def step_native(pos, vel, dt, softening, damping, steps: int = 1):
+    """`steps` in-place native steps on copies; returns new (pos, vel)."""
+    step1, rollout, _, ct = _fns(pos.dtype.type)
+    pos = np.ascontiguousarray(pos).copy()
+    vel = np.ascontiguousarray(vel).copy()
+    n = pos.shape[0]
+    ptr = ctypes.POINTER(ct)
+    rollout(
+        pos.ctypes.data_as(ptr),
+        vel.ctypes.data_as(ptr),
+        n,
+        ct(dt),
+        ct(softening),
+        ct(damping),
+        steps,
+    )
+    return pos, vel
+
+
+def step(pos, vel, dt, softening, damping):
+    """Best available CPU oracle step (native if built, else NumPy)."""
+    if native_available():
+        return step_native(pos, vel, dt, softening, damping)
+    return step_numpy(pos, vel, dt, softening, damping)

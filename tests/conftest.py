@@ -1,0 +1,43 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip logic is tested without a pod by forcing the host platform and
+8 virtual devices (SURVEY.md §4). Pallas kernels run in interpret mode on CPU.
+Set NBODY_TEST_REAL_DEVICES=1 to test on whatever hardware is attached.
+"""
+
+import os
+
+if not os.environ.get("NBODY_TEST_REAL_DEVICES"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+
+
+@pytest.fixture
+def shell_state_small():
+    """4096-body shell state at demo-0 params (BASELINE config[0] geometry)."""
+    pos, vel = ic.generate(NBodyConfig.SHELL, 4096, 1.68, 2.98, seed=7)
+    return pos, vel
+
+
+@pytest.fixture
+def random_state_tiny():
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 512, 1.54, 8.0, seed=3)
+    return pos, vel
+
+
+def assert_state_close(a, b, tol=5e-4):
+    """The reference's QA criterion: element-wise |delta| <= tol over x,y,z
+    (/root/reference/src/nbody/compute_cuda.cpp:310-323)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    err = np.abs(a[:, :3] - b[:, :3]).max()
+    assert err <= tol, f"max |delta| = {err} > {tol}"

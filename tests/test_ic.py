@@ -1,0 +1,75 @@
+"""Initial-condition generator tests: determinism, geometry, scale rules."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+
+
+@pytest.mark.parametrize("config", list(NBodyConfig))
+def test_deterministic_by_seed(config):
+    a = ic.generate(config, 256, 1.5, 8.0, seed=11)
+    b = ic.generate(config, 256, 1.5, 8.0, seed=11)
+    c = ic.generate(config, 256, 1.5, 8.0, seed=12)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    assert not np.array_equal(a[0], c[0])
+
+
+@pytest.mark.parametrize("config", list(NBodyConfig))
+def test_shapes_masses_wlane(config):
+    pos, vel = ic.generate(config, 300, 1.0, 2.0, seed=0)
+    assert pos.shape == (300, 4) and vel.shape == (300, 4)
+    assert pos.dtype == np.float32
+    np.testing.assert_array_equal(pos[:, 3], 1.0)  # unit masses
+    np.testing.assert_array_equal(vel[:, 3], 0.0)
+
+
+def test_random_inside_scaled_ball():
+    n, cs, vs = 4096, 1.5, 2.0
+    pos, vel = ic.generate(NBodyConfig.RANDOM, n, cs, vs, seed=5)
+    scale = cs * max(1.0, n / 1024.0)
+    r = np.linalg.norm(pos[:, :3], axis=1)
+    assert r.max() <= scale * (1 + 1e-6)
+    rv = np.linalg.norm(vel[:, :3], axis=1)
+    assert rv.max() <= vs * scale * (1 + 1e-6)
+
+
+def test_shell_radii_and_tangential_velocity():
+    n, cs, vs = 2048, 1.56, 2.64
+    pos, vel = ic.generate(NBodyConfig.SHELL, n, cs, vs, seed=9)
+    # each coordinate's radius is in [2.5, 4]*cs, so |pos| is within
+    # [2.5*cs, 4*cs*sqrt(3)] loosely; check the per-coordinate bound instead:
+    # |pos_c| = |dir_c| * radius_c <= 4*cs
+    assert np.abs(pos[:, :3]).max() <= 4.0 * cs + 1e-6
+    # velocity is cross(pos, ~z-hat): z-component ~ 0 for non-pole bodies
+    # cross(p, z)= (py, -px, 0) -> vz == 0 wherever axis == z-hat
+    frac_zero_vz = np.mean(np.abs(vel[:, 2]) < 1e-12)
+    assert frac_zero_vz > 0.99
+    # and v is perpendicular to the axis-projected position
+    dots = np.einsum("ij,ij->i", pos[:, :3], vel[:, :3])
+    norm = np.linalg.norm(pos[:, :3], axis=1) * (np.linalg.norm(vel[:, :3], axis=1) + 1e-12)
+    assert np.abs(dots / (norm + 1e-12)).max() < 1e-5
+
+
+def test_expand_velocity_radial():
+    n, cs, vs = 1024, 0.32, 276.0
+    pos, vel = ic.generate(NBodyConfig.EXPAND, n, cs, vs, seed=2)
+    scale = cs * n / 1024.0
+    if scale < 1.0:
+        scale = cs
+    # vel = point*vscale and pos = point*scale => vel = pos * velocity_scale
+    np.testing.assert_allclose(vel[:, :3], pos[:, :3] * vs, rtol=1e-5, atol=1e-5)
+
+
+def test_expand_scale_fallback_small_n():
+    # cs*n/1024 < 1 -> scale falls back to cluster_scale
+    n, cs = 256, 0.5
+    pos, _ = ic.generate(NBodyConfig.EXPAND, n, cs, 1.0, seed=2)
+    r = np.linalg.norm(pos[:, :3], axis=1)
+    assert r.max() <= cs * (1 + 1e-6)
+
+
+def test_fp64_dtype():
+    pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.0, 1.0, seed=1, dtype=np.float64)
+    assert pos.dtype == np.float64 and vel.dtype == np.float64
