@@ -1,9 +1,9 @@
-"""Pallas TPU kernel: fused all-pairs force + integration.
+"""Pallas TPU kernels: fused all-pairs force + integration.
 
 TPU-first redesign of the reference's hot loop (the shared-memory-tiled CUDA
 kernel, /root/reference/src/nbody/bodysystemcuda.cu:98-184 — behavior, not
 code): instead of one thread per body with j-tiles staged through shared
-memory, we tile the N x N interaction matrix for the VPU's (8, 128) lanes:
+memory, we tile the interaction matrix for the VPU's (8, 128) lanes:
 
 * the grid is (i_blocks, j_blocks) with j innermost; an i-tile of TILE_I
   bodies stays resident while j-tiles stream through VMEM,
@@ -11,24 +11,28 @@ memory, we tile the N x N interaction matrix for the VPU's (8, 128) lanes:
   vectors: dx = x_j[1,128] - x_i[TILE_I,1], r2 = |dx|^2 + eps^2,
   s = m_j * rsqrt(r2)^3, acc += s*dx — all VPU element-wise ops,
 * accumulators live in VMEM scratch (persist across the sequential grid),
-  zeroed at j==0 and reduced over lanes at the final j-step, where the damped
-  semi-implicit Euler update (v=(v+a*dt)*damping; p+=v*dt) is fused so the
-  step never round-trips to HBM — the analogue of the reference fusing
-  integrateBodies into the same kernel as computeBodyAccel.
+  zeroed at j==0 and lane-reduced at the final j-step, where the damped
+  semi-implicit Euler update (v=(v+a*dt)*damping; p+=v*dt) is fused so a
+  step never round-trips through HBM mid-computation — the analogue of the
+  reference fusing integrateBodies with computeBodyAccel.
 
-Layout: i-side state is AoS (N, 4) = [x,y,z,m]; the j-side sees a transposed
-(4, N) copy so that per-coordinate rows are contiguous 128-lane vectors
-(the O(N) transpose happens outside the kernel, negligible vs the O(N^2)
-kernel). dt/eps^2/damping arrive via SMEM so param changes don't recompile.
+The kernels come in a general i-set-vs-j-set form: forces on `pos_i` due to
+`pos_j`. That is exactly the shape the multi-chip step needs (each chip's
+local body shard vs the all-gathered or ring-streamed global positions,
+SURVEY.md §7), and the single-chip step is the special case pos_j == pos_i.
 
-N is padded to the tile LCM with zero-mass bodies, which exert zero force —
-exactly the reference's pad-to-256 trick (/root/reference/src/nbody/tipsy.cpp:111-122).
+Layout: the i-side is AoS (M, 4) = [x,y,z,m]; the j-side is transposed
+(4, N) so per-coordinate rows are contiguous 128-lane vectors (the O(N)
+transpose happens outside the kernel, negligible vs the O(M*N) kernel).
+dt/eps^2/damping arrive via SMEM so param changes don't trigger recompiles.
+
+Sets are padded to tile multiples with zero-mass bodies, which exert zero
+force — the reference's pad-to-256 trick (/root/reference/src/nbody/tipsy.cpp:111-122).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -44,8 +48,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
-            ax_ref, ay_ref, az_ref, *, tile_j: int):
+def _accumulate_tile(posi_ref, post_ref, eps2, ax_ref, ay_ref, az_ref, tile_j):
+    """Accumulate partial forces for one (TILE_I, TILE_J) block of pairs."""
+    xi = posi_ref[:, 0:1]  # (TILE_I, 1)
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        xj = post_ref[0:1, sl]  # (1, 128)
+        yj = post_ref[1:2, sl]
+        zj = post_ref[2:3, sl]
+        mj = post_ref[3:4, sl]
+        dx = xj - xi  # (TILE_I, 128)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        s = mj * (inv * inv * inv)
+        ax_ref[:] += s * dx
+        ay_ref[:] += s * dy
+        az_ref[:] += s * dz
+
+
+def _step_kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
+                 ax_ref, ay_ref, az_ref, *, tile_j: int):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -56,29 +82,7 @@ def _kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
         ay_ref[:] = zeros
         az_ref[:] = zeros
 
-    eps2 = scal_ref[0, 1]
-
-    xi = posi_ref[:, 0:1]  # (TILE_I, 1)
-    yi = posi_ref[:, 1:2]
-    zi = posi_ref[:, 2:3]
-
-    # Stream the j-tile through the VPU in 128-lane chunks (static unroll).
-    for k in range(tile_j // LANES):
-        sl = slice(k * LANES, (k + 1) * LANES)
-        xj = post_ref[0:1, sl]  # (1, 128)
-        yj = post_ref[1:2, sl]
-        zj = post_ref[2:3, sl]
-        mj = post_ref[3:4, sl]
-
-        dx = xj - xi  # (TILE_I, 128)
-        dy = yj - yi
-        dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz + eps2
-        inv = jax.lax.rsqrt(r2)
-        s = mj * (inv * inv * inv)
-        ax_ref[:] += s * dx
-        ay_ref[:] += s * dy
-        az_ref[:] += s * dz
+    _accumulate_tile(posi_ref, post_ref, scal_ref[0, 1], ax_ref, ay_ref, az_ref, tile_j)
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -100,78 +104,171 @@ def _kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
         npos_ref[:, 3:4] = posi_ref[:, 3:4]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_i", "tile_j", "interpret"),
-)
-def nbody_step_pallas(
-    pos,
-    vel,
-    dt,
-    softening,
-    damping,
-    *,
-    tile_i: int = DEFAULT_TILE_I,
-    tile_j: int = DEFAULT_TILE_J,
-    interpret: bool = False,
-):
-    """One fused force+integrate step. pos/vel: (N, 4) float32 AoS.
+def _accel_kernel(scal_ref, posi_ref, post_ref, acc_ref,
+                  ax_ref, ay_ref, az_ref, *, tile_j: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
 
-    tile_i/tile_j are the i-block height and j-stream width (the reference's
-    --blockSize analogue); tile_i must be a multiple of 8, tile_j of 128.
-    """
-    if pos.dtype != jnp.float32:
-        raise TypeError("pallas path is float32; use the XLA path for fp64")
-    assert tile_i % 8 == 0 and tile_j % LANES == 0
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(ax_ref)
+        ax_ref[:] = zeros
+        ay_ref[:] = zeros
+        az_ref[:] = zeros
 
-    n = pos.shape[0]
-    n_pad = _round_up(n, math.lcm(tile_i, tile_j))
+    _accumulate_tile(posi_ref, post_ref, scal_ref[0, 1], ax_ref, ay_ref, az_ref, tile_j)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        acc_ref[:, 0:1] = jnp.sum(ax_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 1:2] = jnp.sum(ay_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 2:3] = jnp.sum(az_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+
+
+def _check_tiles(tile_i: int, tile_j: int) -> None:
+    if tile_i % 8 or tile_j % LANES:
+        raise ValueError(
+            f"tile_i must be a multiple of 8 and tile_j of {LANES}; "
+            f"got tile_i={tile_i}, tile_j={tile_j}"
+        )
+
+
+def _pad_i(arr, tile_i):
+    m = arr.shape[0]
+    m_pad = _round_up(m, tile_i)
+    if m_pad != m:
+        arr = jnp.pad(arr, ((0, m_pad - m), (0, 0)))
+    return arr, m
+
+
+def _pad_j_t(pos_j, tile_j):
+    """Zero-mass-pad the j set and transpose to (4, N_pad)."""
+    n = pos_j.shape[0]
+    n_pad = _round_up(n, tile_j)
     if n_pad != n:
-        pad = ((0, n_pad - n), (0, 0))
-        pos_p = jnp.pad(pos, pad)  # zero mass => zero force contribution
-        vel_p = jnp.pad(vel, pad)
-    else:
-        pos_p, vel_p = pos, vel
-    post = pos_p.T  # (4, N_pad) — j-stream layout
+        pos_j = jnp.pad(pos_j, ((0, n_pad - n), (0, 0)))
+    return pos_j.T
 
-    scal = jnp.array(
-        [[dt, jnp.asarray(softening, jnp.float32) ** 2, damping, 0.0]],
-        dtype=jnp.float32,
+
+def _scal(dt, softening, damping):
+    eps2 = jnp.asarray(softening, jnp.float32) ** 2
+    return jnp.stack(
+        [
+            jnp.asarray(dt, jnp.float32),
+            eps2,
+            jnp.asarray(damping, jnp.float32),
+            jnp.float32(0.0),
+        ]
+    ).reshape(1, 4)
+
+
+def _common_specs(tile_i, tile_j):
+    return dict(
+        smem=pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        i_tile=pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        j_tile=pl.BlockSpec((4, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     )
 
-    grid = (n_pad // tile_i, n_pad // tile_j)
+
+def _scratch(tile_i):
+    return [
+        pltpu.VMEM((tile_i, LANES), jnp.float32),
+        pltpu.VMEM((tile_i, LANES), jnp.float32),
+        pltpu.VMEM((tile_i, LANES), jnp.float32),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_vs(
+    pos_i, vel_i, pos_j, dt, softening, damping,
+    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """Fused step of the i-set under forces from the j-set.
+
+    pos_i/vel_i: (M, 4) float32 AoS; pos_j: (N, 4). Returns new (pos_i, vel_i).
+    The single-chip step is pos_j == pos_i; the sharded step passes the local
+    shard as i and the gathered global positions as j.
+    """
+    if pos_i.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    _check_tiles(tile_i, tile_j)
+
+    pos_p, m = _pad_i(pos_i, tile_i)
+    vel_p, _ = _pad_i(vel_i, tile_i)
+    post = _pad_j_t(pos_j, tile_j)
+    m_pad, n_pad = pos_p.shape[0], post.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+    specs = _common_specs(tile_i, tile_j)
 
     new_pos, new_vel = pl.pallas_call(
-        functools.partial(_kernel, tile_j=tile_j),
+        functools.partial(_step_kernel, tile_j=tile_j),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"], specs["j_tile"]],
+        out_specs=[specs["i_tile"], specs["i_tile"]],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_i, LANES), jnp.float32),
-            pltpu.VMEM((tile_i, LANES), jnp.float32),
-            pltpu.VMEM((tile_i, LANES), jnp.float32),
-        ],
+        scratch_shapes=_scratch(tile_i),
         cost_estimate=pl.CostEstimate(
-            flops=20 * n_pad * n_pad,
-            bytes_accessed=(n_pad // tile_i + 4) * n_pad * 16,
-            transcendentals=n_pad * n_pad,
+            flops=20 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 3) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(scal, pos_p, vel_p, post)
+    )(_scal(dt, softening, damping), pos_p, vel_p, post)
 
-    if n_pad != n:
-        new_pos = new_pos[:n]
-        new_vel = new_vel[:n]
-    return new_pos, new_vel
+    return new_pos[:m], new_vel[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_pallas(
+    pos_i, pos_j, softening,
+    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """Acceleration (M, 3) on the i-set due to the j-set (no integration).
+
+    Building block for the ppermute-ring sharded step, where partial forces
+    from each ring-streamed j-shard are summed before a single integration.
+    """
+    if pos_i.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    _check_tiles(tile_i, tile_j)
+
+    pos_p, m = _pad_i(pos_i, tile_i)
+    post = _pad_j_t(pos_j, tile_j)
+    m_pad, n_pad = pos_p.shape[0], post.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+    specs = _common_specs(tile_i, tile_j)
+
+    acc = pl.pallas_call(
+        functools.partial(_accel_kernel, tile_j=tile_j),
+        grid=grid,
+        in_specs=[specs["smem"], specs["i_tile"], specs["j_tile"]],
+        out_specs=specs["i_tile"],
+        out_shape=jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+        scratch_shapes=_scratch(tile_i),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 2) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(_scal(0.0, softening, 1.0), pos_p, post)
+
+    return acc[:m, :3]
+
+
+def nbody_step_pallas(
+    pos, vel, dt, softening, damping,
+    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """Single-device fused step: forces of the full set on itself."""
+    return nbody_step_pallas_vs(
+        pos, vel, pos, dt, softening, damping,
+        tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+    )

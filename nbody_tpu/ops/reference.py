@@ -49,33 +49,51 @@ def _accel_rows(rows_p, all_p, all_m, eps2):
     return jnp.einsum("cn,cnk->ck", s, dx)
 
 
+def compute_accel_xla_vs(pos_i, pos_j, softening, *, chunk_size: int | None = None):
+    """Acceleration (M,3) on the i-set (M,4) due to the j-set (N,4).
+
+    The general i-vs-j form matches the Pallas kernels and is what the
+    sharded step uses (local shard vs gathered global positions)."""
+    m_rows = pos_i.shape[0]
+    ri = pos_i[:, :3]
+    p3 = pos_j[:, :3]
+    m = pos_j[:, 3]
+    eps2 = jnp.asarray(softening, pos_i.dtype) ** 2
+    c = _pick_chunk(m_rows, chunk_size)
+    if c == m_rows:
+        return _accel_rows(ri, p3, m, eps2)
+    rows = ri.reshape(m_rows // c, c, 3)
+    acc = jax.lax.map(lambda r: _accel_rows(r, p3, m, eps2), rows)
+    return acc.reshape(m_rows, 3)
+
+
 def compute_accel_xla(pos, softening, *, chunk_size: int | None = None):
     """Gravitational acceleration (N,3) for AoS state pos (N,4)=[x,y,z,m]."""
-    n = pos.shape[0]
-    p3 = pos[:, :3]
-    m = pos[:, 3]
-    eps2 = jnp.asarray(softening, pos.dtype) ** 2
-    c = _pick_chunk(n, chunk_size)
-    if c == n:
-        return _accel_rows(p3, p3, m, eps2)
-    rows = p3.reshape(n // c, c, 3)
-    acc = jax.lax.map(lambda r: _accel_rows(r, p3, m, eps2), rows)
-    return acc.reshape(n, 3)
+    return compute_accel_xla_vs(pos, pos, softening, chunk_size=chunk_size)
 
 
-def nbody_step_xla(pos, vel, dt, softening, damping, *, chunk_size: int | None = None):
-    """One integration step; returns (new_pos, new_vel), same (N,4) layout.
-
-    Mass (pos[:,3]) and the velocity w-lane are passed through untouched.
-    """
+def integrate(pos, vel, acc, dt, damping):
+    """Damped semi-implicit Euler update; mass and the velocity w-lane pass
+    through untouched."""
     dt = jnp.asarray(dt, pos.dtype)
     damping = jnp.asarray(damping, pos.dtype)
-    acc = compute_accel_xla(pos, softening, chunk_size=chunk_size)
     v3 = (vel[:, :3] + acc * dt) * damping
     p3 = pos[:, :3] + v3 * dt
     new_pos = jnp.concatenate([p3, pos[:, 3:4]], axis=1)
     new_vel = jnp.concatenate([v3, vel[:, 3:4]], axis=1)
     return new_pos, new_vel
+
+
+def nbody_step_xla_vs(pos_i, vel_i, pos_j, dt, softening, damping,
+                      *, chunk_size: int | None = None):
+    """Step the i-set under forces from the j-set (general sharded form)."""
+    acc = compute_accel_xla_vs(pos_i, pos_j, softening, chunk_size=chunk_size)
+    return integrate(pos_i, vel_i, acc, dt, damping)
+
+
+def nbody_step_xla(pos, vel, dt, softening, damping, *, chunk_size: int | None = None):
+    """One integration step; returns (new_pos, new_vel), same (N,4) layout."""
+    return nbody_step_xla_vs(pos, vel, pos, dt, softening, damping, chunk_size=chunk_size)
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "chunk_size"), donate_argnums=(0, 1))

@@ -1,0 +1,12 @@
+"""Multi-chip scaling: body-sharded device meshes and sharded steps.
+
+The reference is single-GPU (the original NVIDIA sample's multi-GPU body
+partition was dropped in the port — SURVEY.md §2 parallelism table). This is
+its designed TPU replacement: positions/velocities sharded over a 1-D
+``jax.sharding.Mesh`` axis, with XLA collectives over ICI per step.
+"""
+
+from nbody_tpu.parallel.mesh import make_mesh, shard_state
+from nbody_tpu.parallel.sharded import make_sharded_step
+
+__all__ = ["make_mesh", "shard_state", "make_sharded_step"]

@@ -1,0 +1,135 @@
+"""Body-sharded N-body steps over a device mesh.
+
+Two communication strategies (SURVEY.md §7 "Ring overlap"):
+
+* ``allgather``: each step all-gathers the (N_local, 4) position shards into
+  the full (N, 4) array over ICI, then every chip runs the fused Pallas
+  step on its local i-shard vs the gathered j-set. One collective, maximal
+  kernel fusion; the gather for 1M bodies is ~16 MB — cheap on ICI.
+* ``ring``: the position shard rotates around the ring via
+  ``jax.lax.ppermute`` inside a ``lax.scan``; each hop accumulates partial
+  forces of the local i-shard vs the visiting j-shard. The communication of
+  hop k+1 can overlap the force computation of hop k (XLA's async
+  collective-permute), the TPU analogue of ring attention.
+
+Both are expressed with ``jax.shard_map`` so XLA emits the collectives;
+there is no hand-rolled NCCL/MPI analogue to port (the reference has none —
+it is single-GPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nbody_tpu.ops.pallas_kernel import (
+    DEFAULT_TILE_I,
+    DEFAULT_TILE_J,
+    compute_accel_pallas,
+    nbody_step_pallas_vs,
+)
+from nbody_tpu.ops.reference import (
+    compute_accel_xla_vs,
+    integrate,
+    nbody_step_xla_vs,
+)
+
+BODY_AXIS = "bodies"
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    *,
+    axis: str = BODY_AXIS,
+    kernel: str = "pallas",
+    strategy: str = "allgather",
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+    chunk_size: int | None = None,
+):
+    """Build a jitted sharded step: (pos, vel, dt, softening, damping) ->
+    (pos, vel), with pos/vel sharded P(axis, None) over the mesh.
+
+    kernel: "pallas" (TPU; interpret=True for CPU testing) or "xla".
+    strategy: "allgather" or "ring".
+    """
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if strategy not in ("allgather", "ring"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    ndev = mesh.shape[axis]
+
+    def step_vs(pos_sh, vel_sh, pos_j, dt, soft, damp):
+        if kernel == "pallas":
+            return nbody_step_pallas_vs(
+                pos_sh, vel_sh, pos_j, dt, soft, damp,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        return nbody_step_xla_vs(
+            pos_sh, vel_sh, pos_j, dt, soft, damp, chunk_size=chunk_size
+        )
+
+    def accel_vs(pos_sh, pos_j, soft):
+        if kernel == "pallas":
+            return compute_accel_pallas(
+                pos_sh, pos_j, soft,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        return compute_accel_xla_vs(pos_sh, pos_j, soft, chunk_size=chunk_size)
+
+    def local_allgather(pos_sh, vel_sh, dt, soft, damp):
+        all_pos = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
+        return step_vs(pos_sh, vel_sh, all_pos, dt, soft, damp)
+
+    def local_ring(pos_sh, vel_sh, dt, soft, damp):
+        perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+        def hop(carry, _):
+            jpos, acc = carry
+            acc = acc + accel_vs(pos_sh, jpos, soft)
+            jpos = jax.lax.ppermute(jpos, axis, perm)
+            return (jpos, acc), None
+
+        acc0 = jnp.zeros((pos_sh.shape[0], 3), pos_sh.dtype)
+        (_, acc), _ = jax.lax.scan(hop, (pos_sh, acc0), None, length=ndev)
+        return integrate(pos_sh, vel_sh, acc, dt, damp)
+
+    local = local_allgather if strategy == "allgather" else local_ring
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(pos, vel, dt, softening, damping):
+        return sharded(
+            pos, vel,
+            jnp.asarray(dt, pos.dtype),
+            jnp.asarray(softening, pos.dtype),
+            jnp.asarray(damping, pos.dtype),
+        )
+
+    return step
+
+
+def make_sharded_rollout(step_fn, steps: int):
+    """Wrap a sharded step into a single-jit multi-step rollout (lax.scan)."""
+
+    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
+    def rollout(pos, vel, dt, softening, damping):
+        def body(state, _):
+            p, v = state
+            return step_fn(p, v, dt, softening, damping), None
+
+        (pos_f, vel_f), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
+        return pos_f, vel_f
+
+    return rollout

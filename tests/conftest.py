@@ -8,12 +8,22 @@ Set NBODY_TEST_REAL_DEVICES=1 to test on whatever hardware is attached.
 import os
 
 if not os.environ.get("NBODY_TEST_REAL_DEVICES"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # overwrite, not setdefault: the environment may pre-set JAX_PLATFORMS to
+    # the attached accelerator (e.g. "axon")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+
+    # A sitecustomize may have imported jax at interpreter start (before this
+    # conftest ran), in which case jax already latched JAX_PLATFORMS; update
+    # the live config too. Backends are lazy, so this works as long as no
+    # test module touched a device at import time.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,74 @@
+"""Sharded step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.parallel import make_mesh, make_sharded_step, shard_state
+from nbody_tpu.parallel.sharded import make_sharded_rollout
+from nbody_tpu.ops.reference import nbody_step_xla
+
+DT, SOFT, DAMP = 0.001, 0.1, 1.0
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _single_device_reference(pos, vel, steps=1):
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    for _ in range(steps):
+        p, v = nbody_step_xla(p, v, DT, SOFT, DAMP)
+    return np.asarray(p), np.asarray(v)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_sharded_xla_matches_single_device(mesh8, random_state_tiny, strategy):
+    pos, vel = random_state_tiny
+    ref_p, ref_v = _single_device_reference(pos, vel)
+    ps, vs = shard_state(mesh8, pos, vel)
+    step = make_sharded_step(mesh8, kernel="xla", strategy=strategy)
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_sharded_pallas_interpret_matches_single_device(mesh8, random_state_tiny, strategy):
+    pos, vel = random_state_tiny
+    ref_p, ref_v = _single_device_reference(pos, vel)
+    ps, vs = shard_state(mesh8, pos, vel)
+    step = make_sharded_step(
+        mesh8, kernel="pallas", strategy=strategy,
+        tile_i=8, tile_j=128, interpret=True,
+    )
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)
+
+
+def test_sharded_output_stays_sharded(mesh8, random_state_tiny):
+    pos, vel = random_state_tiny
+    ps, vs = shard_state(mesh8, pos, vel)
+    step = make_sharded_step(mesh8, kernel="xla")
+    p1, _ = step(ps, vs, DT, SOFT, DAMP)
+    assert p1.sharding == ps.sharding, "step must preserve body sharding"
+
+
+def test_sharded_rollout(mesh8, random_state_tiny):
+    pos, vel = random_state_tiny
+    ref_p, _ = _single_device_reference(pos, vel, steps=4)
+    ps, vs = shard_state(mesh8, pos, vel)
+    step = make_sharded_step(mesh8, kernel="xla")
+    rollout = make_sharded_rollout(step, steps=4)
+    p1, _ = rollout(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=1e-4)
+
+
+def test_indivisible_n_raises(mesh8, random_state_tiny):
+    pos, vel = random_state_tiny
+    with pytest.raises(ValueError):
+        shard_state(mesh8, pos[:333], vel[:333])
