@@ -1,0 +1,67 @@
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Config = BASELINE.json configs[1]: fp32 tiled all-pairs at N=65536, shell
+init, demo-0 params (dt=0.016, softening=0.1, damping=1.0), reporting
+GFLOP/s at the reference's 20-flops-per-interaction convention
+(/root/reference/src/nbody/compute.cpp:16-18,118-120).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+denominator is a nominal 2000 fp32 GFLOP/s — the ballpark a modern desktop
+GPU reaches on the CUDA sample's own --benchmark at this N — making
+vs_baseline ~= "multiples of a typical CUDA-sample run".
+"""
+
+import json
+import sys
+import time
+
+N = 65536
+ITERS = 25
+BASELINE_GFLOPS = 2000.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_tpu import NBodyConfig, ic
+    from nbody_tpu.params import DEMO_PARAMS
+    from nbody_tpu.utils.timing import time_steps
+
+    params = DEMO_PARAMS[0]
+    on_tpu = jax.default_backend() != "cpu"
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, N, params.cluster_scale,
+                           params.velocity_scale, seed=42)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+
+    if on_tpu:
+        from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+
+        def step(p, v):
+            return nbody_step_pallas(p, v, params.time_step, params.softening,
+                                     params.damping)
+    else:  # CPU fallback so the bench always reports something
+        from nbody_tpu.ops.reference import nbody_step_xla
+
+        step = jax.jit(
+            lambda p, v: nbody_step_xla(p, v, params.time_step,
+                                        params.softening, params.damping)
+        )
+
+    ms, _ = time_steps(step, (p, v), iters=ITERS, warmup=2)
+    steps_per_s = ITERS * 1000.0 / ms
+    interactions = N * N * 1e-9 * steps_per_s
+    gflops = interactions * 20.0
+
+    print(json.dumps({
+        "metric": f"fp32_gflops_n{N}" + ("" if on_tpu else "_cpu_fallback"),
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / BASELINE_GFLOPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,225 @@
+"""Command-line interface.
+
+Flag parity with the reference (/root/reference/src/nbody/nbody.cpp:275-285):
+--fullscreen --fp64 --hostmem --benchmark --numbodies --compare --qatest
+--cpu --tipsy -i/--iterations --blockSize, plus TPU-native extensions
+(--devices mesh size, --strategy, --kernel, --tile-j, --seed, --config,
+--render/--outdir, checkpointing, --energy).
+
+Modes (reference dispatch at nbody.cpp:369-391):
+* --benchmark            timed run, prints interactions/s + GFLOP/s
+* --compare / --qatest   one-step QA vs the CPU oracle; exit code = !passed
+* default                headless demo loop (the GLUT interactive loop becomes
+                         a frame-sequence driver with optional PNG export)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody",
+        description="TPU-native all-pairs N-body simulator (JAX/Pallas)",
+    )
+    # reference-parity flags
+    p.add_argument("--fullscreen", action="store_true",
+                   help="render at 1920x1080 (reference window default)")
+    p.add_argument("--fp64", action="store_true", help="double precision (XLA path)")
+    p.add_argument("--hostmem", action="store_true",
+                   help="keep state in host memory, stream per step")
+    p.add_argument("--benchmark", action="store_true", help="run timed benchmark")
+    p.add_argument("--numbodies", type=int, default=None, help="number of bodies")
+    p.add_argument("--compare", action="store_true",
+                   help="compare device result against the CPU oracle")
+    p.add_argument("--qatest", action="store_true", help="alias of --compare")
+    p.add_argument("--cpu", action="store_true", help="run the simulation on the host CPU")
+    p.add_argument("--tipsy", type=str, default=None, help="load a tipsy galaxy file")
+    p.add_argument("-i", "--iterations", type=int, default=10,
+                   help="benchmark iterations (default 10)")
+    p.add_argument("--blockSize", type=int, default=256, dest="block_size",
+                   help="i-tile height of the Pallas kernel (reference block size)")
+    # TPU-native extensions
+    p.add_argument("--tile-j", type=int, default=1024, help="j-stream tile width")
+    p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard bodies over this many devices (mesh)")
+    p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
+                   help="multi-device communication strategy")
+    p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
+    p.add_argument("--config", choices=["shell", "random", "expand"], default="shell",
+                   help="initial condition")
+    p.add_argument("--demo", type=int, default=0, help="start at demo preset [0..6]")
+    p.add_argument("--frames", type=int, default=120, help="demo frames to simulate")
+    p.add_argument("--no-cycle", action="store_true", help="disable 10s demo cycling")
+    p.add_argument("--render", action="store_true", help="write PNG frames (demo mode)")
+    p.add_argument("--outdir", type=str, default="frames", help="PNG output directory")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--checkpoint-save", type=str, default=None)
+    p.add_argument("--checkpoint-load", type=str, default=None)
+    p.add_argument("--energy", action="store_true",
+                   help="report total-energy drift over the run")
+    p.add_argument("--version", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.version:
+        import nbody_tpu
+
+        print(f"nbody_tpu {nbody_tpu.__version__}")
+        return 0
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.fp64:
+        jax.config.update("jax_enable_x64", True)
+
+    from nbody_tpu.compute import Compute
+    from nbody_tpu.config import NBodyConfig
+    from nbody_tpu.params import DEMO_PARAMS
+
+    mesh = None
+    if args.devices is not None and args.devices > 1:
+        from nbody_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+
+    tipsy_state = None
+    if args.tipsy:
+        from nbody_tpu.io import read_tipsy_file
+        import numpy as np
+
+        tpos, tvel = read_tipsy_file(args.tipsy)
+        dt = np.float64 if args.fp64 else np.float32
+        tipsy_state = (tpos.astype(dt), tvel.astype(dt))
+        print(f"Read {tipsy_state[0].shape[0]} bodies from {args.tipsy}")
+
+    if args.checkpoint_load:
+        from nbody_tpu.io import load_checkpoint
+        import numpy as np
+
+        cpos, cvel, cparams, meta = load_checkpoint(args.checkpoint_load)
+        dt = np.float64 if args.fp64 else np.float32
+        tipsy_state = (cpos.astype(dt), cvel.astype(dt))
+        print(f"Resumed {cpos.shape[0]} bodies at step {meta['step']} "
+              f"from {args.checkpoint_load}")
+
+    backend = args.kernel
+    if args.cpu and backend == "auto":
+        backend = "xla"
+
+    compute = Compute(
+        num_bodies=args.numbodies,
+        fp64=args.fp64,
+        cycle_demo=not args.no_cycle,
+        backend=backend,
+        tile_i=args.block_size,
+        tile_j=args.tile_j,
+        placement="host" if args.hostmem else "device",
+        mesh=mesh,
+        strategy=args.strategy,
+        seed=args.seed,
+        tipsy_state=tipsy_state,
+    )
+    n = compute.num_bodies
+    dev = jax.devices()[0]
+    print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
+          f"[{compute.system.backend} kernel"
+          + (f", {args.devices}-device {args.strategy} mesh" if mesh else "")
+          + (", host memory" if args.hostmem else "")
+          + f", {'fp64' if args.fp64 else 'fp32'}]")
+
+    if 0 <= args.demo < len(DEMO_PARAMS) and args.demo != 0 and tipsy_state is None:
+        compute.active_demo = args.demo
+        compute.active_params = DEMO_PARAMS[args.demo]
+        compute.reset(NBodyConfig.parse(args.config))
+    elif tipsy_state is None and args.config != "shell":
+        compute.reset(NBodyConfig.parse(args.config))
+
+    status = 0
+    if args.benchmark:
+        compute.run_benchmark(args.iterations)
+    elif args.compare or args.qatest:
+        passed = compute.compare_results()
+        status = 0 if passed else 1
+    else:
+        status = _run_demo(compute, args)
+
+    if args.checkpoint_save:
+        from nbody_tpu.io import save_checkpoint
+
+        save_checkpoint(
+            args.checkpoint_save,
+            compute.system.positions,
+            compute.system.velocities,
+            compute.active_params,
+            step=args.frames,
+        )
+        print(f"Checkpoint written to {args.checkpoint_save}")
+
+    return status
+
+
+def _run_demo(compute, args) -> int:
+    """Headless demo loop: step, report HUD stats ~1/s, optionally render."""
+    renderer = None
+    if args.render:
+        from nbody_tpu.render import FrameRenderer, Camera
+        import pathlib
+
+        width, height = (1920, 1080) if args.fullscreen else (args.width, args.height)
+        camera = Camera(origin=compute.active_params.camera_origin)
+        renderer = FrameRenderer(width=width, height=height)
+        outdir = pathlib.Path(args.outdir)
+        outdir.mkdir(parents=True, exist_ok=True)
+    else:
+        camera = None
+
+    e0 = compute.system.total_energy() if args.energy else None
+
+    frames_done = 0
+    last_report = time.monotonic()
+    frames_since_report = 0
+    while frames_done < args.frames:
+        compute.update_simulation(camera)
+        if renderer is not None:
+            frame = renderer.render(
+                compute.system.state[0], camera, fp64=compute.fp64_enabled
+            )
+            renderer.write_png(frame, outdir / f"frame_{frames_done:05d}.png")
+        frames_done += 1
+        frames_since_report += 1
+        now = time.monotonic()
+        if now - last_report >= 1.0:
+            compute.system.hard_sync()
+            compute.calculate_fps(frames_since_report, (now - last_report) * 1e3)
+            precision = "fp64" if compute.fp64_enabled else "fp32"
+            print(
+                f"[demo {compute.active_demo}] frame {frames_done}/{args.frames} | "
+                f"{compute.fps:.1f} fps | {compute.interactions_per_second:.2f} "
+                f"G interactions/s | {compute.g_flops:.1f} GFLOP/s ({precision})"
+            )
+            last_report = now
+            frames_since_report = 0
+
+    compute.system.block_until_ready()
+    if args.energy:
+        e1 = compute.system.total_energy()
+        drift = (e1 - e0) / abs(e0) if e0 else 0.0
+        print(f"energy: E0={e0:.6g} E1={e1:.6g} relative drift={drift:.3e}")
+    if renderer is not None:
+        print(f"wrote {frames_done} frames to {args.outdir}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,219 @@
+"""Compute facade: demo cycling, benchmark, QA compare, perf stats.
+
+The engine-level controller, mirroring the reference's ``Compute``
+(/root/reference/src/nbody/compute.hpp:17-127): owns a BodySystem, the 7-demo
+preset state machine with 10 s auto-cycling, the N-bucketed scale tuning, the
+benchmark driver (1 untimed warm-up step + timed loop + the exact result
+formulas/format of compute.cpp:105-121), and the device-vs-CPU-oracle QA
+compare (compute_cuda.cpp:294-333: one dt=0.001 step, |dpos| <= 5e-4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from nbody_tpu.config import NBodyConfig
+from nbody_tpu.models import BodySystem
+from nbody_tpu.oracle import step_best, native_available
+from nbody_tpu.params import (
+    DEMO_PARAMS,
+    DEMO_TIME_S,
+    NBodyParams,
+    flops_per_interaction,
+    gflops,
+    interactions_per_second,
+    tuned_scales,
+)
+
+QA_TOLERANCE = 5e-4
+QA_DT = 0.001
+
+DEFAULT_NUM_BODIES = 16384
+
+
+class Compute:
+    def __init__(
+        self,
+        *,
+        num_bodies: Optional[int] = None,
+        fp64: bool = False,
+        cycle_demo: bool = True,
+        backend: str = "auto",
+        tile_i: int = 256,
+        tile_j: int = 1024,
+        placement: str = "device",
+        mesh=None,
+        strategy: str = "allgather",
+        interpret: Optional[bool] = None,
+        chunk_size: Optional[int] = None,
+        seed: int = 42,
+        tipsy_state: Optional[tuple] = None,
+        log=print,
+    ):
+        import jax.numpy as jnp
+
+        self.log = log
+        self.paused = False
+        self.fp64_enabled = fp64
+        self.cycle_demo = cycle_demo
+        self.active_demo = 0
+        self.active_params = DEMO_PARAMS[0]
+        self.interactions_per_second = 0.0
+        self.g_flops = 0.0
+        self.fps = 0.0
+        self._tipsy_state = tipsy_state
+
+        if tipsy_state is not None:
+            num_bodies = tipsy_state[0].shape[0]
+        elif num_bodies is None:
+            num_bodies = DEFAULT_NUM_BODIES
+
+        scales = tuned_scales(num_bodies)
+        if scales is not None:
+            self.active_params = self.active_params.replace(
+                cluster_scale=scales[0], velocity_scale=scales[1]
+            )
+
+        dtype = jnp.float64 if fp64 else jnp.float32
+        self.system = BodySystem(
+            num_bodies,
+            self.active_params,
+            dtype=dtype,
+            backend=backend if not fp64 else "xla",
+            tile_i=tile_i,
+            tile_j=tile_j,
+            placement=placement,
+            mesh=mesh,
+            strategy=strategy,
+            interpret=interpret,
+            chunk_size=chunk_size,
+            seed=seed,
+            state=tipsy_state,
+        )
+        self.num_bodies = self.system.num_bodies
+        self._demo_reset_time = time.monotonic()
+
+    # ---- demo state machine ----
+
+    def _select_demo(self, camera=None) -> None:
+        self.active_params = DEMO_PARAMS[self.active_demo]
+        if camera is not None:
+            camera.reset(self.active_params.camera_origin)
+        self.reset(NBodyConfig.SHELL)
+        self._demo_reset_time = time.monotonic()
+
+    def next_demo(self, camera=None) -> None:
+        self.active_demo = (self.active_demo + 1) % len(DEMO_PARAMS)
+        self._select_demo(camera)
+
+    def previous_demo(self, camera=None) -> None:
+        self.active_demo = (self.active_demo - 1) % len(DEMO_PARAMS)
+        self._select_demo(camera)
+
+    def toggle_cycle_demo(self) -> None:
+        self.cycle_demo = not self.cycle_demo
+        self._demo_reset_time = time.monotonic()
+
+    def pause(self) -> None:
+        self.paused = not self.paused
+
+    def update_simulation(self, camera=None) -> None:
+        """Advance one frame: auto-cycle demos every DEMO_TIME_S, then step."""
+        if self.cycle_demo and time.monotonic() - self._demo_reset_time > DEMO_TIME_S:
+            self.next_demo(camera)
+        if not self.paused:
+            self.system.update(self.active_params.time_step)
+
+    def reset(self, config: NBodyConfig, seed: Optional[int] = None) -> None:
+        if self._tipsy_state is not None:
+            self.system.set_state(*self._tipsy_state)
+            self.system.update_params(self.active_params)
+        else:
+            self.system.reset(self.active_params, config, seed=seed)
+
+    def update_params(self, **kw) -> None:
+        """Live param mutation (sliders equivalent): softening/damping/
+        time_step/cluster_scale/velocity_scale."""
+        self.active_params = self.active_params.replace(**kw)
+        self.system.update_params(self.active_params)
+
+    def switch_precision(self) -> None:
+        self.system = self.system.switch_precision()
+        self.fp64_enabled = not self.fp64_enabled
+
+    # ---- perf ----
+
+    def compute_perf_stats(self, steps_per_second: float) -> None:
+        self.interactions_per_second = interactions_per_second(
+            self.num_bodies, steps_per_second
+        )
+        self.g_flops = gflops(self.num_bodies, steps_per_second, self.fp64_enabled)
+
+    def calculate_fps(self, frame_count: int, milliseconds: float) -> None:
+        self.fps = frame_count * 1000.0 / max(milliseconds, 1e-9)
+        self.compute_perf_stats(self.fps)
+
+    def run_benchmark(self, nb_iterations: int) -> dict:
+        """1 untimed warm-up rollout, then `nb_iterations` steps as ONE
+        on-device scan dispatch, hard-synced (the CUDA-event analogue: the
+        reference enqueues k launches + one event sync)."""
+        dt = self.active_params.time_step
+        # warm-up with the same rollout length so compilation (keyed on scan
+        # length) happens entirely outside the timed region
+        self.system.update_many(nb_iterations, dt)
+        self.system.hard_sync()
+        t0 = time.perf_counter()
+        self.system.update_many(nb_iterations, dt)
+        self.system.hard_sync()
+        milliseconds = (time.perf_counter() - t0) * 1e3
+        self.compute_perf_stats(nb_iterations * (1000.0 / milliseconds))
+        self._print_benchmark_results(nb_iterations, milliseconds)
+        return {
+            "num_bodies": self.num_bodies,
+            "iterations": nb_iterations,
+            "milliseconds": milliseconds,
+            "interactions_per_second_e9": self.interactions_per_second,
+            "gflops": self.g_flops,
+            "fp64": self.fp64_enabled,
+        }
+
+    def _print_benchmark_results(self, nb_iterations: int, milliseconds: float) -> None:
+        # same shape as the reference's output (compute.cpp:105-112)
+        self.log(
+            f"{self.num_bodies} bodies, total time for {nb_iterations} "
+            f"iterations: {milliseconds:.3f} ms"
+        )
+        self.log(f"= {self.interactions_per_second:.3f} billion interactions per second")
+        precision = "double" if self.fp64_enabled else "single"
+        self.log(
+            f"= {self.g_flops:.3f} {precision}-precision GFLOP/s at "
+            f"{flops_per_interaction(self.fp64_enabled)} flops per interaction"
+        )
+
+    # ---- QA compare (the reference's --compare/--qatest) ----
+
+    def compare_results(self, tolerance: float = QA_TOLERANCE) -> bool:
+        """One dt=QA_DT step on device and on the CPU oracle from identical
+        state; pass iff every position coordinate differs <= tolerance."""
+        pos0 = self.system.positions
+        vel0 = self.system.velocities
+        p = self.active_params
+
+        self.system.update(QA_DT)
+        self.system.block_until_ready()
+        dev_pos = self.system.positions
+
+        ref_pos, _ = step_best(pos0, vel0, QA_DT, p.softening, p.damping)
+        err = np.abs(dev_pos[:, :3] - ref_pos[:, :3]).max()
+        passed = bool(err <= tolerance)
+        oracle = "native C++" if native_available() else "NumPy"
+        self.log(
+            f"QA compare vs {oracle} oracle: max |dpos| = {err:.3e} "
+            f"(tolerance {tolerance:g}) -> {'OK' if passed else 'FAILED'}"
+        )
+        # restore pre-compare state so compare is side-effect free
+        self.system.set_state(pos0, vel0)
+        return passed

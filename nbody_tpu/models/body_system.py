@@ -1,0 +1,335 @@
+"""BodySystem: simulation state + stepping, the framework's core model class.
+
+API parity with the reference's abstract BodySystem
+(/root/reference/src/nbody/bodysystemcuda.hpp:38-58): get/set positions and
+velocities, update(dt), reset(params, config), update_params — redesigned
+functionally for JAX: state is an immutable pytree of jax.Arrays, a step
+returns new arrays (with XLA buffer donation giving the zero-alloc behavior
+of the reference's ping-pong buffers), and the class is a thin stateful shell
+around that.
+
+Memory-placement variants (the reference's three BodySystemCUDA subclasses,
+SURVEY.md §2) map to:
+  * placement="device" — state lives in HBM as jax.Arrays (the Default impl)
+  * placement="host"   — state lives in host RAM, streamed to the device per
+    step (the --hostmem zero-copy analogue; useful when N exceeds HBM)
+  * the render path (Graphics impl) needs no special placement on TPU: the
+    rasterizer consumes the same device arrays with zero copies
+    (nbody_tpu.render).
+
+Backends:
+  * "pallas" — the fused TPU kernel (float32)
+  * "xla"    — portable jnp path (any backend, fp64-capable)
+  * "auto"   — pallas on TPU for float32, else xla
+A ``jax.sharding.Mesh`` switches stepping to the body-sharded multi-chip path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.config import NBodyConfig
+from nbody_tpu.params import NBodyParams
+from nbody_tpu import ic
+from nbody_tpu.ops.pallas_kernel import (
+    DEFAULT_TILE_I,
+    DEFAULT_TILE_J,
+    nbody_step_pallas,
+)
+from nbody_tpu.ops.reference import nbody_step_xla
+from nbody_tpu.ops.energy import total_energy
+
+
+# module-level jit wrapper so its compilation cache is shared across systems
+_XLA_STEP_JIT = jax.jit(nbody_step_xla, static_argnames=("chunk_size",))
+
+
+def _default_backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BodySystem:
+    """Owns (pos, vel) state and advances it with the selected kernel."""
+
+    def __init__(
+        self,
+        num_bodies: int,
+        params: NBodyParams,
+        *,
+        dtype=jnp.float32,
+        backend: str = "auto",
+        tile_i: int = DEFAULT_TILE_I,
+        tile_j: int = DEFAULT_TILE_J,
+        placement: str = "device",
+        mesh=None,
+        strategy: str = "allgather",
+        interpret: Optional[bool] = None,
+        chunk_size: Optional[int] = None,
+        config: NBodyConfig = NBodyConfig.SHELL,
+        seed: int = 42,
+        state: Optional[tuple] = None,
+    ):
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if placement not in ("device", "host"):
+            raise ValueError(f"unknown placement {placement!r}")
+        dtype = jnp.dtype(dtype)
+        if backend == "auto":
+            backend = "pallas" if (_default_backend_is_tpu() and dtype == jnp.float32) else "xla"
+        if backend == "pallas" and dtype != jnp.float32:
+            raise ValueError("pallas backend is float32-only; use backend='xla' for fp64")
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "fp64 requested but x64 is disabled; set JAX_ENABLE_X64=1 or "
+                "jax.config.update('jax_enable_x64', True) before creating arrays"
+            )
+        if interpret is None:
+            interpret = backend == "pallas" and not _default_backend_is_tpu()
+
+        self.params = params
+        self.dtype = dtype
+        self.backend = backend
+        self.tile_i = tile_i
+        self.tile_j = tile_j
+        self.placement = placement
+        self.mesh = mesh
+        self.strategy = strategy
+        self.interpret = bool(interpret)
+        self.chunk_size = chunk_size
+        self.seed = seed
+        self.config = config
+
+        ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+        # round N up so body shards divide evenly (the reference rounds N to a
+        # block-size multiple, /root/reference/src/nbody/compute_cuda.cpp:103-107)
+        self.num_bodies = _round_up(int(num_bodies), ndev)
+
+        self._rollout_cache: dict = {}
+        self._sharded_step = None
+        if mesh is not None:
+            from nbody_tpu.parallel import make_sharded_step
+
+            self._sharded_step = make_sharded_step(
+                mesh,
+                kernel=backend,
+                strategy=strategy,
+                tile_i=tile_i,
+                tile_j=tile_j,
+                interpret=self.interpret,
+                chunk_size=chunk_size,
+            )
+
+        if state is not None:
+            pos, vel = state
+            self.set_state(np.asarray(pos), np.asarray(vel))
+        else:
+            self.reset(params, config, seed=seed)
+
+    # ---- state access (the reference's get/set_position/velocity) ----
+
+    def _place(self, pos: np.ndarray, vel: np.ndarray):
+        pos = np.asarray(pos, dtype=self.dtype)
+        vel = np.asarray(vel, dtype=self.dtype)
+        if pos.shape[0] != self.num_bodies:
+            # zero-mass-pad up to the allocated N (tipsy-style)
+            pad = self.num_bodies - pos.shape[0]
+            if pad < 0:
+                raise ValueError(f"state has {pos.shape[0]} bodies > allocated {self.num_bodies}")
+            pos = np.pad(pos, ((0, pad), (0, 0)))
+            vel = np.pad(vel, ((0, pad), (0, 0)))
+        if self.placement == "host":
+            self._pos, self._vel = pos, vel
+        elif self.mesh is not None:
+            from nbody_tpu.parallel import shard_state
+
+            self._pos, self._vel = shard_state(self.mesh, pos, vel)
+        else:
+            self._pos = jnp.asarray(pos)
+            self._vel = jnp.asarray(vel)
+
+    def set_state(self, pos, vel) -> None:
+        self._place(np.asarray(pos), np.asarray(vel))
+
+    def set_positions(self, pos) -> None:
+        self._place(np.asarray(pos), self.velocities)
+
+    def set_velocities(self, vel) -> None:
+        self._place(self.positions, np.asarray(vel))
+
+    @property
+    def positions(self) -> np.ndarray:
+        """(N, 4) [x,y,z,m] on the host."""
+        return np.asarray(self._pos)
+
+    @property
+    def velocities(self) -> np.ndarray:
+        return np.asarray(self._vel)
+
+    @property
+    def state(self):
+        """The device-side (pos, vel) pytree (host arrays for placement='host')."""
+        return self._pos, self._vel
+
+    # ---- parameters ----
+
+    def update_params(self, params: NBodyParams) -> None:
+        """Live-update softening/damping/dt (the reference's slider write-through,
+        /root/reference/src/nbody/compute.cpp:237-243). No recompilation:
+        params are dynamic kernel inputs."""
+        self.params = params
+
+    def reset(self, params: NBodyParams, config: NBodyConfig, *, seed: Optional[int] = None) -> None:
+        """Regenerate initial conditions (reference reset -> randomise_bodies,
+        /root/reference/src/nbody/bodysystemcuda.cpp:60-64)."""
+        self.params = params
+        self.config = config
+        if seed is not None:
+            self.seed = seed
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        pos, vel = ic.generate(
+            config,
+            self.num_bodies,
+            params.cluster_scale,
+            params.velocity_scale,
+            seed=self.seed,
+            dtype=np_dtype,
+        )
+        self._place(pos, vel)
+
+    # ---- stepping ----
+
+    def _step_fn(self):
+        """(pos, vel, dt, softening, damping) -> (pos, vel), jit-compatible."""
+        if self._sharded_step is not None:
+            return self._sharded_step
+        if self.backend == "pallas":
+            tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
+
+            def step(pos, vel, dt, soft, damp):
+                return nbody_step_pallas(
+                    pos, vel, dt, soft, damp,
+                    tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                )
+
+            return step
+        chunk = self.chunk_size
+
+        def step(pos, vel, dt, soft, damp):
+            return _XLA_STEP_JIT(pos, vel, dt, soft, damp, chunk_size=chunk)
+
+        return step
+
+    def _step_arrays(self, pos, vel, dt):
+        p = self.params
+        return self._step_fn()(pos, vel, dt, p.softening, p.damping)
+
+    def _rollout_fn(self, steps: int):
+        """Cached k-step scan rollout (one dispatch; params stay dynamic)."""
+        cached = self._rollout_cache.get(steps)
+        if cached is not None:
+            return cached
+        step = self._step_fn()
+
+        @jax.jit
+        def run(pos, vel, dt, soft, damp):
+            def body(state, _):
+                p, v = state
+                return step(p, v, dt, soft, damp), None
+
+            (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
+            return pos, vel
+
+        self._rollout_cache[steps] = run
+        return run
+
+    def update(self, dt: Optional[float] = None) -> None:
+        """Advance one step (dt defaults to params.time_step)."""
+        dt = self.params.time_step if dt is None else dt
+        if self.placement == "host":
+            pos = jnp.asarray(self._pos)
+            vel = jnp.asarray(self._vel)
+            npos, nvel = self._step_arrays(pos, vel, dt)
+            self._pos = np.asarray(npos)
+            self._vel = np.asarray(nvel)
+        else:
+            self._pos, self._vel = self._step_arrays(self._pos, self._vel, dt)
+
+    def update_many(self, steps: int, dt: Optional[float] = None) -> None:
+        """Advance `steps` steps in ONE device dispatch via lax.scan.
+
+        The TPU-idiomatic benchmark loop: the reference enqueues k kernel
+        launches in a CUDA stream with one final sync
+        (/root/reference/src/nbody/compute_cuda.cpp:183-195); on TPU the
+        equivalent is a compiled scan so per-step host dispatch (expensive
+        over a remote-attached chip) disappears."""
+        dt = self.params.time_step if dt is None else dt
+        if self.placement == "host" or steps <= 1:
+            for _ in range(steps):
+                self.update(dt)
+            return
+        p = self.params
+        self._pos, self._vel = self._rollout_fn(steps)(
+            self._pos, self._vel, dt, p.softening, p.damping
+        )
+
+    def block_until_ready(self) -> None:
+        if self.placement != "host":
+            jax.block_until_ready((self._pos, self._vel))
+
+    def hard_sync(self) -> None:
+        """True execution barrier: block_until_ready plus a tiny D2H fetch.
+
+        Some remote-attached PJRT backends report buffers ready before the
+        enqueued computation finished; a device_get always waits. Benchmark
+        timing must use this, not block_until_ready alone."""
+        self.block_until_ready()
+        if self.placement != "host":
+            jax.device_get(self._pos[:1])
+
+    # ---- precision switch (reference Enter key, compute_cuda.cpp:152-181) ----
+
+    def switch_precision(self) -> "BodySystem":
+        """Return a new BodySystem in the other precision with the same state
+        (device-sync + cast, like the reference's D2H/cast/H2D switch)."""
+        new_dtype = jnp.float64 if self.dtype == jnp.float32 else jnp.float32
+        if new_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError("fp64 unavailable: enable x64 first (JAX_ENABLE_X64=1)")
+        self.block_until_ready()
+        other = BodySystem(
+            self.num_bodies,
+            self.params,
+            dtype=new_dtype,
+            backend="xla" if new_dtype == jnp.float64 else self.backend,
+            tile_i=self.tile_i,
+            tile_j=self.tile_j,
+            placement=self.placement,
+            mesh=self.mesh,
+            strategy=self.strategy,
+            interpret=self.interpret,
+            chunk_size=self.chunk_size,
+            config=self.config,
+            seed=self.seed,
+            state=(
+                self.positions.astype(np.float64 if new_dtype == jnp.float64 else np.float32),
+                self.velocities.astype(np.float64 if new_dtype == jnp.float64 else np.float32),
+            ),
+        )
+        return other
+
+    # ---- diagnostics ----
+
+    def total_energy(self) -> float:
+        pos = jnp.asarray(self._pos)
+        vel = jnp.asarray(self._vel)
+        return float(total_energy(pos, vel, self.params.softening, chunk_size=self.chunk_size))

@@ -1,0 +1,159 @@
+"""On-device point-splat rasterizer.
+
+Replaces the reference's OpenGL point-sprite pipeline
+(/root/reference/src/nbody/render_particles.cpp — behavior, not code):
+
+* perspective point size ``500 * sprite_size / (1 - z_eye)`` clamped to the
+  splat patch (the reference vertex shader's gl_PointSize),
+* the 32x32 procedural Hermite/Gaussian splat ``w(d) = 2d^3 - 3d^2 + 1``
+  (createGaussianMap's evalHermite), evaluated analytically per fragment
+  instead of baked into a texture,
+* additive blending with depth-write off (GL_SRC_ALPHA, GL_ONE),
+* per-body B/G/R cycle colors (initialise_colours: body i is blue/green/red
+  for i%3 = 0/1/2), modulated ``(0.6 + 0.4*color)`` by the fragment shader,
+  then tinted orange {1,.6,.3} for fp32 / green {.4,.8,.1} for fp64.
+
+The whole frame is computed on the device with one fused jit program: project
+-> build (N, K, K) splat patches -> one scatter-add into the framebuffer ->
+tonemap to uint8. Only the finished frame crosses to the host. Bodies are
+processed in chunks so 1M-body frames fit in memory.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.render.camera import Camera, perspective
+from nbody_tpu.io.png import write_png
+
+FP32_TINT = (1.0, 0.6, 0.3)
+FP64_TINT = (0.4, 0.8, 0.1)
+
+
+class DisplayMode(enum.Enum):
+    POINTS = "points"
+    SPRITES = "sprites"
+    SPRITES_COLOR = "sprites_color"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "splat", "mode", "chunk"),
+)
+def _raster(pos, mv, proj, sprite_size, tint, *, width, height, splat, mode, chunk):
+    n = pos.shape[0]
+    k = splat
+    p3 = pos[:, :3].astype(jnp.float32)
+
+    # per-body base color: B, G, R cycle (white for non-color modes)
+    idx = jnp.arange(n)
+    if mode == "sprites_color":
+        sel = idx % 3
+        base = jnp.stack(
+            [(sel == 2).astype(jnp.float32),
+             (sel == 1).astype(jnp.float32),
+             (sel == 0).astype(jnp.float32)],
+            axis=1,
+        )
+        base = 0.6 + 0.4 * base  # fragment-shader modulation
+    else:
+        base = jnp.ones((n, 3), jnp.float32)
+    rgb = base * tint[None, :]
+
+    eye = p3 @ mv[:3, :3].T + mv[:3, 3]
+    clip = eye @ proj[:3, :3].T + proj[:3, 3]
+    wc = -eye[:, 2]
+    valid = wc > 0.1  # znear
+    ndc = clip / jnp.where(valid, wc, 1.0)[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width
+    sy = (1.0 - ndc[:, 1]) * 0.5 * height
+
+    if mode == "points":
+        size = jnp.ones_like(wc)
+    else:
+        size = jnp.clip(500.0 * sprite_size / (1.0 - eye[:, 2]), 1.0, float(k))
+
+    def splat_chunk(args):
+        sx_c, sy_c, size_c, rgb_c, valid_c = args
+        m = sx_c.shape[0]
+        ox = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0
+        px = jnp.floor(sx_c)[:, None, None] + ox[None, :, None]  # (m, k, 1)
+        py = jnp.floor(sy_c)[:, None, None] + ox[None, None, :]  # (m, 1, k)
+        dx = (px - sx_c[:, None, None]) / (size_c[:, None, None] * 0.5)
+        dy = (py - sy_c[:, None, None]) / (size_c[:, None, None] * 0.5)
+        d = jnp.sqrt(dx * dx + dy * dy)
+        d = jnp.minimum(d, 1.0)
+        w = 2 * d**3 - 3 * d**2 + 1  # Hermite splat
+        w = w * valid_c[:, None, None]
+        pxi = jnp.broadcast_to(px, (m, k, k)).astype(jnp.int32).reshape(-1)
+        pyi = jnp.broadcast_to(py, (m, k, k)).astype(jnp.int32).reshape(-1)
+        contrib = w.reshape(-1, 1) * jnp.repeat(rgb_c, k * k, axis=0)
+        img = jnp.zeros((height, width, 3), jnp.float32)
+        return img.at[pyi, pxi, :].add(contrib, mode="drop")
+
+    if n <= chunk:
+        acc = splat_chunk((sx, sy, size, rgb, valid.astype(jnp.float32)))
+    else:
+        c = chunk
+        n_pad = ((n + c - 1) // c) * c
+        pad = n_pad - n
+
+        def padded(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
+                (n_pad // c, c) + x.shape[1:]
+            )
+
+        chunks = (
+            padded(sx), padded(sy), padded(size), padded(rgb),
+            padded(valid.astype(jnp.float32)),
+        )
+        acc = jax.lax.map(splat_chunk, chunks).sum(axis=0)
+
+    return (jnp.clip(acc, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+class FrameRenderer:
+    def __init__(self, width: int = 1024, height: int = 768, *,
+                 splat: int = 16, fov_deg: float = 60.0,
+                 znear: float = 0.1, zfar: float = 1000.0,
+                 chunk: int = 65536):
+        self.width = width
+        self.height = height
+        self.splat = splat
+        self.chunk = chunk
+        self.proj = perspective(fov_deg, width / height, znear, zfar)
+
+    def render(
+        self,
+        pos,
+        camera: Camera | None = None,
+        *,
+        fp64: bool = False,
+        mode: DisplayMode = DisplayMode.SPRITES_COLOR,
+        sprite_size: float = 1.0,
+    ) -> np.ndarray:
+        """Rasterize positions (N, 4) into an (H, W, 3) uint8 frame."""
+        mv = camera.view_matrix() if camera is not None else np.eye(4, dtype=np.float32)
+        tint = jnp.asarray(FP64_TINT if fp64 else FP32_TINT, jnp.float32)
+        frame = _raster(
+            jnp.asarray(pos, jnp.float32),
+            jnp.asarray(mv),
+            jnp.asarray(self.proj),
+            jnp.float32(sprite_size),
+            tint,
+            width=self.width,
+            height=self.height,
+            splat=self.splat,
+            mode=mode.value,
+            chunk=self.chunk,
+        )
+        return np.asarray(frame)
+
+    @staticmethod
+    def write_png(frame: np.ndarray, path) -> None:
+        write_png(frame, path)

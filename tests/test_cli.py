@@ -1,0 +1,88 @@
+"""CLI end-to-end tests (in-process main())."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.cli import main
+
+
+def test_version(capsys):
+    assert main(["--version"]) == 0
+    assert "nbody_tpu" in capsys.readouterr().out
+
+
+def test_benchmark_mode(capsys):
+    rc = main(["--benchmark", "--numbodies", "512", "-i", "2", "--kernel", "xla",
+               "--no-cycle"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "billion interactions per second" in out
+    assert "GFLOP/s at 20 flops per interaction" in out
+
+
+def test_qatest_mode(capsys):
+    rc = main(["--qatest", "--numbodies", "256", "--kernel", "xla"])
+    assert rc == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_demo_mode_with_energy(capsys):
+    rc = main(["--numbodies", "256", "--frames", "3", "--kernel", "xla",
+               "--no-cycle", "--energy"])
+    assert rc == 0
+    assert "energy:" in capsys.readouterr().out
+
+
+def test_demo_preset_selection(capsys):
+    rc = main(["--numbodies", "256", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--demo", "4", "--config", "expand"])
+    assert rc == 0
+
+
+def test_render_writes_frames(tmp_path, capsys):
+    rc = main([
+        "--numbodies", "128", "--frames", "2", "--kernel", "xla", "--no-cycle",
+        "--render", "--outdir", str(tmp_path / "f"), "--width", "64",
+        "--height", "48",
+    ])
+    assert rc == 0
+    frames = sorted((tmp_path / "f").glob("*.png"))
+    assert len(frames) == 2
+    assert frames[0].read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_checkpoint_save_load_cycle(tmp_path, capsys):
+    ck = tmp_path / "state.npz"
+    rc = main(["--numbodies", "128", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--checkpoint-save", str(ck)])
+    assert rc == 0
+    assert ck.exists()
+    rc = main(["--frames", "1", "--kernel", "xla", "--no-cycle",
+               "--checkpoint-load", str(ck)])
+    assert rc == 0
+    assert "Resumed" in capsys.readouterr().out
+
+
+def test_tipsy_load(tmp_path, capsys):
+    from nbody_tpu.io import write_tipsy_file
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "g.tipsy"
+    write_tipsy_file(path, rng.normal(size=(100, 4)), rng.normal(size=(100, 4)))
+    rc = main(["--tipsy", str(path), "--frames", "1", "--kernel", "xla",
+               "--no-cycle"])
+    assert rc == 0
+    assert "Read 256 bodies" in capsys.readouterr().out
+
+
+def test_devices_mesh(capsys):
+    rc = main(["--numbodies", "256", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--devices", "8", "--strategy", "ring"])
+    assert rc == 0
+
+
+def test_hostmem(capsys):
+    rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--hostmem"])
+    assert rc == 0
+    assert "host memory" in capsys.readouterr().out

@@ -1,0 +1,80 @@
+"""Tipsy + checkpoint + PNG I/O tests."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.io import (
+    load_checkpoint,
+    read_tipsy_file,
+    save_checkpoint,
+    write_tipsy_file,
+)
+from nbody_tpu.io.png import write_png
+from nbody_tpu.params import NBodyParams
+from nbody_tpu.config import NBodyConfig
+
+
+def test_tipsy_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 300
+    pos = rng.normal(size=(n, 4)).astype(np.float64)
+    vel = rng.normal(size=(n, 4)).astype(np.float64)
+    path = tmp_path / "galaxy.tipsy"
+    write_tipsy_file(path, pos, vel)
+    rpos, rvel = read_tipsy_file(path)
+    # padded to multiple of 256
+    assert rpos.shape == (512, 4)
+    np.testing.assert_allclose(rpos[:n], pos.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(rvel[:n], vel.astype(np.float32), rtol=1e-6)
+    # padding is zero-mass
+    np.testing.assert_array_equal(rpos[n:], 0.0)
+
+
+def test_tipsy_dark_and_star_records(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 256
+    pos = rng.normal(size=(n, 4)).astype(np.float64)
+    vel = rng.normal(size=(n, 4)).astype(np.float64)
+    path = tmp_path / "mixed.tipsy"
+    write_tipsy_file(path, pos, vel, n_dark=100)
+    rpos, rvel = read_tipsy_file(path)
+    np.testing.assert_allclose(rpos[:n], pos.astype(np.float32), rtol=1e-6)
+
+
+def test_tipsy_corrupt_header(tmp_path):
+    path = tmp_path / "bad.tipsy"
+    path.write_bytes(b"\x00" * 32)
+    pos, vel = read_tipsy_file(path)  # nbodies=0 -> empty padded state
+    assert pos.shape[0] == 0 or pos.shape[0] % 256 == 0
+
+    path.write_bytes(b"\xff" * 32)
+    with pytest.raises(ValueError):
+        read_tipsy_file(path)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    pos = rng.normal(size=(64, 4)).astype(np.float32)
+    vel = rng.normal(size=(64, 4)).astype(np.float32)
+    params = NBodyParams(time_step=0.002, softening=0.7)
+    path = tmp_path / "ck.npz"
+    save_checkpoint(path, pos, vel, params, step=17, config=NBodyConfig.EXPAND)
+    rpos, rvel, rparams, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(rpos, pos)
+    np.testing.assert_array_equal(rvel, vel)
+    assert rparams == params
+    assert meta["step"] == 17
+    assert meta["config"] == "expand"
+
+
+def test_png_writer(tmp_path):
+    frame = np.zeros((8, 16, 3), np.uint8)
+    frame[2, 3] = (255, 128, 0)
+    path = tmp_path / "img.png"
+    write_png(frame, path)
+    data = path.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
+
+    with pytest.raises(ValueError):
+        write_png(np.zeros((8, 16), np.uint8), tmp_path / "bad.png")

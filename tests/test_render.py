@@ -1,0 +1,87 @@
+"""Rasterizer + camera tests."""
+
+import numpy as np
+
+from nbody_tpu.render import Camera, DisplayMode, FrameRenderer
+from nbody_tpu.render.camera import perspective
+
+
+def _cluster(n=64, z=0.0):
+    rng = np.random.default_rng(0)
+    pos = np.zeros((n, 4), np.float32)
+    pos[:, :3] = rng.normal(scale=2.0, size=(n, 3))
+    pos[:, 2] += z
+    pos[:, 3] = 1.0
+    return pos
+
+
+def test_render_produces_nonempty_frame():
+    cam = Camera(origin=(0.0, 0.0, -30.0))
+    r = FrameRenderer(width=128, height=96)
+    frame = r.render(_cluster(), cam)
+    assert frame.shape == (96, 128, 3)
+    assert frame.dtype == np.uint8
+    assert frame.sum() > 0, "visible cluster must light pixels"
+
+
+def test_fp64_tint_differs():
+    cam = Camera(origin=(0.0, 0.0, -30.0))
+    r = FrameRenderer(width=64, height=64)
+    f32 = r.render(_cluster(), cam, fp64=False)
+    f64 = r.render(_cluster(), cam, fp64=True)
+    assert not np.array_equal(f32, f64)
+    # fp32 tint is orange (R-heavy), fp64 green (G-heavy)
+    assert f32[..., 0].sum() > f32[..., 2].sum()
+    assert f64[..., 1].sum() > f64[..., 0].sum()
+
+
+def test_behind_camera_invisible():
+    cam = Camera(origin=(0.0, 0.0, -30.0))
+    r = FrameRenderer(width=64, height=64)
+    frame = r.render(_cluster(z=100.0), cam)  # behind the near plane
+    assert frame.sum() == 0
+
+
+def test_points_mode_renders():
+    cam = Camera(origin=(0.0, 0.0, -30.0))
+    r = FrameRenderer(width=64, height=64)
+    sprites = r.render(_cluster(), cam, mode=DisplayMode.SPRITES)
+    points = r.render(_cluster(), cam, mode=DisplayMode.POINTS)
+    assert points.sum() > 0
+    assert (points > 0).sum() < (sprites > 0).sum(), "points cover fewer pixels"
+
+
+def test_chunked_rendering_matches_unchunked():
+    cam_mv = np.eye(4, dtype=np.float32)
+    cam_mv[2, 3] = -30.0
+    pos = _cluster(300)
+    a = FrameRenderer(width=64, height=64, chunk=100000)
+    b = FrameRenderer(width=64, height=64, chunk=64)
+
+    class FixedCam:
+        def view_matrix(self):
+            return cam_mv
+
+    fa = a.render(pos, FixedCam())
+    fb = b.render(pos, FixedCam())
+    assert np.abs(fa.astype(int) - fb.astype(int)).max() <= 1  # rounding only
+
+
+def test_camera_inertia_converges():
+    cam = Camera(origin=(0.0, 0.0, -50.0))
+    cam.translation[2] = -10.0
+    for _ in range(200):
+        mv = cam.view_matrix()
+    assert abs(mv[2, 3] - (-10.0)) < 1e-2
+
+
+def test_camera_zoom_scales_with_distance():
+    cam = Camera(origin=(0.0, 0.0, -100.0))
+    cam.zoom(10.0)
+    assert cam.translation[2] != -100.0
+
+
+def test_perspective_matrix_shape():
+    p = perspective(60.0, 4 / 3, 0.1, 1000.0)
+    assert p.shape == (4, 4)
+    assert p[3, 2] == -1.0

@@ -30,7 +30,8 @@ def test_chunked_equals_dense(random_state_tiny):
     pos, vel = random_state_tiny
     dense = compute_accel_xla(jnp.asarray(pos), SOFT, chunk_size=None)
     chunked = compute_accel_xla(jnp.asarray(pos), SOFT, chunk_size=128)
-    np.testing.assert_allclose(np.asarray(dense), np.asarray(chunked), rtol=1e-6, atol=1e-6)
+    # chunking reorders fp32 accumulation; allow rounding-level differences
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(chunked), rtol=1e-4, atol=1e-4)
 
 
 def test_accel_matches_oracle(random_state_tiny):

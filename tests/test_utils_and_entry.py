@@ -1,0 +1,78 @@
+"""Utils, bench entry, and driver graft-entry tests (CPU)."""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_time_steps_counts_iterations():
+    from nbody_tpu.utils.timing import time_steps
+
+    ms, state = time_steps(lambda x: (x + 1,), (jnp.zeros(4),), iters=3, warmup=1)
+    assert ms >= 0
+    # warmup(1) + iters(3) applications
+    np.testing.assert_allclose(np.asarray(state[0]), 4.0)
+
+
+def test_trace_noop_without_dir(monkeypatch):
+    from nbody_tpu.utils.profiling import trace
+
+    monkeypatch.delenv("NBODY_TRACE_DIR", raising=False)
+    with trace() as t:
+        assert t is None
+
+
+def test_trace_writes_profile(tmp_path):
+    from nbody_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)) as t:
+        jnp.ones(8).sum().block_until_ready()
+    assert t == str(tmp_path)
+    assert any(tmp_path.rglob("*")), "profiler should write trace files"
+
+
+def test_graft_entry_single_chip():
+    sys.path.insert(0, str(REPO))
+    try:
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert out[0].shape == args[0].shape
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_graft_dryrun_multichip():
+    sys.path.insert(0, str(REPO))
+    try:
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.remove(str(REPO))
+
+
+def test_bench_script_emits_json_line():
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    assert data["value"] > 0
