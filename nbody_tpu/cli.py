@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--tile-j", type=int, default=1024, help="j-stream tile width")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
+    p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16"], default="vpu",
+                   help="pallas kernel variant (mxu offloads the force reduction)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
         placement="host" if args.hostmem else "device",
         mesh=mesh,
         strategy=args.strategy,
+        variant=args.variant,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

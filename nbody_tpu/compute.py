@@ -47,6 +47,7 @@ class Compute:
         placement: str = "device",
         mesh=None,
         strategy: str = "allgather",
+        variant: str = "vpu",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         seed: int = 42,
@@ -88,6 +89,7 @@ class Compute:
             placement=placement,
             mesh=mesh,
             strategy=strategy,
+            variant=variant,
             interpret=interpret,
             chunk_size=chunk_size,
             seed=seed,

@@ -74,6 +74,7 @@ class BodySystem:
         placement: str = "device",
         mesh=None,
         strategy: str = "allgather",
+        variant: str = "vpu",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
@@ -105,6 +106,7 @@ class BodySystem:
         self.placement = placement
         self.mesh = mesh
         self.strategy = strategy
+        self.variant = variant
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
         self.seed = seed
@@ -128,6 +130,7 @@ class BodySystem:
                 tile_j=tile_j,
                 interpret=self.interpret,
                 chunk_size=chunk_size,
+                variant=variant,
             )
 
         if state is not None:
@@ -215,11 +218,13 @@ class BodySystem:
             return self._sharded_step
         if self.backend == "pallas":
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
+            variant = self.variant
 
             def step(pos, vel, dt, soft, damp):
                 return nbody_step_pallas(
                     pos, vel, dt, soft, damp,
                     tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                    variant=variant,
                 )
 
             return step
@@ -316,6 +321,7 @@ class BodySystem:
             placement=self.placement,
             mesh=self.mesh,
             strategy=self.strategy,
+            variant=self.variant,
             interpret=self.interpret,
             chunk_size=self.chunk_size,
             config=self.config,

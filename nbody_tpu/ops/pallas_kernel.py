@@ -104,6 +104,73 @@ def _step_kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
         npos_ref[:, 3:4] = posi_ref[:, 3:4]
 
 
+def _mxu_accumulate_tile(posi_ref, post_ref, posj4_ref, eps2, acc4_ref,
+                         tile_j, mxu_dtype):
+    """MXU-hybrid partial-force accumulation for one (TILE_I, TILE_J) block.
+
+    The VPU computes only the softened inverse-cube S = rsqrt(r2)^3; the
+    reduction sum_j S[i,j] * [m_j*x_j, m_j*y_j, m_j*z_j, m_j] is a matmul on
+    the (otherwise idle) MXU, with the j-body mass folded into the matrix
+    outside the kernel. The final acceleration is then
+    a_i = SP[:, :3] - p_i * SP[:, 3], computed at the last grid step.
+    Cuts the VPU work per interaction by ~40% vs the pure-VPU kernel.
+    """
+    xi = posi_ref[:, 0:1]
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        dx = post_ref[0:1, sl] - xi  # (TILE_I, 128)
+        dy = post_ref[1:2, sl] - yi
+        dz = post_ref[2:3, sl] - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        s = (inv * inv * inv).astype(mxu_dtype)
+        # HIGHEST forces multi-pass bf16 (near-f32) when inputs are f32; the
+        # bf16 variant runs single-pass at full MXU rate
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if mxu_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        acc4_ref[:] += jnp.dot(
+            s, posj4_ref[sl, :].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+
+def _mxu_step_kernel(scal_ref, posi_ref, veli_ref, post_ref, posj4_ref,
+                     npos_ref, nvel_ref, acc4_ref, *, tile_j: int, mxu_dtype):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc4_ref[:] = jnp.zeros_like(acc4_ref)
+
+    _mxu_accumulate_tile(posi_ref, post_ref, posj4_ref, scal_ref[0, 1],
+                         acc4_ref, tile_j, mxu_dtype)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dt = scal_ref[0, 0]
+        damping = scal_ref[0, 2]
+        sp = acc4_ref[:]
+        ssum = sp[:, 3:4]  # sum_j m_j * inv3
+        vx = (veli_ref[:, 0:1] + (sp[:, 0:1] - posi_ref[:, 0:1] * ssum) * dt) * damping
+        vy = (veli_ref[:, 1:2] + (sp[:, 1:2] - posi_ref[:, 1:2] * ssum) * dt) * damping
+        vz = (veli_ref[:, 2:3] + (sp[:, 2:3] - posi_ref[:, 2:3] * ssum) * dt) * damping
+        nvel_ref[:, 0:1] = vx
+        nvel_ref[:, 1:2] = vy
+        nvel_ref[:, 2:3] = vz
+        nvel_ref[:, 3:4] = veli_ref[:, 3:4]
+        npos_ref[:, 0:1] = posi_ref[:, 0:1] + vx * dt
+        npos_ref[:, 1:2] = posi_ref[:, 1:2] + vy * dt
+        npos_ref[:, 2:3] = posi_ref[:, 2:3] + vz * dt
+        npos_ref[:, 3:4] = posi_ref[:, 3:4]
+
+
 def _accel_kernel(scal_ref, posi_ref, post_ref, acc_ref,
                   ax_ref, ay_ref, az_ref, *, tile_j: int):
     j = pl.program_id(1)
@@ -179,20 +246,30 @@ def _scratch(tile_i):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "variant")
+)
 def nbody_step_pallas_vs(
     pos_i, vel_i, pos_j, dt, softening, damping,
     *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-    interpret: bool = False,
+    interpret: bool = False, variant: str = "vpu",
 ):
     """Fused step of the i-set under forces from the j-set.
 
     pos_i/vel_i: (M, 4) float32 AoS; pos_j: (N, 4). Returns new (pos_i, vel_i).
     The single-chip step is pos_j == pos_i; the sharded step passes the local
     shard as i and the gathered global positions as j.
+
+    variant:
+      "vpu"      — pure element-wise kernel (highest precision)
+      "mxu"      — force reduction as an f32 matmul on the MXU
+      "mxu_bf16" — reduction matmul in bf16 (fastest; ~3 decimal digits on
+                    the j-side reduction, still passes the 5e-4 QA compare)
     """
     if pos_i.dtype != jnp.float32:
         raise TypeError("pallas path is float32; use the XLA path for fp64")
+    if variant not in ("vpu", "mxu", "mxu_bf16"):
+        raise ValueError(f"unknown kernel variant {variant!r}")
     _check_tiles(tile_i, tile_j)
 
     pos_p, m = _pad_i(pos_i, tile_i)
@@ -202,23 +279,46 @@ def nbody_step_pallas_vs(
     grid = (m_pad // tile_i, n_pad // tile_j)
     specs = _common_specs(tile_i, tile_j)
 
-    new_pos, new_vel = pl.pallas_call(
-        functools.partial(_step_kernel, tile_j=tile_j),
-        grid=grid,
-        in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"], specs["j_tile"]],
-        out_specs=[specs["i_tile"], specs["i_tile"]],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
-        ],
-        scratch_shapes=_scratch(tile_i),
-        cost_estimate=pl.CostEstimate(
-            flops=20 * m_pad * n_pad,
-            bytes_accessed=(m_pad // tile_i + 3) * n_pad * 16,
-            transcendentals=m_pad * n_pad,
-        ),
-        interpret=interpret,
-    )(_scal(dt, softening, damping), pos_p, vel_p, post)
+    out_shape = [
+        jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=20 * m_pad * n_pad,
+        bytes_accessed=(m_pad // tile_i + 3) * n_pad * 16,
+        transcendentals=m_pad * n_pad,
+    )
+
+    if variant == "vpu":
+        new_pos, new_vel = pl.pallas_call(
+            functools.partial(_step_kernel, tile_j=tile_j),
+            grid=grid,
+            in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"], specs["j_tile"]],
+            out_specs=[specs["i_tile"], specs["i_tile"]],
+            out_shape=out_shape,
+            scratch_shapes=_scratch(tile_i),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(_scal(dt, softening, damping), pos_p, vel_p, post)
+    else:
+        mxu_dtype = jnp.bfloat16 if variant == "mxu_bf16" else jnp.float32
+        # j-side matrix with mass folded in: [m*x, m*y, m*z, m]
+        posj4 = post[:3, :].T * post[3, :][:, None]
+        posj4 = jnp.concatenate([posj4, post[3, :][:, None]], axis=1)
+        j4_spec = pl.BlockSpec(
+            (tile_j, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+        )
+        new_pos, new_vel = pl.pallas_call(
+            functools.partial(_mxu_step_kernel, tile_j=tile_j, mxu_dtype=mxu_dtype),
+            grid=grid,
+            in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"],
+                      specs["j_tile"], j4_spec],
+            out_specs=[specs["i_tile"], specs["i_tile"]],
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((tile_i, 4), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(_scal(dt, softening, damping), pos_p, vel_p, post, posj4)
 
     return new_pos[:m], new_vel[:m]
 
@@ -265,10 +365,10 @@ def compute_accel_pallas(
 def nbody_step_pallas(
     pos, vel, dt, softening, damping,
     *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-    interpret: bool = False,
+    interpret: bool = False, variant: str = "vpu",
 ):
     """Single-device fused step: forces of the full set on itself."""
     return nbody_step_pallas_vs(
         pos, vel, pos, dt, softening, damping,
-        tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+        tile_i=tile_i, tile_j=tile_j, interpret=interpret, variant=variant,
     )

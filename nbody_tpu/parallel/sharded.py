@@ -50,12 +50,14 @@ def make_sharded_step(
     tile_j: int = DEFAULT_TILE_J,
     interpret: bool = False,
     chunk_size: int | None = None,
+    variant: str = "vpu",
 ):
     """Build a jitted sharded step: (pos, vel, dt, softening, damping) ->
     (pos, vel), with pos/vel sharded P(axis, None) over the mesh.
 
     kernel: "pallas" (TPU; interpret=True for CPU testing) or "xla".
     strategy: "allgather" or "ring".
+    variant: pallas kernel variant ("vpu" / "mxu" / "mxu_bf16").
     """
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -68,6 +70,7 @@ def make_sharded_step(
             return nbody_step_pallas_vs(
                 pos_sh, vel_sh, pos_j, dt, soft, damp,
                 tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                variant=variant,
             )
         return nbody_step_xla_vs(
             pos_sh, vel_sh, pos_j, dt, soft, damp, chunk_size=chunk_size

@@ -76,6 +76,51 @@ def test_accel_kernel_matches_xla(random_state_tiny):
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4, atol=1e-4)
 
 
+def test_mxu_variant_matches_oracle(random_state_tiny):
+    """MXU-hybrid kernel: reduction on the matrix unit, same physics."""
+    pos, vel = random_state_tiny
+    ref_pos, ref_vel = step_numpy(pos, vel, DT, SOFT, DAMP)
+    p1, v1 = nbody_step_pallas(
+        jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP,
+        tile_i=TI, tile_j=TJ, interpret=True, variant="mxu",
+    )
+    assert_state_close(p1, ref_pos)
+    assert_state_close(v1, ref_vel)
+
+
+def test_mxu_bf16_variant_passes_qa(random_state_tiny):
+    """bf16 reduction: lower precision but must stay within the reference's
+    5e-4 position QA tolerance after one dt=0.001 step."""
+    pos, vel = random_state_tiny
+    ref_pos, _ = step_numpy(pos, vel, DT, SOFT, DAMP)
+    p1, _ = nbody_step_pallas(
+        jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP,
+        tile_i=TI, tile_j=TJ, interpret=True, variant="mxu_bf16",
+    )
+    assert_state_close(p1, ref_pos)
+
+
+def test_mxu_variant_zero_mass_padding(random_state_tiny):
+    """mass folded into the j-matrix: padded zero-mass bodies contribute 0."""
+    pos, vel = random_state_tiny
+    pos, vel = pos[:300], vel[:300]
+    p1, v1 = nbody_step_pallas(
+        jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP,
+        tile_i=TI, tile_j=TJ, interpret=True, variant="mxu",
+    )
+    p2, v2 = nbody_step_xla(jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_unknown_variant_raises(random_state_tiny):
+    pos, vel = random_state_tiny
+    with pytest.raises(ValueError, match="variant"):
+        nbody_step_pallas(
+            jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP,
+            tile_i=TI, tile_j=TJ, interpret=True, variant="tensor-core",
+        )
+
+
 def test_bad_tile_sizes_raise(random_state_tiny):
     pos, vel = random_state_tiny
     with pytest.raises(ValueError):
