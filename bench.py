@@ -38,9 +38,12 @@ def main() -> int:
     if on_tpu:
         from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
 
+        # fastest QA-passing configuration measured on v5e: the MXU-hybrid
+        # kernel with bf16 reduction, ti=1024 / tj=8192 (see ops/pallas_kernel)
         def step(p, v):
             return nbody_step_pallas(p, v, params.time_step, params.softening,
-                                     params.damping)
+                                     params.damping, tile_i=1024, tile_j=8192,
+                                     variant="mxu_bf16")
     else:  # CPU fallback so the bench always reports something
         from nbody_tpu.ops.reference import nbody_step_xla
 
@@ -49,7 +52,16 @@ def main() -> int:
                                         params.softening, params.damping)
         )
 
-    ms, _ = time_steps(step, (p, v), iters=ITERS, warmup=2)
+    # k steps in ONE device dispatch (lax.scan) so remote dispatch latency
+    # doesn't pollute the kernel throughput measurement
+    @jax.jit
+    def roll(p, v):
+        def body(state, _):
+            return step(*state), None
+        (p, v), _ = jax.lax.scan(body, (p, v), None, length=ITERS)
+        return p, v
+
+    ms, _ = time_steps(lambda p, v: roll(p, v), (p, v), iters=1, warmup=1)
     steps_per_s = ITERS * 1000.0 / ms
     interactions = N * N * 1e-9 * steps_per_s
     gflops = interactions * 20.0

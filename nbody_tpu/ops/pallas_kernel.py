@@ -270,6 +270,9 @@ def nbody_step_pallas_vs(
         raise TypeError("pallas path is float32; use the XLA path for fp64")
     if variant not in ("vpu", "mxu", "mxu_bf16"):
         raise ValueError(f"unknown kernel variant {variant!r}")
+    # clamp tiles to the problem size so small N doesn't pay huge padding
+    tile_i = min(tile_i, _round_up(pos_i.shape[0], 8))
+    tile_j = min(tile_j, _round_up(pos_j.shape[0], LANES))
     _check_tiles(tile_i, tile_j)
 
     pos_p, m = _pad_i(pos_i, tile_i)
@@ -336,6 +339,8 @@ def compute_accel_pallas(
     """
     if pos_i.dtype != jnp.float32:
         raise TypeError("pallas path is float32; use the XLA path for fp64")
+    tile_i = min(tile_i, _round_up(pos_i.shape[0], 8))
+    tile_j = min(tile_j, _round_up(pos_j.shape[0], LANES))
     _check_tiles(tile_i, tile_j)
 
     pos_p, m = _pad_i(pos_i, tile_i)

@@ -15,31 +15,34 @@ import sys
 HERE = pathlib.Path(__file__).resolve().parent
 SRC = HERE / "nbody_oracle.cpp"
 LIB = HERE / "_nbody_oracle.so"
+CLI_SRC = HERE / "nbody_cli.cpp"
+CLI = HERE / "_nbody_cli"
+
+_FLAGS = ["-O3", "-march=native", "-fopenmp", "-std=c++17"]
 
 
 def build(verbose: bool = True) -> pathlib.Path:
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-fopenmp",
-        "-shared",
-        "-fPIC",
-        "-std=c++17",
-        str(SRC),
-        "-o",
-        str(LIB),
-    ]
+    cmd = ["g++", *_FLAGS, "-shared", "-fPIC", str(SRC), "-o", str(LIB)]
     if verbose:
         print("+", " ".join(cmd))
     subprocess.run(cmd, check=True)
     return LIB
 
 
+def build_cli(verbose: bool = True) -> pathlib.Path:
+    cmd = ["g++", *_FLAGS, str(CLI_SRC), str(SRC), "-o", str(CLI)]
+    if verbose:
+        print("+", " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return CLI
+
+
 if __name__ == "__main__":
     try:
         build()
         print(f"built {LIB}")
+        build_cli()
+        print(f"built {CLI}")
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         print(f"native oracle build failed ({e}); NumPy oracle will be used", file=sys.stderr)
         sys.exit(1)

@@ -1,0 +1,53 @@
+"""Native C++ CLI harness tests (built on demand; skipped without g++)."""
+
+import pathlib
+import subprocess
+
+import pytest
+
+CLI = pathlib.Path(__file__).resolve().parent.parent / "nbody_tpu" / "oracle" / "_nbody_cli"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_cli():
+    if not CLI.exists():
+        try:
+            from nbody_tpu.oracle.build import build_cli
+
+            build_cli(verbose=False)
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+    return CLI
+
+
+def _run(*args):
+    return subprocess.run([str(CLI), *args], capture_output=True, text=True, timeout=300)
+
+
+def test_benchmark_output_format():
+    r = _run("--benchmark", "--numbodies", "1024", "-i", "3")
+    assert r.returncode == 0, r.stderr
+    assert "billion interactions per second" in r.stdout
+    assert "single-precision GFLOP/s at 20 flops per interaction" in r.stdout
+
+
+def test_fp64_benchmark():
+    r = _run("--benchmark", "--numbodies", "512", "-i", "2", "--fp64")
+    assert r.returncode == 0
+    assert "double-precision GFLOP/s at 30 flops per interaction" in r.stdout
+
+
+def test_compare_passes():
+    r = _run("--compare", "--numbodies", "1024")
+    assert r.returncode == 0
+    assert "OK" in r.stdout
+
+
+def test_bad_flag_exits_2():
+    r = _run("--bogus")
+    assert r.returncode == 2
+
+
+def test_bad_n_exits_2():
+    r = _run("--benchmark", "--numbodies", "-5")
+    assert r.returncode == 2
