@@ -65,11 +65,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-load", type=str, default=None)
     p.add_argument("--energy", action="store_true",
                    help="report total-energy drift over the run")
+    p.add_argument("--interactive", action="store_true",
+                   help="read reference key bindings from stdin during the "
+                        "demo loop (space=pause, [ ]=demos, 1/2/3=reset, "
+                        "enter=precision, q=quit, ...)")
+    p.add_argument("--set", dest="set_params", type=str, default=None,
+                   metavar="NAME=VAL[,NAME=VAL...]",
+                   help="set slider parameters (velocity_damping, "
+                        "softening_factor, time_step, cluster_scale, "
+                        "velocity_scale)")
+    p.add_argument("--no-hud", action="store_true",
+                   help="disable the HUD overlay on rendered frames")
+    p.add_argument("--print-params", action="store_true",
+                   help="print the active parameter set (reference 'o' key)")
     p.add_argument("--version", action="store_true")
     return p
 
 
 def main(argv=None) -> int:
+    """Entry point with the reference's exit-code ladder
+    (/root/reference/src/nbody.cpp:396-408): 0 ok / QA pass, 1 QA fail,
+    2 usage/config error, 3 runtime error."""
+    try:
+        return _main(argv)
+    except (ValueError, KeyError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except RuntimeError as e:
+        print(f"runtime error: {e}", file=sys.stderr)
+        return 3
+
+
+def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.version:
@@ -148,6 +175,21 @@ def main(argv=None) -> int:
     elif tipsy_state is None and args.config != "shell":
         compute.reset(NBodyConfig.parse(args.config))
 
+    if args.set_params:
+        from nbody_tpu.ui import ParamPanel
+
+        panel = ParamPanel.for_compute(compute)
+        for pair in args.set_params.split(","):
+            name, _, value = pair.partition("=")
+            if not value:
+                raise ValueError(f"--set expects NAME=VALUE, got {pair!r}")
+            panel.set(name.strip(), float(value))
+        compute.reset(compute.system.config)  # re-apply scales to the ICs
+        print(panel.render_text())
+
+    if args.print_params:
+        print(compute.active_params.print_values())
+
     status = 0
     if args.benchmark:
         compute.run_benchmark(args.iterations)
@@ -173,31 +215,62 @@ def main(argv=None) -> int:
 
 
 def _run_demo(compute, args) -> int:
-    """Headless demo loop: step, report HUD stats ~1/s, optionally render."""
+    """Headless demo loop: step, report HUD stats ~1/s, optionally render,
+    optionally react to reference key bindings from stdin."""
+    import jax
+
     renderer = None
+    camera = None
+    if args.render or args.interactive:
+        from nbody_tpu.render import Camera
+
+        camera = Camera(origin=compute.active_params.camera_origin)
     if args.render:
-        from nbody_tpu.render import FrameRenderer, Camera
+        from nbody_tpu.render import FrameRenderer
         import pathlib
 
         width, height = (1920, 1080) if args.fullscreen else (args.width, args.height)
-        camera = Camera(origin=compute.active_params.camera_origin)
         renderer = FrameRenderer(width=width, height=height)
         outdir = pathlib.Path(args.outdir)
         outdir.mkdir(parents=True, exist_ok=True)
-    else:
-        camera = None
+        _write_run_metadata(outdir, compute, args, width, height)
+
+    controls = None
+    if args.interactive:
+        from nbody_tpu.ui import Controls
+
+        controls = Controls(compute, camera)
+        print("interactive: space=pause q=quit enter=precision [ ]=demos "
+              "1/2/3=reset c=cycle p=mode o=params w/s=zoom a/e=rotate")
+
+    if not args.no_hud:
+        from nbody_tpu.ui.hud import draw_hud, hud_lines
+
+        dev = jax.devices()[0]
+        device_name = f"{dev.platform}:{dev.device_kind}"
 
     e0 = compute.system.total_energy() if args.energy else None
 
     frames_done = 0
     last_report = time.monotonic()
     frames_since_report = 0
-    while frames_done < args.frames:
+    quit_requested = False
+    while frames_done < args.frames and not quit_requested:
+        if controls is not None:
+            for key in controls.read_keys():
+                if not controls.handle(key):
+                    print("quit")
+                    quit_requested = True
         compute.update_simulation(camera)
-        if renderer is not None:
+        if renderer is not None and (controls is None or controls.display_enabled):
+            mode = controls.display_mode if controls is not None else None
+            kw = {"mode": mode} if mode is not None else {}
             frame = renderer.render(
-                compute.system.state[0], camera, fp64=compute.fp64_enabled
+                compute.system.state[0], camera, fp64=compute.fp64_enabled, **kw
             )
+            if not args.no_hud:
+                show_inter = controls.show_interactions if controls else False
+                draw_hud(frame, hud_lines(compute, device_name, show_inter))
             renderer.write_png(frame, outdir / f"frame_{frames_done:05d}.png")
         frames_done += 1
         frames_since_report += 1
@@ -222,6 +295,27 @@ def _run_demo(compute, args) -> int:
     if renderer is not None:
         print(f"wrote {frames_done} frames to {args.outdir}/")
     return 0
+
+
+def _write_run_metadata(outdir, compute, args, width, height) -> None:
+    """Sidecar metadata for rendered frame sequences (device, params, config)."""
+    import dataclasses
+    import json
+
+    import jax
+
+    dev = jax.devices()[0]
+    meta = {
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "num_bodies": compute.num_bodies,
+        "params": dataclasses.asdict(compute.active_params),
+        "fp64": compute.fp64_enabled,
+        "resolution": [width, height],
+        "seed": args.seed,
+        "config": args.config,
+        "demo": compute.active_demo,
+    }
+    (outdir / "metadata.json").write_text(json.dumps(meta, indent=2))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,18 @@ def read_tipsy_file(path) -> tuple[np.ndarray, np.ndarray]:
     return pos, vel
 
 
+def read_tipsy_file_coordinates(path):
+    """SoA variant (the reference's read_tipsy_file_coordinates,
+    /root/reference/src/nbody/tipsy.cpp:129-197): returns a dict with
+    x/y/z/vx/vy/vz/mass/eps float64 arrays (padded like the AoS reader)."""
+    pos, vel = read_tipsy_file(path)
+    return {
+        "x": pos[:, 0].copy(), "y": pos[:, 1].copy(), "z": pos[:, 2].copy(),
+        "vx": vel[:, 0].copy(), "vy": vel[:, 1].copy(), "vz": vel[:, 2].copy(),
+        "mass": pos[:, 3].copy(), "eps": vel[:, 3].copy(),
+    }
+
+
 def write_tipsy_file(path, pos: np.ndarray, vel: np.ndarray, *, time: float = 0.0, n_dark: int | None = None) -> None:
     """Write state as a tipsy file (dark particles by default). Useful for
     tests and for exporting states consumable by the reference binary."""

@@ -87,7 +87,20 @@ double run_benchmark(std::int64_t n, int iters, T dt, T softening, T damping,
 
     step();  // warm-up (untimed, like the reference)
     const auto t0 = std::chrono::steady_clock::now();
-    for (int k = 0; k < iters; ++k) step();
+    for (int k = 0; k < iters; ++k) {
+#if defined(__x86_64__)
+        // cycles-per-interaction per step, like the reference CPU engine's
+        // rdtsc print (/root/reference/src/nbody/bodysystemcpu.cpp:61-63,302)
+        const auto c0 = __builtin_ia32_rdtsc();
+        step();
+        const auto c1 = __builtin_ia32_rdtsc();
+        std::printf("%.3f cycles per interaction\n",
+                    static_cast<double>(c1 - c0) /
+                        (static_cast<double>(n) * static_cast<double>(n - 1)));
+#else
+        step();
+#endif
+    }
     const auto t1 = std::chrono::steady_clock::now();
     return std::chrono::duration<double, std::milli>(t1 - t0).count();
 }

@@ -152,7 +152,9 @@ class FrameRenderer:
             mode=mode.value,
             chunk=self.chunk,
         )
-        return np.asarray(frame)
+        # writable copy: zero-copy views of device buffers are read-only and
+        # the HUD overlay stamps pixels in place
+        return np.array(frame)
 
     @staticmethod
     def write_png(frame: np.ndarray, path) -> None:

@@ -81,6 +81,63 @@ def test_devices_mesh(capsys):
     assert rc == 0
 
 
+def test_set_params(capsys):
+    rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--set", "softening_factor=0.5,velocity_damping=0.9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "softening_factor" in out
+
+
+def test_set_params_bad_format_exits_2(capsys):
+    rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--set", "softening"])
+    assert rc == 2
+
+
+def test_set_params_unknown_name_exits_2(capsys):
+    rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--set", "warp=9"])
+    assert rc == 2
+
+
+def test_print_params(capsys):
+    rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--print-params"])
+    assert rc == 0
+    assert "{" in capsys.readouterr().out
+
+
+def test_interactive_quit_via_stdin(tmp_path, capsys, monkeypatch):
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("q"))
+    rc = main(["--numbodies", "128", "--frames", "50", "--kernel", "xla",
+               "--no-cycle", "--interactive"])
+    assert rc == 0
+    assert "quit" in capsys.readouterr().out
+
+
+def test_render_writes_metadata_and_hud(tmp_path):
+    rc = main([
+        "--numbodies", "128", "--frames", "1", "--kernel", "xla", "--no-cycle",
+        "--render", "--outdir", str(tmp_path / "f"), "--width", "64",
+        "--height", "48",
+    ])
+    assert rc == 0
+    import json
+
+    meta = json.loads((tmp_path / "f" / "metadata.json").read_text())
+    assert meta["num_bodies"] == 128
+    assert meta["resolution"] == [64, 48]
+
+
+def test_missing_tipsy_file_exits_2(capsys):
+    rc = main(["--tipsy", "/nonexistent/file.bin", "--frames", "1",
+               "--kernel", "xla", "--no-cycle"])
+    assert rc == 2
+
+
 def test_hostmem(capsys):
     rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
                "--no-cycle", "--hostmem"])
