@@ -52,8 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
                    help="multi-device communication strategy")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
-    p.add_argument("--config", choices=["shell", "random", "expand"], default="shell",
-                   help="initial condition")
+    p.add_argument("--config", choices=["shell", "random", "expand", "galaxy"],
+                   default="shell",
+                   help="initial condition (galaxy = synthesized two-disk "
+                        "collision, the tipsy-demo analogue)")
     p.add_argument("--demo", type=int, default=0, help="start at demo preset [0..6]")
     p.add_argument("--frames", type=int, default=120, help="demo frames to simulate")
     p.add_argument("--no-cycle", action="store_true", help="disable 10s demo cycling")
@@ -61,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outdir", type=str, default="frames", help="PNG output directory")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
+    p.add_argument("--camera", type=str, default=None, metavar="X,Y,Z",
+                   help="camera origin override (default: demo preset's)")
+    p.add_argument("--sprite-size", type=float, default=1.0,
+                   help="point sprite size (reference Point Size slider)")
+    p.add_argument("--brightness", type=float, default=0.3,
+                   help="splat additive intensity (source-alpha analogue)")
     p.add_argument("--checkpoint-save", type=str, default=None)
     p.add_argument("--checkpoint-load", type=str, default=None)
     p.add_argument("--energy", action="store_true",
@@ -123,6 +131,14 @@ def _main(argv=None) -> int:
         mesh = make_mesh(args.devices)
 
     tipsy_state = None
+    if args.config == "galaxy" and not (args.tipsy or args.checkpoint_load):
+        from nbody_tpu import ic
+        import numpy as np
+
+        n = args.numbodies or 16384
+        gdt = np.float64 if args.fp64 else np.float32
+        tipsy_state = ic.galaxy_collision(n, seed=args.seed, dtype=gdt)
+
     if args.tipsy:
         from nbody_tpu.io import read_tipsy_file
         import numpy as np
@@ -172,7 +188,7 @@ def _main(argv=None) -> int:
         compute.active_demo = args.demo
         compute.active_params = DEMO_PARAMS[args.demo]
         compute.reset(NBodyConfig.parse(args.config))
-    elif tipsy_state is None and args.config != "shell":
+    elif tipsy_state is None and args.config not in ("shell", "galaxy"):
         compute.reset(NBodyConfig.parse(args.config))
 
     if args.set_params:
@@ -224,7 +240,13 @@ def _run_demo(compute, args) -> int:
     if args.render or args.interactive:
         from nbody_tpu.render import Camera
 
-        camera = Camera(origin=compute.active_params.camera_origin)
+        origin = compute.active_params.camera_origin
+        if args.camera:
+            parts = [float(x) for x in args.camera.split(",")]
+            if len(parts) != 3:
+                raise ValueError("--camera expects X,Y,Z")
+            origin = tuple(parts)
+        camera = Camera(origin=origin)
     if args.render:
         from nbody_tpu.render import FrameRenderer
         import pathlib
@@ -266,7 +288,8 @@ def _run_demo(compute, args) -> int:
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}
             frame = renderer.render(
-                compute.system.state[0], camera, fp64=compute.fp64_enabled, **kw
+                compute.system.state[0], camera, fp64=compute.fp64_enabled,
+                sprite_size=args.sprite_size, brightness=args.brightness, **kw
             )
             if not args.no_hud:
                 show_inter = controls.show_interactions if controls else False

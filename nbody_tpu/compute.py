@@ -21,7 +21,6 @@ from nbody_tpu.oracle import step_best, native_available
 from nbody_tpu.params import (
     DEMO_PARAMS,
     DEMO_TIME_S,
-    NBodyParams,
     flops_per_interaction,
     gflops,
     interactions_per_second,

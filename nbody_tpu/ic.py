@@ -116,3 +116,95 @@ def generate(
         raise ValueError(f"unknown config {config}")
 
     return pos, vel
+
+
+def galaxy_disk(
+    rng: np.random.Generator,
+    num_bodies: int,
+    *,
+    radius: float = 3.0,
+    thickness: float = 0.15,
+    bulge_fraction: float = 0.2,
+    total_mass: float = 1.0,
+    softening: float = 0.1,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """A rotationally supported disk galaxy: exponential-ish disk + central
+    bulge, bodies on near-circular orbits of the enclosed mass.
+
+    The reference's galaxy demos come from external Tipsy snapshots
+    (/root/reference/src/nbody/tipsy.cpp); this synthesizes comparable
+    initial conditions natively so the demo/config[4] path needs no data
+    files. Masses sum to total_mass.
+    """
+    n = int(num_bodies)
+    n_bulge = int(n * bulge_fraction)
+    n_disk = n - n_bulge
+
+    # disk: surface density ~ exp(-r / (radius/3))
+    r = rng.exponential(scale=radius / 3.0, size=n_disk)
+    r = np.clip(r, 0.05 * radius, radius)
+    theta = rng.uniform(0, 2 * np.pi, size=n_disk)
+    z = rng.normal(scale=thickness, size=n_disk)
+    disk = np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
+
+    # bulge: small isotropic ball
+    bulge = _uniform_ball(rng, n_bulge, np.float64) * (0.25 * radius)
+
+    p3 = np.concatenate([disk, bulge], axis=0)
+    mass = np.full(n, total_mass / n)
+
+    # circular velocity from enclosed mass (softened)
+    rr = np.linalg.norm(p3[:, :2], axis=1)
+    order = np.argsort(np.linalg.norm(p3, axis=1))
+    enclosed = np.empty(n)
+    enclosed[order] = np.cumsum(mass[order])
+    v_circ = np.sqrt(enclosed * rr * rr / (rr * rr + softening**2) ** 1.5 + 1e-12)
+    # tangential direction in the disk plane
+    tx, ty = -p3[:, 1], p3[:, 0]
+    tn = np.sqrt(tx * tx + ty * ty) + 1e-12
+    v3 = np.stack([tx / tn * v_circ, ty / tn * v_circ, np.zeros(n)], axis=1)
+
+    pos = np.zeros((n, 4), dtype=dtype)
+    vel = np.zeros((n, 4), dtype=dtype)
+    pos[:, :3] = p3
+    pos[:, 3] = mass
+    vel[:, :3] = v3
+    return pos, vel
+
+
+def galaxy_collision(
+    num_bodies: int,
+    *,
+    separation: float = 8.0,
+    approach_speed: float = 0.15,
+    seed: int = 42,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two disk galaxies on a collision course — the classic interactive demo.
+
+    Returns AoS (N, 4) pos/vel; N is split between the two galaxies.
+    """
+    rng = np.random.default_rng(seed)
+    n1 = num_bodies // 2
+    n2 = num_bodies - n1
+    g1_pos, g1_vel = galaxy_disk(rng, n1, dtype=dtype)
+    g2_pos, g2_vel = galaxy_disk(rng, n2, radius=2.0, dtype=dtype)
+
+    # tilt the second galaxy and offset both
+    c, s = np.cos(0.6), np.sin(0.6)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype=np.float64)
+    g2_pos[:, :3] = g2_pos[:, :3] @ rot.T
+    g2_vel[:, :3] = g2_vel[:, :3] @ rot.T
+
+    g1_pos[:, 0] -= separation / 2
+    g2_pos[:, 0] += separation / 2
+    g1_vel[:, 0] += approach_speed
+    g2_vel[:, 0] -= approach_speed
+    # slight transverse offset for an off-center (angular-momentum) encounter
+    g1_pos[:, 1] -= 0.5
+    g2_pos[:, 1] += 0.5
+
+    pos = np.concatenate([g1_pos, g2_pos], axis=0).astype(dtype)
+    vel = np.concatenate([g1_vel, g2_vel], axis=0).astype(dtype)
+    return pos, vel

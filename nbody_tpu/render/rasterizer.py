@@ -45,7 +45,8 @@ class DisplayMode(enum.Enum):
     jax.jit,
     static_argnames=("width", "height", "splat", "mode", "chunk"),
 )
-def _raster(pos, mv, proj, sprite_size, tint, *, width, height, splat, mode, chunk):
+def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
+            width, height, splat, mode, chunk):
     n = pos.shape[0]
     k = splat
     p3 = pos[:, :3].astype(jnp.float32)
@@ -89,7 +90,7 @@ def _raster(pos, mv, proj, sprite_size, tint, *, width, height, splat, mode, chu
         d = jnp.sqrt(dx * dx + dy * dy)
         d = jnp.minimum(d, 1.0)
         w = 2 * d**3 - 3 * d**2 + 1  # Hermite splat
-        w = w * valid_c[:, None, None]
+        w = w * valid_c[:, None, None] * brightness
         pxi = jnp.broadcast_to(px, (m, k, k)).astype(jnp.int32).reshape(-1)
         pyi = jnp.broadcast_to(py, (m, k, k)).astype(jnp.int32).reshape(-1)
         contrib = w.reshape(-1, 1) * jnp.repeat(rgb_c, k * k, axis=0)
@@ -136,8 +137,12 @@ class FrameRenderer:
         fp64: bool = False,
         mode: DisplayMode = DisplayMode.SPRITES_COLOR,
         sprite_size: float = 1.0,
+        brightness: float = 0.3,
     ) -> np.ndarray:
-        """Rasterize positions (N, 4) into an (H, W, 3) uint8 frame."""
+        """Rasterize positions (N, 4) into an (H, W, 3) uint8 frame.
+
+        brightness scales each splat's additive contribution (the GL path's
+        source-alpha analogue) so dense cores don't immediately saturate."""
         mv = camera.view_matrix() if camera is not None else np.eye(4, dtype=np.float32)
         tint = jnp.asarray(FP64_TINT if fp64 else FP32_TINT, jnp.float32)
         frame = _raster(
@@ -146,6 +151,7 @@ class FrameRenderer:
             jnp.asarray(self.proj),
             jnp.float32(sprite_size),
             tint,
+            jnp.float32(brightness),
             width=self.width,
             height=self.height,
             splat=self.splat,

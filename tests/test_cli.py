@@ -1,7 +1,6 @@
 """CLI end-to-end tests (in-process main())."""
 
 import numpy as np
-import pytest
 
 from nbody_tpu.cli import main
 

@@ -8,7 +8,6 @@ the comparison is device-vs-oracle, not drift-vs-zero).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nbody_tpu import NBodyConfig, ic
 from nbody_tpu.ops.energy import kinetic_energy, potential_energy, total_energy

@@ -70,6 +70,34 @@ def test_expand_scale_fallback_small_n():
     assert r.max() <= cs * (1 + 1e-6)
 
 
+def test_galaxy_collision_structure():
+    pos, vel = ic.galaxy_collision(2000, seed=4)
+    assert pos.shape == (2000, 4) and vel.shape == (2000, 4)
+    # total mass normalized per galaxy
+    assert abs(pos[:, 3].sum() - 2.0) < 1e-3
+    # two clusters separated along x
+    left = pos[pos[:, 0] < 0]
+    right = pos[pos[:, 0] > 0]
+    assert len(left) > 500 and len(right) > 500
+    # approaching each other
+    assert vel[pos[:, 0] < -2, 0].mean() > 0
+    assert vel[pos[:, 0] > 2, 0].mean() < 0
+
+
+def test_galaxy_disk_rotation():
+    rng = np.random.default_rng(0)
+    pos, vel = ic.galaxy_disk(rng, 1000)
+    # angular momentum about z should be strongly one-signed (rotation)
+    lz = pos[:, 0] * vel[:, 1] - pos[:, 1] * vel[:, 0]
+    assert (lz > 0).mean() > 0.95
+
+
+def test_galaxy_deterministic():
+    a = ic.galaxy_collision(512, seed=9)
+    b = ic.galaxy_collision(512, seed=9)
+    np.testing.assert_array_equal(a[0], b[0])
+
+
 def test_fp64_dtype():
     pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.0, 1.0, seed=1, dtype=np.float64)
     assert pos.dtype == np.float64 and vel.dtype == np.float64
