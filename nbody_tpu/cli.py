@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-load", type=str, default=None)
     p.add_argument("--energy", action="store_true",
                    help="report total-energy drift over the run")
+    p.add_argument("--drift-check", type=int, default=None, metavar="STEPS",
+                   help="compare energy drift over STEPS vs the CPU oracle "
+                        "and exit (BASELINE fp64 energy-drift config)")
     p.add_argument("--interactive", action="store_true",
                    help="read reference key bindings from stdin during the "
                         "demo loop (space=pause, [ ]=demos, 1/2/3=reset, "
@@ -86,6 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the HUD overlay on rendered frames")
     p.add_argument("--print-params", action="store_true",
                    help="print the active parameter set (reference 'o' key)")
+    p.add_argument("--metrics", type=str, default=None, metavar="PATH",
+                   help="append per-report perf metrics as JSON lines")
     p.add_argument("--version", action="store_true")
     return p
 
@@ -207,8 +212,15 @@ def _main(argv=None) -> int:
         print(compute.active_params.print_values())
 
     status = 0
-    if args.benchmark:
-        compute.run_benchmark(args.iterations)
+    if args.drift_check is not None:
+        compute.drift_check(args.drift_check)
+    elif args.benchmark:
+        result = compute.run_benchmark(args.iterations)
+        if args.metrics:
+            import json
+
+            with open(args.metrics, "a") as f:
+                f.write(json.dumps(result) + "\n")
     elif args.compare or args.qatest:
         passed = compute.compare_results()
         status = 0 if passed else 1
@@ -307,6 +319,18 @@ def _run_demo(compute, args) -> int:
                 f"{compute.fps:.1f} fps | {compute.interactions_per_second:.2f} "
                 f"G interactions/s | {compute.g_flops:.1f} GFLOP/s ({precision})"
             )
+            if args.metrics:
+                import json
+
+                with open(args.metrics, "a") as f:
+                    f.write(json.dumps({
+                        "frame": frames_done,
+                        "demo": compute.active_demo,
+                        "fps": compute.fps,
+                        "gflops": compute.g_flops,
+                        "interactions_per_second_e9": compute.interactions_per_second,
+                        "fp64": compute.fp64_enabled,
+                    }) + "\n")
             last_report = now
             frames_since_report = 0
 

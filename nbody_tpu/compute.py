@@ -194,6 +194,49 @@ class Compute:
             f"{flops_per_interaction(self.fp64_enabled)} flops per interaction"
         )
 
+    def drift_check(self, steps: int) -> dict:
+        """Energy-drift comparison: run `steps` at the active dt on the
+        device AND on the CPU oracle from identical state; report both
+        relative drifts and their difference (BASELINE config[2] criterion:
+        device drift matches the CPU reference's drift)."""
+        import jax.numpy as jnp
+
+        from nbody_tpu.ops.energy import total_energy
+
+        p = self.active_params
+        pos0 = self.system.positions
+        vel0 = self.system.velocities
+        soft = p.softening
+        e0 = float(total_energy(jnp.asarray(pos0), jnp.asarray(vel0), soft))
+
+        self.system.update_many(steps, p.time_step)
+        self.system.hard_sync()
+        e_dev = float(total_energy(
+            jnp.asarray(self.system.positions),
+            jnp.asarray(self.system.velocities), soft,
+        ))
+
+        op, ov = pos0, vel0
+        for _ in range(steps):
+            op, ov = step_best(op, ov, p.time_step, soft, p.damping)
+        e_ora = float(total_energy(jnp.asarray(op), jnp.asarray(ov), soft))
+
+        drift_dev = (e_dev - e0) / abs(e0) if e0 else 0.0
+        drift_ora = (e_ora - e0) / abs(e0) if e0 else 0.0
+        oracle = "native C++" if native_available() else "NumPy"
+        self.log(
+            f"energy drift over {steps} steps (dt={p.time_step}): "
+            f"device {drift_dev:.3e} | {oracle} oracle {drift_ora:.3e} | "
+            f"delta {abs(drift_dev - drift_ora):.3e}"
+        )
+        self.system.set_state(pos0, vel0)
+        return {
+            "steps": steps,
+            "drift_device": drift_dev,
+            "drift_oracle": drift_ora,
+            "delta": abs(drift_dev - drift_ora),
+        }
+
     # ---- QA compare (the reference's --compare/--qatest) ----
 
     def compare_results(self, tolerance: float = QA_TOLERANCE) -> bool:

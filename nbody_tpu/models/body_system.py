@@ -26,6 +26,7 @@ A ``jax.sharding.Mesh`` switches stepping to the body-sharded multi-chip path.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -246,7 +247,9 @@ class BodySystem:
             return cached
         step = self._step_fn()
 
-        @jax.jit
+        # donated buffers: the functional equivalent of the reference's
+        # ping-pong position buffers — the rollout updates state in place
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run(pos, vel, dt, soft, damp):
             def body(state, _):
                 p, v = state

@@ -33,6 +33,7 @@ class Controls:
         self.display_enabled = True
         self.show_sliders = False
         self.show_interactions = False  # g: report interactions/s vs GFLOP/s
+        self.panel = None  # created on first backquote
 
     def handle(self, key: str) -> bool:
         """Apply one keypress; returns False if the loop should quit."""
@@ -46,6 +47,24 @@ class Controls:
             self.log(f"precision: {'fp64' if c.fp64_enabled else 'fp32'}")
         elif key == "`":
             self.show_sliders = not self.show_sliders
+            if self.show_sliders:
+                if self.panel is None:
+                    from nbody_tpu.ui.params_panel import ParamPanel
+
+                    self.panel = ParamPanel.for_compute(c)
+                self.log(self.panel.render_text())
+        # slider navigation while the panel is shown (the reference's GL
+        # panel arrow keys): j/k = next/previous, h/l = decrease/increase
+        elif self.show_sliders and key in "jkhl":
+            if key == "j":
+                self.panel.select_next()
+            elif key == "k":
+                self.panel.select_previous()
+            elif key == "h":
+                self.panel.adjust_selected(-1)
+            else:
+                self.panel.adjust_selected(+1)
+            self.log(self.panel.render_text())
         elif key == "g":
             self.show_interactions = not self.show_interactions
         elif key == "p":
