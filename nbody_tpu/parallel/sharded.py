@@ -61,8 +61,10 @@ def make_sharded_step(
     """
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if strategy not in ("allgather", "ring"):
+    if strategy not in ("allgather", "ring", "ring_fused"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "ring_fused" and kernel != "pallas":
+        raise ValueError("strategy='ring_fused' is a Pallas kernel; use kernel='pallas'")
     ndev = mesh.shape[axis]
 
     def step_vs(pos_sh, vel_sh, pos_j, dt, soft, damp):
@@ -101,7 +103,20 @@ def make_sharded_step(
         (_, acc), _ = jax.lax.scan(hop, (pos_sh, acc0), None, length=ndev)
         return integrate(pos_sh, vel_sh, acc, dt, damp)
 
-    local = local_allgather if strategy == "allgather" else local_ring
+    def local_ring_fused(pos_sh, vel_sh, dt, soft, damp):
+        from nbody_tpu.ops.ring_kernel import ring_accel_fused
+
+        acc = ring_accel_fused(
+            pos_sh, soft, axis=axis, ndev=ndev, tile_i=tile_i,
+            interpret=interpret,
+        )
+        return integrate(pos_sh, vel_sh, acc, dt, damp)
+
+    local = {
+        "allgather": local_allgather,
+        "ring": local_ring,
+        "ring_fused": local_ring_fused,
+    }[strategy]
 
     sharded = jax.shard_map(
         local,
