@@ -45,8 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--tile-j", type=int, default=1024, help="j-stream tile width")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
-    p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16"], default="vpu",
-                   help="pallas kernel variant (mxu offloads the force reduction)")
+    p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
+                   default="vpu",
+                   help="pallas kernel variant (mxu offloads the force "
+                        "reduction; auto = autotuner cache, see nbody-tune)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
@@ -58,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "collision, the tipsy-demo analogue)")
     p.add_argument("--demo", type=int, default=0, help="start at demo preset [0..6]")
     p.add_argument("--frames", type=int, default=120, help="demo frames to simulate")
+    p.add_argument("--steps-per-frame", type=int, default=1,
+                   help="simulation steps per rendered frame (scan-fused)")
     p.add_argument("--no-cycle", action="store_true", help="disable 10s demo cycling")
     p.add_argument("--render", action="store_true", help="write PNG frames (demo mode)")
     p.add_argument("--outdir", type=str, default="frames", help="PNG output directory")
@@ -296,6 +300,10 @@ def _run_demo(compute, args) -> int:
                     print("quit")
                     quit_requested = True
         compute.update_simulation(camera)
+        if args.steps_per_frame > 1 and not compute.paused:
+            compute.system.update_many(
+                args.steps_per_frame - 1, compute.active_params.time_step
+            )
         if renderer is not None and (controls is None or controls.display_enabled):
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}

@@ -118,6 +118,21 @@ class BodySystem:
         # block-size multiple, /root/reference/src/nbody/compute_cuda.cpp:103-107)
         self.num_bodies = _round_up(int(num_bodies), ndev)
 
+        if variant == "auto":
+            # use the autotuner's cached winner for this chip/N if present
+            resolved = None
+            if backend == "pallas" and _default_backend_is_tpu():
+                from nbody_tpu.tune import best_config
+
+                resolved = best_config(self.num_bodies)
+            if resolved:
+                variant = resolved["variant"]
+                self.tile_i = tile_i = resolved["tile_i"]
+                self.tile_j = tile_j = resolved["tile_j"]
+            else:
+                variant = "vpu"
+            self.variant = variant
+
         self._rollout_cache: dict = {}
         self._sharded_step = None
         if mesh is not None:

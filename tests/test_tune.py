@@ -1,0 +1,54 @@
+"""Auto-tuner tests (cache plumbing; real sweeps need an accelerator)."""
+
+import json
+
+import pytest
+
+from nbody_tpu import tune
+
+
+@pytest.fixture(autouse=True)
+def fake_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    return tmp_path
+
+
+def test_bucket_rounds_to_power_of_two():
+    assert tune._bucket(65536) == "65536"
+    assert tune._bucket(65537) == "131072"
+    assert tune._bucket(1000) == "1024"
+
+
+def test_best_config_roundtrip(tmp_path):
+    path = tune._cache_path()
+    path.parent.mkdir(parents=True)
+    entry = {"variant": "mxu_bf16", "tile_i": 1024, "tile_j": 8192,
+             "g_interactions_per_s": 205.0}
+    path.write_text(json.dumps({tune._key(): {"65536": entry}}))
+    assert tune.best_config(65536) == entry
+    assert tune.best_config(50000) == entry  # same bucket
+    assert tune.best_config(200000) is None
+
+
+def test_best_config_empty_cache():
+    assert tune.best_config(65536) is None
+
+
+def test_autotune_requires_accelerator():
+    with pytest.raises(RuntimeError, match="accelerator"):
+        tune.autotune(1024)
+
+
+def test_auto_variant_falls_back_to_vpu_on_cpu():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    s = BodySystem(128, NBodyParams(), backend="xla", variant="auto", seed=0)
+    assert s.variant == "vpu"
+
+
+def test_corrupt_cache_ignored(tmp_path):
+    path = tune._cache_path()
+    path.parent.mkdir(parents=True)
+    path.write_text("{not json")
+    assert tune.best_config(65536) is None
