@@ -35,6 +35,21 @@ __all__ = [
     "flops_per_interaction",
     "tuned_scales",
     "ic",
+    "Compute",
+    "BodySystem",
 ]
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy heavyweight exports (pull in device backends only on use)
+    if name == "Compute":
+        from nbody_tpu.compute import Compute
+
+        return Compute
+    if name == "BodySystem":
+        from nbody_tpu.models import BodySystem
+
+        return BodySystem
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

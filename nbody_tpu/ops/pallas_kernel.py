@@ -104,43 +104,51 @@ def _step_kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
         npos_ref[:, 3:4] = posi_ref[:, 3:4]
 
 
-def _mxu_accumulate_tile(posi_ref, post_ref, posj4_ref, eps2, acc4_ref,
+def _mxu_accumulate_tile(posi_ref, post_ref, eps2, acc4_ref,
                          tile_j, mxu_dtype):
     """MXU-hybrid partial-force accumulation for one (TILE_I, TILE_J) block.
 
     The VPU computes only the softened inverse-cube S = rsqrt(r2)^3; the
     reduction sum_j S[i,j] * [m_j*x_j, m_j*y_j, m_j*z_j, m_j] is a matmul on
-    the (otherwise idle) MXU, with the j-body mass folded into the matrix
-    outside the kernel. The final acceleration is then
+    the (otherwise idle) MXU. The mass-folded (128, 4) matmul operand is
+    derived per chunk from the transposed j-tile (a tiny fold + transpose):
+    carrying it as a separate (TILE_J, 4) input would lane-pad 32x in VMEM
+    and cap the j-tile size. The final acceleration is
     a_i = SP[:, :3] - p_i * SP[:, 3], computed at the last grid step.
     Cuts the VPU work per interaction by ~40% vs the pure-VPU kernel.
     """
     xi = posi_ref[:, 0:1]
     yi = posi_ref[:, 1:2]
     zi = posi_ref[:, 2:3]
+    # HIGHEST forces multi-pass bf16 (near-f32) when inputs are f32; the
+    # bf16 variant runs single-pass at full MXU rate
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if mxu_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     for k in range(tile_j // LANES):
         sl = slice(k * LANES, (k + 1) * LANES)
-        dx = post_ref[0:1, sl] - xi  # (TILE_I, 128)
-        dy = post_ref[1:2, sl] - yi
-        dz = post_ref[2:3, sl] - zi
+        xj = post_ref[0:1, sl]
+        yj = post_ref[1:2, sl]
+        zj = post_ref[2:3, sl]
+        mj = post_ref[3:4, sl]
+        dx = xj - xi  # (TILE_I, 128)
+        dy = yj - yi
+        dz = zj - zi
         r2 = dx * dx + dy * dy + dz * dz + eps2
         inv = jax.lax.rsqrt(r2)
         s = (inv * inv * inv).astype(mxu_dtype)
-        # HIGHEST forces multi-pass bf16 (near-f32) when inputs are f32; the
-        # bf16 variant runs single-pass at full MXU rate
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if mxu_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
+        folded = jnp.concatenate([xj * mj, yj * mj, zj * mj, mj], axis=0)
+        pj4 = folded.T.astype(mxu_dtype)  # (128, 4)
         acc4_ref[:] += jnp.dot(
-            s, posj4_ref[sl, :].astype(mxu_dtype),
+            s, pj4,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
 
 
-def _mxu_step_kernel(scal_ref, posi_ref, veli_ref, post_ref, posj4_ref,
+def _mxu_step_kernel(scal_ref, posi_ref, veli_ref, post_ref,
                      npos_ref, nvel_ref, acc4_ref, *, tile_j: int, mxu_dtype):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -149,7 +157,7 @@ def _mxu_step_kernel(scal_ref, posi_ref, veli_ref, post_ref, posj4_ref,
     def _zero():
         acc4_ref[:] = jnp.zeros_like(acc4_ref)
 
-    _mxu_accumulate_tile(posi_ref, post_ref, posj4_ref, scal_ref[0, 1],
+    _mxu_accumulate_tile(posi_ref, post_ref, scal_ref[0, 1],
                          acc4_ref, tile_j, mxu_dtype)
 
     @pl.when(j == nj - 1)
@@ -300,28 +308,28 @@ def nbody_step_pallas_vs(
             out_specs=[specs["i_tile"], specs["i_tile"]],
             out_shape=out_shape,
             scratch_shapes=_scratch(tile_i),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
             cost_estimate=cost,
             interpret=interpret,
         )(_scal(dt, softening, damping), pos_p, vel_p, post)
     else:
         mxu_dtype = jnp.bfloat16 if variant == "mxu_bf16" else jnp.float32
-        # j-side matrix with mass folded in: [m*x, m*y, m*z, m]
-        posj4 = post[:3, :].T * post[3, :][:, None]
-        posj4 = jnp.concatenate([posj4, post[3, :][:, None]], axis=1)
-        j4_spec = pl.BlockSpec(
-            (tile_j, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM
-        )
         new_pos, new_vel = pl.pallas_call(
             functools.partial(_mxu_step_kernel, tile_j=tile_j, mxu_dtype=mxu_dtype),
             grid=grid,
             in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"],
-                      specs["j_tile"], j4_spec],
+                      specs["j_tile"]],
             out_specs=[specs["i_tile"], specs["i_tile"]],
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((tile_i, 4), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
             cost_estimate=cost,
             interpret=interpret,
-        )(_scal(dt, softening, damping), pos_p, vel_p, post, posj4)
+        )(_scal(dt, softening, damping), pos_p, vel_p, post)
 
     return new_pos[:m], new_vel[:m]
 
@@ -356,6 +364,9 @@ def compute_accel_pallas(
         out_specs=specs["i_tile"],
         out_shape=jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
         scratch_shapes=_scratch(tile_i),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=20 * m_pad * n_pad,
             bytes_accessed=(m_pad // tile_i + 2) * n_pad * 16,
