@@ -59,9 +59,25 @@ assert _DARK_DTYPE.itemsize == 36
 assert _STAR_DTYPE.itemsize == 44
 
 
-def read_tipsy_file(path) -> tuple[np.ndarray, np.ndarray]:
+def read_tipsy_file(path, *, native: bool | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Read a tipsy file into AoS (N, 4) float64 pos [x,y,z,mass] and vel
-    [vx,vy,vz,eps], N padded up to a multiple of 256 with zero-mass bodies."""
+    [vx,vy,vz,eps], N padded up to a multiple of 256 with zero-mass bodies.
+
+    Uses the native C++ loader when built (like the reference's C++ reader);
+    native=False forces the NumPy path (used to cross-check the two)."""
+    if native is None:
+        import os
+
+        native = not os.environ.get("NBODY_TIPSY_NUMPY")
+    if native:
+        from nbody_tpu.oracle.native import native_available, read_tipsy_native
+
+        if native_available():
+            return read_tipsy_native(path)
+    return _read_tipsy_numpy(path)
+
+
+def _read_tipsy_numpy(path) -> tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         header = np.frombuffer(f.read(_DUMP_DTYPE.itemsize), dtype=_DUMP_DTYPE)[0]
         n_total = int(header["nbodies"])

@@ -21,8 +21,11 @@ CLI = HERE / "_nbody_cli"
 _FLAGS = ["-O3", "-march=native", "-fopenmp", "-std=c++17"]
 
 
+IO_SRC = HERE / "nbody_io.cpp"
+
+
 def build(verbose: bool = True) -> pathlib.Path:
-    cmd = ["g++", *_FLAGS, "-shared", "-fPIC", str(SRC), "-o", str(LIB)]
+    cmd = ["g++", *_FLAGS, "-shared", "-fPIC", str(SRC), str(IO_SRC), "-o", str(LIB)]
     if verbose:
         print("+", " ".join(cmd))
     subprocess.run(cmd, check=True)

@@ -44,6 +44,11 @@ def _load() -> Optional[ctypes.CDLL]:
         getattr(lib, f"nbody_step_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct]
         getattr(lib, f"nbody_rollout_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct, i64]
     lib.nbody_oracle_num_threads.restype = ctypes.c_int
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.nbody_tipsy_count.argtypes = [ctypes.c_char_p]
+    lib.nbody_tipsy_count.restype = i64
+    lib.nbody_tipsy_read.argtypes = [ctypes.c_char_p, dptr, dptr]
+    lib.nbody_tipsy_read.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -96,3 +101,23 @@ def step(pos, vel, dt, softening, damping):
     if native_available():
         return step_native(pos, vel, dt, softening, damping)
     return step_numpy(pos, vel, dt, softening, damping)
+
+
+def read_tipsy_native(path):
+    """Native tipsy loader; returns (pos, vel) float64 AoS, padded to 256,
+    or raises ValueError. Caller ensures native_available()."""
+    lib = _load()
+    assert lib is not None
+    encoded = str(path).encode()
+    n = lib.nbody_tipsy_count(encoded)
+    if n < 0:
+        raise ValueError(f"cannot read tipsy file {path}")
+    pos = np.zeros((n, 4), dtype=np.float64)
+    vel = np.zeros((n, 4), dtype=np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    rc = lib.nbody_tipsy_read(
+        encoded, pos.ctypes.data_as(dptr), vel.ctypes.data_as(dptr)
+    )
+    if rc != 0:
+        raise ValueError(f"tipsy read failed for {path} (code {rc})")
+    return pos, vel

@@ -41,6 +41,33 @@ def test_tipsy_dark_and_star_records(tmp_path):
     np.testing.assert_allclose(rpos[:n], pos.astype(np.float32), rtol=1e-6)
 
 
+def test_tipsy_native_matches_numpy(tmp_path):
+    """The C++ loader and the NumPy loader must agree byte-for-byte."""
+    from nbody_tpu.oracle import native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    n = 300
+    pos = rng.normal(size=(n, 4)).astype(np.float64)
+    vel = rng.normal(size=(n, 4)).astype(np.float64)
+    path = tmp_path / "x.tipsy"
+    write_tipsy_file(path, pos, vel, n_dark=120)
+    p_nat, v_nat = read_tipsy_file(path, native=True)
+    p_np, v_np = read_tipsy_file(path, native=False)
+    np.testing.assert_array_equal(p_nat, p_np)
+    np.testing.assert_array_equal(v_nat, v_np)
+
+
+def test_tipsy_native_missing_file():
+    from nbody_tpu.oracle import native_available
+
+    if not native_available():
+        pytest.skip("native library not built")
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_tipsy_file("/nonexistent/file.tipsy", native=True)
+
+
 def test_tipsy_corrupt_header(tmp_path):
     path = tmp_path / "bad.tipsy"
     path.write_bytes(b"\x00" * 32)
