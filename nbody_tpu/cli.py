@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="simulation steps per rendered frame (scan-fused)")
     p.add_argument("--no-cycle", action="store_true", help="disable 10s demo cycling")
     p.add_argument("--render", action="store_true", help="write PNG frames (demo mode)")
+    p.add_argument("--animate", type=str, default=None, metavar="OUT.png",
+                   help="write the demo as a single animated PNG (APNG)")
     p.add_argument("--outdir", type=str, default="frames", help="PNG output directory")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
@@ -253,7 +255,8 @@ def _run_demo(compute, args) -> int:
 
     renderer = None
     camera = None
-    if args.render or args.interactive:
+    want_frames = args.render or args.animate
+    if want_frames or args.interactive:
         from nbody_tpu.render import Camera
 
         origin = compute.active_params.camera_origin
@@ -263,15 +266,17 @@ def _run_demo(compute, args) -> int:
                 raise ValueError("--camera expects X,Y,Z")
             origin = tuple(parts)
         camera = Camera(origin=origin)
-    if args.render:
+    if want_frames:
         from nbody_tpu.render import FrameRenderer
         import pathlib
 
         width, height = (1920, 1080) if args.fullscreen else (args.width, args.height)
         renderer = FrameRenderer(width=width, height=height)
-        outdir = pathlib.Path(args.outdir)
-        outdir.mkdir(parents=True, exist_ok=True)
-        _write_run_metadata(outdir, compute, args, width, height)
+        if args.render:
+            outdir = pathlib.Path(args.outdir)
+            outdir.mkdir(parents=True, exist_ok=True)
+            _write_run_metadata(outdir, compute, args, width, height)
+    anim_frames = [] if args.animate else None
 
     controls = None
     if args.interactive:
@@ -314,7 +319,10 @@ def _run_demo(compute, args) -> int:
             if not args.no_hud:
                 show_inter = controls.show_interactions if controls else False
                 draw_hud(frame, hud_lines(compute, device_name, show_inter))
-            renderer.write_png(frame, outdir / f"frame_{frames_done:05d}.png")
+            if args.render:
+                renderer.write_png(frame, outdir / f"frame_{frames_done:05d}.png")
+            if anim_frames is not None:
+                anim_frames.append(frame)
         frames_done += 1
         frames_since_report += 1
         now = time.monotonic()
@@ -347,8 +355,13 @@ def _run_demo(compute, args) -> int:
         e1 = compute.system.total_energy()
         drift = (e1 - e0) / abs(e0) if e0 else 0.0
         print(f"energy: E0={e0:.6g} E1={e1:.6g} relative drift={drift:.3e}")
-    if renderer is not None:
+    if args.render:
         print(f"wrote {frames_done} frames to {args.outdir}/")
+    if anim_frames is not None and anim_frames:
+        from nbody_tpu.io.apng import write_apng
+
+        write_apng(anim_frames, args.animate, fps=30)
+        print(f"wrote {len(anim_frames)}-frame animation to {args.animate}")
     return 0
 
 

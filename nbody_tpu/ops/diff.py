@@ -1,0 +1,58 @@
+"""Differentiable N-body stepping.
+
+The reference has no gradients (CUDA demo); a JAX-native framework should.
+The XLA step (`ops.reference`) is differentiable for free; the Pallas kernel
+is not, so `nbody_step_diff` pairs them with `jax.custom_vjp`: the forward
+pass runs the fast fused kernel (on TPU), the backward pass recomputes
+through the mathematically identical XLA step and differentiates that —
+standard recompute-for-backward, trading one extra O(N^2) pass for not
+hand-deriving the Hessian-vector products of the softened potential.
+
+Gradients flow to positions, velocities, dt, softening, and damping — enough
+to optimize initial conditions or fit physical parameters to trajectories.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+from nbody_tpu.ops.reference import nbody_step_xla
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def nbody_step_diff(pos, vel, dt, softening, damping, config=()):
+    """One differentiable step; config is a static dict-as-tuple of kernel
+    options, e.g. (("tile_i", 256), ("variant", "vpu"))."""
+    kw = dict(config)
+    if _on_tpu() and pos.dtype == jax.numpy.float32:
+        return nbody_step_pallas(pos, vel, dt, softening, damping, **kw)
+    return nbody_step_xla(pos, vel, dt, softening, damping)
+
+
+def _fwd(pos, vel, dt, softening, damping, config):
+    out = nbody_step_diff(pos, vel, dt, softening, damping, config)
+    return out, (pos, vel, dt, softening, damping)
+
+
+def _bwd(config, residuals, cotangents):
+    pos, vel, dt, softening, damping = residuals
+    import jax.numpy as jnp
+
+    dt = jnp.asarray(dt, pos.dtype)
+    softening = jnp.asarray(softening, pos.dtype)
+    damping = jnp.asarray(damping, pos.dtype)
+    _, vjp = jax.vjp(nbody_step_xla, pos, vel, dt, softening, damping)
+    return vjp(cotangents)
+
+
+nbody_step_diff.defvjp(_fwd, _bwd)

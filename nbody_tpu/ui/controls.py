@@ -43,8 +43,12 @@ class Controls:
         elif key == " ":
             c.pause()
         elif key in ("\r", "\n"):
-            c.switch_precision()
-            self.log(f"precision: {'fp64' if c.fp64_enabled else 'fp32'}")
+            try:
+                c.switch_precision()
+                self.log(f"precision: {'fp64' if c.fp64_enabled else 'fp32'}")
+            except ValueError as e:
+                # e.g. fp64 without x64 enabled — report, don't kill the loop
+                self.log(f"precision switch unavailable: {e}")
         elif key == "`":
             self.show_sliders = not self.show_sliders
             if self.show_sliders:
