@@ -56,3 +56,22 @@ def _bwd(config, residuals, cotangents):
 
 
 nbody_step_diff.defvjp(_fwd, _bwd)
+
+
+def rollout_diff(pos, vel, dt, softening, damping, *, steps: int, config=()):
+    """Differentiable `steps`-step rollout with per-step rematerialization.
+
+    ``jax.checkpoint`` around each step keeps backward memory O(state)
+    instead of O(steps * state): residuals are recomputed on the backward
+    sweep — the standard trade of FLOPs for HBM on long trajectories.
+    """
+    step = jax.checkpoint(
+        lambda p, v: nbody_step_diff(p, v, dt, softening, damping, config)
+    )
+
+    def body(state, _):
+        p, v = state
+        return step(p, v), None
+
+    (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
+    return pos, vel

@@ -59,6 +59,26 @@ def test_grad_matches_finite_difference():
     np.testing.assert_allclose(g, fd, rtol=0.1)
 
 
+def test_remat_rollout_grad_matches_loop():
+    from nbody_tpu.ops.diff import rollout_diff
+
+    pos, vel = _state(32)
+
+    def loss_rollout(p0):
+        p, _ = rollout_diff(p0, vel, DT, SOFT, 1.0, steps=3)
+        return jnp.sum(p[:, :3] ** 2)
+
+    def loss_loop(p0):
+        p, v = p0, vel
+        for _ in range(3):
+            p, v = nbody_step_diff(p, v, DT, SOFT, 1.0)
+        return jnp.sum(p[:, :3] ** 2)
+
+    g1 = np.asarray(jax.grad(loss_rollout)(pos))
+    g2 = np.asarray(jax.grad(loss_loop)(pos))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
 def test_grad_wrt_positions_through_rollout():
     pos, vel = _state(32)
 
