@@ -121,7 +121,7 @@ def _main(argv=None) -> int:
     if args.version:
         import nbody_tpu
 
-        print(f"nbody_tpu {nbody_tpu.__version__}")
+        print(f"nbody_tpu {nbody_tpu.__version__} ({_git_commit_id()})")
         return 0
 
     import jax
@@ -363,6 +363,25 @@ def _run_demo(compute, args) -> int:
         write_apng(anim_frames, args.animate, fps=30)
         print(f"wrote {len(anim_frames)}-frame animation to {args.animate}")
     return 0
+
+
+def _git_commit_id() -> str:
+    """Version stamping (the reference generates git_commit_id.hpp at build
+    time, /root/reference/cmake/include-git-commit-id.cmake:4-23)."""
+    import pathlib
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=pathlib.Path(__file__).resolve().parent,
+        )
+        if out.returncode == 0:
+            return out.stdout.strip()
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    return "unknown"
 
 
 def _write_run_metadata(outdir, compute, args, width, height) -> None:
