@@ -46,9 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-j", type=int, default=1024, help="j-stream tile width")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
-                   default="vpu",
+                   default="auto",
                    help="pallas kernel variant (mxu offloads the force "
-                        "reduction; auto = autotuner cache, see nbody-tune)")
+                        "reduction; auto = autotuner cache when present, "
+                        "else vpu — see nbody-tune)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
