@@ -1,0 +1,81 @@
+"""Physics invariants: conservation laws and cross-config fuzzing.
+
+These catch sign/bookkeeping errors no point-comparison would: with
+damping=1 the pairwise forces are antisymmetric, so total momentum is
+conserved exactly (up to fp rounding) and the center of mass moves
+uniformly; every kernel/config combination must agree with the oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+from nbody_tpu.ops.reference import compute_accel_xla, nbody_step_xla
+from nbody_tpu.oracle import step_numpy
+
+from conftest import assert_state_close
+
+SOFT = 0.1
+
+
+def _momentum(pos, vel):
+    return (pos[:, 3:4] * vel[:, :3]).sum(axis=0)
+
+
+def test_total_force_is_zero():
+    """Newton's third law: sum_i m_i a_i = 0 (antisymmetric pair forces)."""
+    pos, _ = ic.generate(NBodyConfig.SHELL, 1024, 1.52, 2.0, seed=1)
+    acc = np.asarray(compute_accel_xla(jnp.asarray(pos), SOFT))
+    net = (pos[:, 3:4] * acc).sum(axis=0)
+    scale = np.abs(pos[:, 3:4] * acc).sum()
+    assert np.abs(net).max() / scale < 1e-5
+
+
+def test_momentum_conserved_over_rollout():
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 512, 1.54, 8.0, seed=2)
+    p0 = _momentum(pos, vel)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    for _ in range(20):
+        p, v = nbody_step_xla(p, v, 0.01, SOFT, 1.0)
+    p1 = _momentum(np.asarray(p), np.asarray(v))
+    # momentum is O(N * v); drift should be rounding-level
+    v_scale = np.abs(np.asarray(v)[:, :3]).sum()
+    assert np.abs(p1 - p0).max() / v_scale < 1e-4
+
+
+def test_damping_scales_momentum():
+    """With damping d, each step multiplies total momentum by exactly d."""
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 256, 1.5, 8.0, seed=3)
+    p0 = _momentum(pos, vel)
+    p, v = nbody_step_xla(jnp.asarray(pos), jnp.asarray(vel), 0.01, SOFT, 0.5)
+    p1 = _momentum(np.asarray(p), np.asarray(v))
+    np.testing.assert_allclose(p1, 0.5 * p0, rtol=1e-3, atol=1e-4)
+
+
+def test_two_body_symmetric_approach():
+    """Two equal masses at rest accelerate toward each other symmetrically."""
+    pos = np.zeros((2, 4), np.float32)
+    pos[0, 0], pos[1, 0] = -1.0, 1.0
+    pos[:, 3] = 1.0
+    vel = np.zeros((2, 4), np.float32)
+    p, v = nbody_step_xla(jnp.asarray(pos), jnp.asarray(vel), 0.01, SOFT, 1.0)
+    p = np.asarray(p)
+    v = np.asarray(v)
+    assert v[0, 0] > 0 > v[1, 0]  # attraction
+    np.testing.assert_allclose(p[0, :3], -p[1, :3], atol=1e-7)  # symmetry
+
+
+@pytest.mark.parametrize("config", list(NBodyConfig))
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_pallas_vs_oracle(config, seed):
+    """Every IC family x seed: one QA-criterion step, pallas vs oracle."""
+    pos, vel = ic.generate(config, 384, 1.3, 3.0, seed=seed)
+    ref_pos, _ = step_numpy(pos, vel, 0.001, SOFT, 1.0)
+    for variant in ("vpu", "mxu"):
+        p1, _ = nbody_step_pallas(
+            jnp.asarray(pos), jnp.asarray(vel), 0.001, SOFT, 1.0,
+            tile_i=64, tile_j=128, interpret=True, variant=variant,
+        )
+        assert_state_close(p1, ref_pos)
