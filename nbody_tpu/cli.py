@@ -52,8 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "else vpu — see nbody-tune)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
-    p.add_argument("--strategy", choices=["allgather", "ring"], default="allgather",
+    p.add_argument("--strategy", choices=["allgather", "ring", "ring_fused"],
+                   default="allgather",
                    help="multi-device communication strategy")
+    p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
+                   help="euler = reference's damped semi-implicit Euler; "
+                        "leapfrog = symplectic DKD (bounded energy drift)")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
     p.add_argument("--config", choices=["shell", "random", "expand", "galaxy"],
                    default="shell",
@@ -185,6 +189,7 @@ def _main(argv=None) -> int:
         mesh=mesh,
         strategy=args.strategy,
         variant=args.variant,
+        integrator=args.integrator,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

@@ -47,6 +47,7 @@ class Compute:
         mesh=None,
         strategy: str = "allgather",
         variant: str = "vpu",
+        integrator: str = "euler",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         seed: int = 42,
@@ -89,6 +90,7 @@ class Compute:
             mesh=mesh,
             strategy=strategy,
             variant=variant,
+            integrator=integrator,
             interpret=interpret,
             chunk_size=chunk_size,
             seed=seed,

@@ -76,6 +76,7 @@ class BodySystem:
         mesh=None,
         strategy: str = "allgather",
         variant: str = "vpu",
+        integrator: str = "euler",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
@@ -108,6 +109,12 @@ class BodySystem:
         self.mesh = mesh
         self.strategy = strategy
         self.variant = variant
+        if integrator not in ("euler", "leapfrog"):
+            raise ValueError(f"unknown integrator {integrator!r}")
+        if integrator == "leapfrog" and mesh is not None:
+            raise ValueError("leapfrog is single-device for now; use the "
+                             "euler integrator with a mesh")
+        self.integrator = integrator
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
         self.seed = seed
@@ -232,6 +239,8 @@ class BodySystem:
         """(pos, vel, dt, softening, damping) -> (pos, vel), jit-compatible."""
         if self._sharded_step is not None:
             return self._sharded_step
+        if self.integrator == "leapfrog":
+            return self._leapfrog_fn()
         if self.backend == "pallas":
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             variant = self.variant
@@ -248,6 +257,35 @@ class BodySystem:
 
         def step(pos, vel, dt, soft, damp):
             return _XLA_STEP_JIT(pos, vel, dt, soft, damp, chunk_size=chunk)
+
+        return step
+
+    def _leapfrog_fn(self):
+        """Symplectic DKD step; the force evaluation uses the Pallas accel
+        kernel on TPU (the O(N) drift/kick stays in XLA)."""
+        from nbody_tpu.ops.reference import nbody_step_leapfrog
+
+        chunk = self.chunk_size
+        if self.backend == "pallas":
+            from nbody_tpu.ops.pallas_kernel import compute_accel_pallas
+
+            tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
+
+            def step(pos, vel, dt, soft, damp):
+                def accel_fn(p4):
+                    return compute_accel_pallas(
+                        p4, p4, soft,
+                        tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                    )
+
+                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
+                                           accel_fn=accel_fn)
+
+            return step
+
+        def step(pos, vel, dt, soft, damp):
+            return nbody_step_leapfrog(pos, vel, dt, soft, damp,
+                                       chunk_size=chunk)
 
         return step
 

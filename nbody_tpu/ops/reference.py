@@ -96,6 +96,36 @@ def nbody_step_xla(pos, vel, dt, softening, damping, *, chunk_size: int | None =
     return nbody_step_xla_vs(pos, vel, pos, dt, softening, damping, chunk_size=chunk_size)
 
 
+def nbody_step_leapfrog(pos, vel, dt, softening, damping, *, accel_fn=None,
+                        chunk_size: int | None = None):
+    """Symplectic drift-kick-drift (leapfrog) step — a framework extension
+    beyond the reference's damped semi-implicit Euler, with one force
+    evaluation per step and no extra state:
+
+        p½ = p + v·dt/2
+        v' = (v + a(p½)·dt) · damping
+        p' = p½ + v'·dt/2
+
+    Energy drift is O(dt²) and bounded (vs Euler's secular drift).
+    `accel_fn(pos4) -> (N,3)` lets the caller plug the Pallas accel kernel;
+    defaults to the chunked XLA force.
+    """
+    dt = jnp.asarray(dt, pos.dtype)
+    damping = jnp.asarray(damping, pos.dtype)
+    if accel_fn is None:
+        def accel_fn(p4):
+            return compute_accel_xla(p4, softening, chunk_size=chunk_size)
+
+    p_half = pos[:, :3] + vel[:, :3] * (dt / 2)
+    pos_half = jnp.concatenate([p_half, pos[:, 3:4]], axis=1)
+    acc = accel_fn(pos_half)
+    v3 = (vel[:, :3] + acc * dt) * damping
+    p3 = p_half + v3 * (dt / 2)
+    new_pos = jnp.concatenate([p3, pos[:, 3:4]], axis=1)
+    new_vel = jnp.concatenate([v3, vel[:, 3:4]], axis=1)
+    return new_pos, new_vel
+
+
 @functools.partial(jax.jit, static_argnames=("steps", "chunk_size"), donate_argnums=(0, 1))
 def rollout_xla(pos, vel, dt, softening, damping, *, steps: int, chunk_size: int | None = None):
     """`steps` integration steps under one jit, via lax.scan (compiler-friendly
