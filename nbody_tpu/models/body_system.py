@@ -394,4 +394,14 @@ class BodySystem:
     def total_energy(self) -> float:
         pos = jnp.asarray(self._pos)
         vel = jnp.asarray(self._vel)
+        if self.backend == "pallas" and self.dtype == jnp.float32:
+            # tiled Pallas potential: fast diagnostics at large N
+            from nbody_tpu.ops.energy import kinetic_energy
+            from nbody_tpu.ops.pallas_kernel import potential_energy_pallas
+
+            ke = kinetic_energy(pos, vel)
+            pe = potential_energy_pallas(
+                pos, self.params.softening, interpret=self.interpret
+            )
+            return float(ke + pe)
         return float(total_energy(pos, vel, self.params.softening, chunk_size=self.chunk_size))

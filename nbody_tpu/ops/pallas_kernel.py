@@ -388,3 +388,91 @@ def nbody_step_pallas(
         pos, vel, pos, dt, softening, damping,
         tile_i=tile_i, tile_j=tile_j, interpret=interpret, variant=variant,
     )
+
+
+def _potential_kernel(scal_ref, posi_ref, iidx_ref, post_ref, out_ref,
+                      acc_ref, *, tile_j: int):
+    """Per-i-row softened pair potential sums (diagonal pair masked via
+    global body indices, which also keeps padding bodies inert)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    eps2 = scal_ref[0, 1]
+    xi = posi_ref[:, 0:1]
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    mi = posi_ref[:, 3:4]
+    ii = iidx_ref[:, 0:1]  # (TILE_I, 1) global i indices
+
+    base = pl.program_id(1) * tile_j
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        xj = post_ref[0:1, sl]
+        yj = post_ref[1:2, sl]
+        zj = post_ref[2:3, sl]
+        mj = post_ref[3:4, sl]
+        # Mosaic's iota is integer-only; cast after (exact to 2^24 in f32)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1).astype(jnp.float32)
+        jj = (base + k * LANES).astype(jnp.float32) + lane_ids
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        pair = mi * mj * inv
+        pair = jnp.where(jj == ii, 0.0, pair)  # mask the self pair
+        acc_ref[:] += pair
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out_ref[:, 0:1] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
+        out_ref[:, 1:4] = jnp.zeros_like(out_ref[:, 1:4])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def potential_energy_pallas(
+    pos, softening,
+    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """Total softened potential energy U = -1/2 sum_{i != j} m_i m_j /
+    sqrt(r^2+eps^2), tiled like the force kernels (fast diagnostics at 1M+)."""
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    tile_i = min(tile_i, _round_up(pos.shape[0], 8))
+    tile_j = min(tile_j, _round_up(pos.shape[0], LANES))
+    _check_tiles(tile_i, tile_j)
+
+    pos_p, m = _pad_i(pos, tile_i)
+    post = _pad_j_t(pos, tile_j)
+    m_pad, n_pad = pos_p.shape[0], post.shape[1]
+    # global indices as f32 (exact to 2^24, far above any supported N)
+    iidx = jnp.broadcast_to(
+        jnp.arange(m_pad, dtype=jnp.float32)[:, None], (m_pad, 4)
+    )
+    grid = (m_pad // tile_i, n_pad // tile_j)
+    specs = _common_specs(tile_i, tile_j)
+
+    per_row = pl.pallas_call(
+        functools.partial(_potential_kernel, tile_j=tile_j),
+        grid=grid,
+        in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"], specs["j_tile"]],
+        out_specs=specs["i_tile"],
+        out_shape=jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_i, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 2) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(_scal(0.0, softening, 1.0), pos_p, iidx, post)
+
+    return -0.5 * jnp.sum(per_row[:m, 0])

@@ -34,6 +34,30 @@ def test_potential_energy_two_bodies():
     assert abs(pe - (-1.0)) < 1e-6  # -m1*m2/r
 
 
+def test_potential_pallas_matches_xla(shell_state_small):
+    from nbody_tpu.ops.pallas_kernel import potential_energy_pallas
+
+    pos, _ = shell_state_small
+    pos = pos[:700]  # non-multiple N exercises the padding + self-mask
+    ref = float(potential_energy(jnp.asarray(pos), SOFT))
+    got = float(potential_energy_pallas(
+        jnp.asarray(pos), SOFT, tile_i=64, tile_j=256, interpret=True
+    ))
+    assert abs(got - ref) / abs(ref) < 1e-5
+
+
+def test_body_system_energy_pallas_matches_xla():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=SOFT)
+    a = BodySystem(512, params, backend="pallas", tile_i=64, tile_j=128,
+                   interpret=True, seed=3)
+    b = BodySystem(512, params, backend="xla", seed=3)
+    ea, eb = a.total_energy(), b.total_energy()
+    assert abs(ea - eb) / abs(eb) < 1e-5
+
+
 def test_potential_chunked_equals_dense(shell_state_small):
     pos, _ = shell_state_small
     dense = float(potential_energy(jnp.asarray(pos), SOFT, chunk_size=None))
