@@ -111,9 +111,6 @@ class BodySystem:
         self.variant = variant
         if integrator not in ("euler", "leapfrog"):
             raise ValueError(f"unknown integrator {integrator!r}")
-        if integrator == "leapfrog" and mesh is not None:
-            raise ValueError("leapfrog is single-device for now; use the "
-                             "euler integrator with a mesh")
         self.integrator = integrator
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
@@ -154,6 +151,7 @@ class BodySystem:
                 interpret=self.interpret,
                 chunk_size=chunk_size,
                 variant=variant,
+                integrator=integrator,
             )
 
         if state is not None:

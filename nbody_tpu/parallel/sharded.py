@@ -51,6 +51,7 @@ def make_sharded_step(
     interpret: bool = False,
     chunk_size: int | None = None,
     variant: str = "vpu",
+    integrator: str = "euler",
 ):
     """Build a jitted sharded step: (pos, vel, dt, softening, damping) ->
     (pos, vel), with pos/vel sharded P(axis, None) over the mesh.
@@ -58,7 +59,12 @@ def make_sharded_step(
     kernel: "pallas" (TPU; interpret=True for CPU testing) or "xla".
     strategy: "allgather" or "ring".
     variant: pallas kernel variant ("vpu" / "mxu" / "mxu_bf16").
+    integrator: "euler" (reference parity) or "leapfrog" (symplectic DKD —
+      the local shard drifts dt/2 first, the gathered/ring-streamed j-side is
+      the half-step positions, then kick + second half-drift).
     """
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
     if strategy not in ("allgather", "ring", "ring_fused"):
@@ -86,26 +92,57 @@ def make_sharded_step(
             )
         return compute_accel_xla_vs(pos_sh, pos_j, soft, chunk_size=chunk_size)
 
-    def local_allgather(pos_sh, vel_sh, dt, soft, damp):
-        all_pos = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
-        return step_vs(pos_sh, vel_sh, all_pos, dt, soft, damp)
+    def _drift_half(pos_sh, vel_sh, dt):
+        p_half = pos_sh[:, :3] + vel_sh[:, :3] * (dt / 2)
+        return jnp.concatenate([p_half, pos_sh[:, 3:4]], axis=1)
 
-    def local_ring(pos_sh, vel_sh, dt, soft, damp):
+    def _kick_drift(pos_half, vel_sh, acc, dt, damp):
+        v3 = (vel_sh[:, :3] + acc * dt) * damp
+        p3 = pos_half[:, :3] + v3 * (dt / 2)
+        new_pos = jnp.concatenate([p3, pos_half[:, 3:4]], axis=1)
+        new_vel = jnp.concatenate([v3, vel_sh[:, 3:4]], axis=1)
+        return new_pos, new_vel
+
+    def _ring_accel(pos_i, jpos0, soft):
         perm = [(d, (d + 1) % ndev) for d in range(ndev)]
 
         def hop(carry, _):
             jpos, acc = carry
-            acc = acc + accel_vs(pos_sh, jpos, soft)
+            acc = acc + accel_vs(pos_i, jpos, soft)
             jpos = jax.lax.ppermute(jpos, axis, perm)
             return (jpos, acc), None
 
-        acc0 = jnp.zeros((pos_sh.shape[0], 3), pos_sh.dtype)
-        (_, acc), _ = jax.lax.scan(hop, (pos_sh, acc0), None, length=ndev)
+        acc0 = jnp.zeros((pos_i.shape[0], 3), pos_i.dtype)
+        (_, acc), _ = jax.lax.scan(hop, (jpos0, acc0), None, length=ndev)
+        return acc
+
+    def local_allgather(pos_sh, vel_sh, dt, soft, damp):
+        if integrator == "leapfrog":
+            pos_half = _drift_half(pos_sh, vel_sh, dt)
+            all_half = jax.lax.all_gather(pos_half, axis, axis=0, tiled=True)
+            acc = accel_vs(pos_half, all_half, soft)
+            return _kick_drift(pos_half, vel_sh, acc, dt, damp)
+        all_pos = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
+        return step_vs(pos_sh, vel_sh, all_pos, dt, soft, damp)
+
+    def local_ring(pos_sh, vel_sh, dt, soft, damp):
+        if integrator == "leapfrog":
+            pos_half = _drift_half(pos_sh, vel_sh, dt)
+            acc = _ring_accel(pos_half, pos_half, soft)
+            return _kick_drift(pos_half, vel_sh, acc, dt, damp)
+        acc = _ring_accel(pos_sh, pos_sh, soft)
         return integrate(pos_sh, vel_sh, acc, dt, damp)
 
     def local_ring_fused(pos_sh, vel_sh, dt, soft, damp):
         from nbody_tpu.ops.ring_kernel import ring_accel_fused
 
+        if integrator == "leapfrog":
+            pos_half = _drift_half(pos_sh, vel_sh, dt)
+            acc = ring_accel_fused(
+                pos_half, soft, axis=axis, ndev=ndev, tile_i=tile_i,
+                interpret=interpret,
+            )
+            return _kick_drift(pos_half, vel_sh, acc, dt, damp)
         acc = ring_accel_fused(
             pos_sh, soft, axis=axis, ndev=ndev, tile_i=tile_i,
             interpret=interpret,

@@ -51,12 +51,30 @@ def test_leapfrog_body_system_pallas_accel():
     np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
 
 
-def test_leapfrog_mesh_rejected():
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_leapfrog_sharded_matches_single_device(strategy):
     from nbody_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError, match="leapfrog"):
-        BodySystem(256, NBodyParams(), backend="xla", mesh=make_mesh(8),
-                   integrator="leapfrog")
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    a = BodySystem(512, params, backend="xla", integrator="leapfrog", seed=6)
+    b = BodySystem(512, params, backend="xla", integrator="leapfrog", seed=6,
+                   mesh=make_mesh(8), strategy=strategy)
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=2e-5)
+
+
+def test_leapfrog_ring_fused_sharded():
+    from nbody_tpu.parallel import make_mesh
+
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    a = BodySystem(512, params, backend="xla", integrator="leapfrog", seed=6)
+    b = BodySystem(512, params, backend="pallas", integrator="leapfrog",
+                   seed=6, mesh=make_mesh(8), strategy="ring_fused",
+                   tile_i=8, interpret=True)
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=2e-5)
 
 
 def test_leapfrog_cli(capsys):
