@@ -164,6 +164,7 @@ def _main(argv=None) -> int:
         tipsy_state = (tpos.astype(dt), tvel.astype(dt))
         print(f"Read {tipsy_state[0].shape[0]} bodies from {args.tipsy}")
 
+    checkpoint_params = None
     if args.checkpoint_load:
         from nbody_tpu.io import load_checkpoint
         import numpy as np
@@ -171,6 +172,7 @@ def _main(argv=None) -> int:
         cpos, cvel, cparams, meta = load_checkpoint(args.checkpoint_load)
         dt = np.float64 if args.fp64 else np.float32
         tipsy_state = (cpos.astype(dt), cvel.astype(dt))
+        checkpoint_params = cparams
         print(f"Resumed {cpos.shape[0]} bodies at step {meta['step']} "
               f"from {args.checkpoint_load}")
 
@@ -193,6 +195,10 @@ def _main(argv=None) -> int:
         seed=args.seed,
         tipsy_state=tipsy_state,
     )
+    if checkpoint_params is not None:
+        # resume with the exact parameters the checkpoint was written with
+        compute.active_params = checkpoint_params
+        compute.system.update_params(checkpoint_params)
     n = compute.num_bodies
     dev = jax.devices()[0]
     print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
@@ -201,7 +207,11 @@ def _main(argv=None) -> int:
           + (", host memory" if args.hostmem else "")
           + f", {'fp64' if args.fp64 else 'fp32'}]")
 
-    if 0 <= args.demo < len(DEMO_PARAMS) and args.demo != 0 and tipsy_state is None:
+    if not (0 <= args.demo < len(DEMO_PARAMS)):
+        raise ValueError(
+            f"--demo {args.demo} out of range (presets 0..{len(DEMO_PARAMS) - 1})"
+        )
+    if args.demo != 0 and tipsy_state is None:
         compute.active_demo = args.demo
         compute.active_params = DEMO_PARAMS[args.demo]
         compute.reset(NBodyConfig.parse(args.config))
@@ -334,7 +344,8 @@ def _run_demo(compute, args) -> int:
         now = time.monotonic()
         if now - last_report >= 1.0:
             compute.system.hard_sync()
-            compute.calculate_fps(frames_since_report, (now - last_report) * 1e3)
+            compute.calculate_fps(frames_since_report, (now - last_report) * 1e3,
+                                  steps_per_frame=args.steps_per_frame)
             precision = "fp64" if compute.fp64_enabled else "fp32"
             print(
                 f"[demo {compute.active_demo}] frame {frames_done}/{args.frames} | "

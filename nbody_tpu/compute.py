@@ -155,9 +155,11 @@ class Compute:
         )
         self.g_flops = gflops(self.num_bodies, steps_per_second, self.fp64_enabled)
 
-    def calculate_fps(self, frame_count: int, milliseconds: float) -> None:
+    def calculate_fps(self, frame_count: int, milliseconds: float,
+                      *, steps_per_frame: int = 1) -> None:
         self.fps = frame_count * 1000.0 / max(milliseconds, 1e-9)
-        self.compute_perf_stats(self.fps)
+        # perf formulas are per simulation STEP, not per frame
+        self.compute_perf_stats(self.fps * steps_per_frame)
 
     def run_benchmark(self, nb_iterations: int) -> dict:
         """1 untimed warm-up rollout, then `nb_iterations` steps as ONE
@@ -220,7 +222,8 @@ class Compute:
 
         op, ov = pos0, vel0
         for _ in range(steps):
-            op, ov = step_best(op, ov, p.time_step, soft, p.damping)
+            op, ov = step_best(op, ov, p.time_step, soft, p.damping,
+                               integrator=self.system.integrator)
         e_ora = float(total_energy(jnp.asarray(op), jnp.asarray(ov), soft))
 
         drift_dev = (e_dev - e0) / abs(e0) if e0 else 0.0
@@ -252,7 +255,8 @@ class Compute:
         self.system.block_until_ready()
         dev_pos = self.system.positions
 
-        ref_pos, _ = step_best(pos0, vel0, QA_DT, p.softening, p.damping)
+        ref_pos, _ = step_best(pos0, vel0, QA_DT, p.softening, p.damping,
+                               integrator=self.system.integrator)
         err = np.abs(dev_pos[:, :3] - ref_pos[:, :3]).max()
         passed = bool(err <= tolerance)
         oracle = "native C++" if native_available() else "NumPy"

@@ -27,12 +27,15 @@ def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
         "config": config.value if config is not None else None,
         "extra": extra or {},
     }
-    np.savez(
-        path,
-        pos=np.asarray(pos),
-        vel=np.asarray(vel),
-        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-    )
+    # write through an open handle: np.savez silently appends ".npz" to bare
+    # paths, which would break save/load round trips under the same name
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            pos=np.asarray(pos),
+            vel=np.asarray(vel),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
 
 
 def load_checkpoint(path):

@@ -41,23 +41,14 @@ from nbody_tpu.ops.pallas_kernel import (
     DEFAULT_TILE_J,
     nbody_step_pallas,
 )
+from nbody_tpu.ops.pallas_kernel import _round_up
 from nbody_tpu.ops.reference import nbody_step_xla
 from nbody_tpu.ops.energy import total_energy
+from nbody_tpu.utils.timing import hard_sync as _hard_sync, on_tpu as _default_backend_is_tpu
 
 
 # module-level jit wrapper so its compilation cache is shared across systems
 _XLA_STEP_JIT = jax.jit(nbody_step_xla, static_argnames=("chunk_size",))
-
-
-def _default_backend_is_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except RuntimeError:  # pragma: no cover
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class BodySystem:
@@ -88,6 +79,7 @@ class BodySystem:
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
+        self._requested_backend = backend  # pre-resolution, for precision switch
         if backend == "auto":
             backend = "pallas" if (_default_backend_is_tpu() and dtype == jnp.float32) else "xla"
         if backend == "pallas" and dtype != jnp.float32:
@@ -347,14 +339,10 @@ class BodySystem:
             jax.block_until_ready((self._pos, self._vel))
 
     def hard_sync(self) -> None:
-        """True execution barrier: block_until_ready plus a tiny D2H fetch.
-
-        Some remote-attached PJRT backends report buffers ready before the
-        enqueued computation finished; a device_get always waits. Benchmark
-        timing must use this, not block_until_ready alone."""
-        self.block_until_ready()
+        """True execution barrier (see utils.timing.hard_sync for why
+        block_until_ready alone is not enough on remote-attached backends)."""
         if self.placement != "host":
-            jax.device_get(self._pos[:1])
+            _hard_sync((self._pos, self._vel))
 
     # ---- precision switch (reference Enter key, compute_cuda.cpp:152-181) ----
 
@@ -369,14 +357,17 @@ class BodySystem:
             self.num_bodies,
             self.params,
             dtype=new_dtype,
-            backend="xla" if new_dtype == jnp.float64 else self.backend,
+            # fp64 needs the XLA path; fp32 re-resolves the ORIGINALLY
+            # requested backend so a round trip restores the Pallas kernel
+            backend="xla" if new_dtype == jnp.float64 else self._requested_backend,
             tile_i=self.tile_i,
             tile_j=self.tile_j,
             placement=self.placement,
             mesh=self.mesh,
             strategy=self.strategy,
             variant=self.variant,
-            interpret=self.interpret,
+            integrator=self.integrator,
+            interpret=self.interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
             config=self.config,
             seed=self.seed,

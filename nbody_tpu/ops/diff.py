@@ -22,11 +22,7 @@ from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
 from nbody_tpu.ops.reference import nbody_step_xla
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except RuntimeError:  # pragma: no cover
-        return False
+from nbody_tpu.utils.timing import on_tpu as _on_tpu
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

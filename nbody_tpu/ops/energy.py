@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nbody_tpu.ops.reference import _pick_chunk
+from nbody_tpu.ops.reference import _chunk_and_pad
 
 
 def kinetic_energy(pos, vel):
@@ -36,15 +36,21 @@ def potential_energy(pos, softening, *, chunk_size: int | None = None):
         inv = jnp.where(col == ridx[:, None], 0.0, inv)
         return jnp.sum(rm[:, None] * m[None, :] * inv, axis=1)
 
-    c = _pick_chunk(n, chunk_size)
+    c, n_pad = _chunk_and_pad(n, chunk_size)
     idx = jnp.arange(n)
     if c == n:
         per_row = rows(p3, m, idx)
     else:
+        pad = n_pad - n
+        # padded rows get zero mass (no contribution) and out-of-range indices
+        p3p = jnp.pad(p3, ((0, pad), (0, 0)))
+        mp = jnp.pad(m, (0, pad))
+        idxp = jnp.arange(n_pad)
         per_row = jax.lax.map(
             lambda args: rows(*args),
-            (p3.reshape(n // c, c, 3), m.reshape(n // c, c), idx.reshape(n // c, c)),
-        ).reshape(n)
+            (p3p.reshape(n_pad // c, c, 3), mp.reshape(n_pad // c, c),
+             idxp.reshape(n_pad // c, c)),
+        ).reshape(n_pad)[:n]
     return -0.5 * jnp.sum(per_row)
 
 

@@ -30,14 +30,14 @@ import jax.numpy as jnp
 DEFAULT_CHUNK = 4096
 
 
-def _pick_chunk(n: int, chunk_size: int | None) -> int:
-    """Largest divisor of n that is <= the requested chunk size."""
+def _chunk_and_pad(n: int, chunk_size: int | None) -> tuple[int, int]:
+    """(chunk, padded_n): rows are zero-padded up to a chunk multiple rather
+    than hunting for divisors (a prime N would otherwise degenerate to
+    chunk=1 and a pathologically long lax.map)."""
     if chunk_size is None:
         chunk_size = DEFAULT_CHUNK
     c = min(n, int(chunk_size))
-    while n % c:
-        c -= 1
-    return c
+    return c, ((n + c - 1) // c) * c
 
 
 def _accel_rows(rows_p, all_p, all_m, eps2):
@@ -59,12 +59,14 @@ def compute_accel_xla_vs(pos_i, pos_j, softening, *, chunk_size: int | None = No
     p3 = pos_j[:, :3]
     m = pos_j[:, 3]
     eps2 = jnp.asarray(softening, pos_i.dtype) ** 2
-    c = _pick_chunk(m_rows, chunk_size)
+    c, m_pad = _chunk_and_pad(m_rows, chunk_size)
     if c == m_rows:
         return _accel_rows(ri, p3, m, eps2)
-    rows = ri.reshape(m_rows // c, c, 3)
+    if m_pad != m_rows:
+        ri = jnp.pad(ri, ((0, m_pad - m_rows), (0, 0)))
+    rows = ri.reshape(m_pad // c, c, 3)
     acc = jax.lax.map(lambda r: _accel_rows(r, p3, m, eps2), rows)
-    return acc.reshape(m_rows, 3)
+    return acc.reshape(m_pad, 3)[:m_rows]
 
 
 def compute_accel_xla(pos, softening, *, chunk_size: int | None = None):

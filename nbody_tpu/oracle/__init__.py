@@ -9,7 +9,7 @@ dt=0.001 step (/root/reference/src/nbody/compute_cuda.cpp:294-333).
 available (build with ``python -m nbody_tpu.oracle.build``), else NumPy.
 """
 
-from nbody_tpu.oracle.numpy_oracle import step_numpy, accel_numpy
+from nbody_tpu.oracle.numpy_oracle import step_numpy, step_numpy_leapfrog, accel_numpy
 from nbody_tpu.oracle.native import (
     native_available,
     step_native,
@@ -18,6 +18,7 @@ from nbody_tpu.oracle.native import (
 
 __all__ = [
     "step_numpy",
+    "step_numpy_leapfrog",
     "accel_numpy",
     "native_available",
     "step_native",

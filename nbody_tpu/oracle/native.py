@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from nbody_tpu.oracle.numpy_oracle import step_numpy
+from nbody_tpu.oracle.numpy_oracle import step_numpy, step_numpy_leapfrog
 
 _LIB_PATH = pathlib.Path(__file__).resolve().parent / "_nbody_oracle.so"
 _lib: Optional[ctypes.CDLL] = None
@@ -96,8 +96,26 @@ def step_native(pos, vel, dt, softening, damping, steps: int = 1):
     return pos, vel
 
 
-def step(pos, vel, dt, softening, damping):
-    """Best available CPU oracle step (native if built, else NumPy)."""
+def step_native_leapfrog(pos, vel, dt, softening, damping):
+    """DKD leapfrog with the native force engine (drift/kick on the host)."""
+    dtype = pos.dtype
+    half = dtype.type(dt) / 2
+    p_half = np.ascontiguousarray(pos).copy()
+    p_half[:, :3] += vel[:, :3] * half
+    acc = accel_native(p_half, softening)
+    new_vel = np.ascontiguousarray(vel).copy()
+    new_vel[:, :3] = (vel[:, :3] + acc * dtype.type(dt)) * dtype.type(damping)
+    p_half[:, :3] += new_vel[:, :3] * half
+    return p_half, new_vel
+
+
+def step(pos, vel, dt, softening, damping, integrator: str = "euler"):
+    """Best available CPU oracle step (native if built, else NumPy), with the
+    integrator matching the device's (QA must compare like with like)."""
+    if integrator == "leapfrog":
+        if native_available():
+            return step_native_leapfrog(pos, vel, dt, softening, damping)
+        return step_numpy_leapfrog(pos, vel, dt, softening, damping)
     if native_available():
         return step_native(pos, vel, dt, softening, damping)
     return step_numpy(pos, vel, dt, softening, damping)

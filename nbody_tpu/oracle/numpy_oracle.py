@@ -47,3 +47,23 @@ def step_numpy(
     new_pos[:, :3] = p3
     new_vel[:, :3] = v3
     return new_pos, new_vel
+
+
+def step_numpy_leapfrog(
+    pos: np.ndarray,
+    vel: np.ndarray,
+    dt: float,
+    softening: float,
+    damping: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symplectic DKD step on the host (mirrors ops.reference.nbody_step_leapfrog)."""
+    dtype = pos.dtype
+    half = dtype.type(dt) / 2
+    p_half = pos.copy()
+    p_half[:, :3] += vel[:, :3] * half
+    acc = accel_numpy(p_half, softening)
+    new_vel = vel.copy()
+    new_vel[:, :3] = (vel[:, :3] + acc * dtype.type(dt)) * dtype.type(damping)
+    new_pos = p_half
+    new_pos[:, :3] += new_vel[:, :3] * half
+    return new_pos, new_vel

@@ -82,15 +82,25 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
     def splat_chunk(args):
         sx_c, sy_c, size_c, rgb_c, valid_c = args
         m = sx_c.shape[0]
-        ox = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0
+        # integer pixel indices around the body; weights are evaluated at
+        # PIXEL CENTERS (index + 0.5) so size~1 sprites neither vanish nor
+        # get stamped half a pixel away from where they were sampled
+        ox = jnp.arange(k, dtype=jnp.float32) - (k // 2)
         px = jnp.floor(sx_c)[:, None, None] + ox[None, :, None]  # (m, k, 1)
         py = jnp.floor(sy_c)[:, None, None] + ox[None, None, :]  # (m, 1, k)
-        dx = (px - sx_c[:, None, None]) / (size_c[:, None, None] * 0.5)
-        dy = (py - sy_c[:, None, None]) / (size_c[:, None, None] * 0.5)
-        d = jnp.sqrt(dx * dx + dy * dy)
-        d = jnp.minimum(d, 1.0)
-        w = 2 * d**3 - 3 * d**2 + 1  # Hermite splat
-        w = w * valid_c[:, None, None] * brightness
+        dx = px + 0.5 - sx_c[:, None, None]
+        dy = py + 0.5 - sy_c[:, None, None]
+        if mode == "points":
+            # exactly the containing pixel, full weight (GL point size 1,
+            # no alpha modulation in the reference's points path)
+            w = ((jnp.abs(dx) <= 0.5) & (jnp.abs(dy) <= 0.5)).astype(jnp.float32)
+            w = jnp.broadcast_to(w, (m, k, k)) * valid_c[:, None, None]
+        else:
+            r = size_c[:, None, None] * 0.5
+            d = jnp.sqrt(dx * dx + dy * dy) / r
+            d = jnp.minimum(jnp.broadcast_to(d, (m, k, k)), 1.0)
+            w = 2 * d**3 - 3 * d**2 + 1  # Hermite splat
+            w = w * valid_c[:, None, None] * brightness
         pxi = jnp.broadcast_to(px, (m, k, k)).astype(jnp.int32).reshape(-1)
         pyi = jnp.broadcast_to(py, (m, k, k)).astype(jnp.int32).reshape(-1)
         contrib = w.reshape(-1, 1) * jnp.repeat(rgb_c, k * k, axis=0)

@@ -14,6 +14,14 @@ import time
 import jax
 
 
+def on_tpu() -> bool:
+    """True when the default backend is an accelerator (not host CPU)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def hard_sync(tree) -> None:
     """True execution barrier over a pytree of jax.Arrays."""
     jax.block_until_ready(tree)
