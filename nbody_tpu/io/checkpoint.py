@@ -39,14 +39,60 @@ def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
 
 
 def load_checkpoint(path):
-    """Returns (pos, vel, params, meta_dict)."""
+    """Returns (pos, vel, params, meta_dict). Accepts both formats: an npz
+    file or an orbax checkpoint directory."""
+    import os
+
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     with np.load(path) as data:
         pos = data["pos"]
         vel = data["vel"]
         meta = json.loads(bytes(data["meta"].tobytes()).decode())
+    return pos, vel, _params_from_meta(meta), meta
+
+
+def _params_from_meta(meta: dict) -> NBodyParams:
     if meta.get("version") != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
     pdict = dict(meta["params"])
     pdict["camera_origin"] = tuple(pdict["camera_origin"])
-    params = NBodyParams(**pdict)
-    return pos, vel, params, meta
+    return NBodyParams(**pdict)
+
+
+# ---- orbax backend: sharded/async-capable checkpoints for mesh runs ----
+# (npz gathers to the host; orbax writes each shard from its own device, the
+# right tool once N is sharded over a pod)
+
+def save_checkpoint_orbax(path, pos, vel, params: NBodyParams, *, step: int = 0,
+                          config: NBodyConfig | None = None,
+                          extra: dict | None = None) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    meta = {
+        "version": FORMAT_VERSION,
+        "params": dataclasses.asdict(params),
+        "step": int(step),
+        "config": config.value if config is not None else None,
+        "extra": extra or {},
+    }
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"pos": pos, "vel": vel,
+                          "meta_json": np.frombuffer(json.dumps(meta).encode(),
+                                                     dtype=np.uint8)},
+                   force=True)
+
+
+def load_checkpoint_orbax(path):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    meta = json.loads(bytes(np.asarray(tree["meta_json"]).tobytes()).decode())
+    return np.asarray(tree["pos"]), np.asarray(tree["vel"]), _params_from_meta(meta), meta

@@ -94,6 +94,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["config"] == "expand"
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from nbody_tpu.io import save_checkpoint_orbax
+
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(32, 4)).astype(np.float32)
+    vel = rng.normal(size=(32, 4)).astype(np.float32)
+    params = NBodyParams(time_step=0.004, damping=0.99)
+    path = tmp_path / "ck_orbax"
+    save_checkpoint_orbax(path, pos, vel, params, step=3,
+                          config=NBodyConfig.SHELL)
+    # the generic loader dispatches on directory-ness
+    rpos, rvel, rparams, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(rpos, pos)
+    np.testing.assert_array_equal(rvel, vel)
+    assert rparams == params
+    assert meta["step"] == 3 and meta["config"] == "shell"
+
+
 def test_png_writer(tmp_path):
     frame = np.zeros((8, 16, 3), np.uint8)
     frame[2, 3] = (255, 128, 0)
