@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift-check", type=int, default=None, metavar="STEPS",
                    help="compare energy drift over STEPS vs the CPU oracle "
                         "and exit (BASELINE fp64 energy-drift config)")
+    p.add_argument("--selftest", action="store_true",
+                   help="run QA compare + drift check + a render smoke test "
+                        "and exit (0 = all pass)")
     p.add_argument("--interactive", action="store_true",
                    help="read reference key bindings from stdin during the "
                         "demo loop (space=pause, [ ]=demos, 1/2/3=reset, "
@@ -234,7 +237,9 @@ def _main(argv=None) -> int:
         print(compute.active_params.print_values())
 
     status = 0
-    if args.drift_check is not None:
+    if args.selftest:
+        status = _run_selftest(compute)
+    elif args.drift_check is not None:
         compute.drift_check(args.drift_check)
     elif args.benchmark:
         result = compute.run_benchmark(args.iterations)
@@ -379,6 +384,47 @@ def _run_demo(compute, args) -> int:
 
         write_apng(anim_frames, args.animate, fps=30)
         print(f"wrote {len(anim_frames)}-frame animation to {args.animate}")
+    return 0
+
+
+def _run_selftest(compute) -> int:
+    """End-to-end health check on the current device: the reference's QA
+    criterion, energy-drift-vs-oracle, and a render smoke test."""
+    import numpy as np
+
+    failures = []
+
+    if compute.compare_results():
+        print("selftest [1/3] QA compare: PASS")
+    else:
+        failures.append("qa-compare")
+        print("selftest [1/3] QA compare: FAIL")
+
+    drift = compute.drift_check(3)
+    # the integrator-matched oracle must agree on the drift itself
+    scale = max(abs(drift["drift_oracle"]), 1e-12)
+    if drift["delta"] <= max(5e-4, 0.05 * scale):
+        print("selftest [2/3] energy drift vs oracle: PASS")
+    else:
+        failures.append("drift")
+        print("selftest [2/3] energy drift vs oracle: FAIL")
+
+    from nbody_tpu.render import Camera, FrameRenderer
+
+    cam = Camera(origin=compute.active_params.camera_origin)
+    frame = FrameRenderer(width=160, height=120).render(
+        compute.system.state[0], cam, fp64=compute.fp64_enabled
+    )
+    if frame.shape == (120, 160, 3) and np.isfinite(frame.astype(np.float64)).all() and frame.sum() > 0:
+        print("selftest [3/3] render smoke: PASS")
+    else:
+        failures.append("render")
+        print("selftest [3/3] render smoke: FAIL")
+
+    if failures:
+        print(f"selftest FAILED: {', '.join(failures)}")
+        return 1
+    print("selftest PASSED")
     return 0
 
 

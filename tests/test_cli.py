@@ -142,3 +142,10 @@ def test_hostmem(capsys):
                "--no-cycle", "--hostmem"])
     assert rc == 0
     assert "host memory" in capsys.readouterr().out
+
+
+def test_selftest(capsys):
+    rc = main(["--selftest", "--numbodies", "256", "--kernel", "xla",
+               "--no-cycle"])
+    assert rc == 0
+    assert "selftest PASSED" in capsys.readouterr().out
