@@ -21,6 +21,10 @@ BASELINE_GFLOPS = 2000.0
 
 
 def main() -> int:
+    from nbody_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
+
     import jax
     import jax.numpy as jnp
 

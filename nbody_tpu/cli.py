@@ -134,6 +134,10 @@ def _main(argv=None) -> int:
 
     import jax
 
+    from nbody_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()  # minutes -> seconds on repeat shapes (remote compile)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.fp64:
