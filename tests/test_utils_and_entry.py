@@ -8,6 +8,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
@@ -51,6 +52,7 @@ def test_graft_entry_single_chip():
         sys.path.remove(str(REPO))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     sys.path.insert(0, str(REPO))
     try:
@@ -61,6 +63,7 @@ def test_graft_dryrun_multichip():
         sys.path.remove(str(REPO))
 
 
+@pytest.mark.slow
 def test_bench_script_emits_json_line():
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
     import os
