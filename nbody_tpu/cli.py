@@ -52,9 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "else vpu — see nbody-tune)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
-    p.add_argument("--strategy", choices=["allgather", "ring", "ring_fused"],
-                   default="allgather",
-                   help="multi-device communication strategy")
+    p.add_argument("--strategy",
+                   choices=["auto", "allgather", "ring", "ring_fused"],
+                   default="auto",
+                   help="multi-device communication strategy (auto = "
+                        "cost-model pick between allgather and ring by "
+                        "shard size)")
     p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
                    help="euler = reference's damped semi-implicit Euler; "
                         "leapfrog = symplectic DKD (bounded energy drift)")

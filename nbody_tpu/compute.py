@@ -45,7 +45,7 @@ class Compute:
         tile_j: int = 1024,
         placement: str = "device",
         mesh=None,
-        strategy: str = "allgather",
+        strategy: str = "auto",
         variant: str = "vpu",
         integrator: str = "euler",
         interpret: Optional[bool] = None,

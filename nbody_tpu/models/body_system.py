@@ -65,7 +65,7 @@ class BodySystem:
         tile_j: int = DEFAULT_TILE_J,
         placement: str = "device",
         mesh=None,
-        strategy: str = "allgather",
+        strategy: str = "auto",
         variant: str = "vpu",
         integrator: str = "euler",
         interpret: Optional[bool] = None,

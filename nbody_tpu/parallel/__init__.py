@@ -7,12 +7,13 @@ its designed TPU replacement: positions/velocities sharded over a 1-D
 """
 
 from nbody_tpu.parallel.mesh import make_mesh, shard_state
-from nbody_tpu.parallel.sharded import make_sharded_step
+from nbody_tpu.parallel.sharded import choose_strategy, make_sharded_step
 from nbody_tpu.parallel.multihost import initialize_multihost, is_multihost
 
 __all__ = [
     "make_mesh",
     "shard_state",
+    "choose_strategy",
     "make_sharded_step",
     "initialize_multihost",
     "is_multihost",

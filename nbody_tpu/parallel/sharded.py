@@ -39,6 +39,34 @@ from nbody_tpu.ops.reference import (
 
 BODY_AXIS = "bodies"
 
+# strategy="auto" cost model (measured/derived for v5e-class ICI):
+#
+# Both strategies move the same total bytes per step — each device receives
+# (D-1)/D · N rows · 16 B of positions. The difference is overhead shape:
+#   * allgather: ONE fused collective (low latency), but its transfer time
+#     ~ N·16B / ici_bw is exposed (not overlapped with force compute), and
+#     the gathered (N, 4) array materializes in full on every chip.
+#   * ring: D-1 ppermute hops inside a scan. XLA's async collective-permute
+#     overlaps hop k+1's transfer with hop k's (N/D)² force tile, hiding the
+#     transfer entirely once (N/D)²/compute_rate >= (N/D·16B)/ici_bw — true
+#     for any shard >= ~100 bodies — but paying per-hop launch/scan latency
+#     ~ D · t_hop (t_hop ≈ 5 µs).
+#
+# Ring therefore wins when the comm time it hides exceeds the hop latency it
+# adds:  N·16B/ici_bw >= D·t_hop  →  N/D >= ici_bw·t_hop/16B ≈ 14k bodies
+# (ici_bw ≈ 45 GB/s/link, t_hop ≈ 5 µs). Rounded to a power of two:
+RING_AUTO_MIN_SHARD = 16384
+
+
+def choose_strategy(num_bodies: int, ndev: int) -> str:
+    """Pick 'ring' vs 'allgather' for a global body count on an ndev ring
+    (see the cost model above). ring_fused is never auto-picked: it is
+    quarantined as experimental until validated on real multi-chip silicon
+    (docs/ROADMAP.md)."""
+    if ndev <= 1:
+        return "allgather"
+    return "ring" if num_bodies // ndev >= RING_AUTO_MIN_SHARD else "allgather"
+
 
 def make_sharded_step(
     mesh: Mesh,
@@ -57,7 +85,9 @@ def make_sharded_step(
     (pos, vel), with pos/vel sharded P(axis, None) over the mesh.
 
     kernel: "pallas" (TPU; interpret=True for CPU testing) or "xla".
-    strategy: "allgather" or "ring".
+    strategy: "allgather", "ring", "ring_fused", or "auto" (cost-model pick
+      between allgather and ring by shard size at trace time; see
+      choose_strategy).
     variant: pallas kernel variant ("vpu" / "mxu" / "mxu_bf16").
     integrator: "euler" (reference parity) or "leapfrog" (symplectic DKD —
       the local shard drifts dt/2 first, the gathered/ring-streamed j-side is
@@ -67,7 +97,7 @@ def make_sharded_step(
         raise ValueError(f"unknown integrator {integrator!r}")
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if strategy not in ("allgather", "ring", "ring_fused"):
+    if strategy not in ("allgather", "ring", "ring_fused", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "ring_fused" and kernel != "pallas":
         raise ValueError("strategy='ring_fused' is a Pallas kernel; use kernel='pallas'")
@@ -149,10 +179,19 @@ def make_sharded_step(
         )
         return integrate(pos_sh, vel_sh, acc, dt, damp)
 
+    def local_auto(pos_sh, vel_sh, dt, soft, damp):
+        # shapes are static under tracing, so this resolves per-shape at
+        # compile time — no runtime branch in the compiled program
+        n_global = pos_sh.shape[0] * ndev
+        if choose_strategy(n_global, ndev) == "ring":
+            return local_ring(pos_sh, vel_sh, dt, soft, damp)
+        return local_allgather(pos_sh, vel_sh, dt, soft, damp)
+
     local = {
         "allgather": local_allgather,
         "ring": local_ring,
         "ring_fused": local_ring_fused,
+        "auto": local_auto,
     }[strategy]
 
     sharded = jax.shard_map(

@@ -73,3 +73,26 @@ def test_indivisible_n_raises(mesh8, random_state_tiny):
     pos, vel = random_state_tiny
     with pytest.raises(ValueError):
         shard_state(mesh8, pos[:333], vel[:333])
+
+
+def test_choose_strategy_cost_model():
+    from nbody_tpu.parallel import choose_strategy
+    from nbody_tpu.parallel.sharded import RING_AUTO_MIN_SHARD
+
+    # single device: nothing to communicate — allgather (a no-op collective)
+    assert choose_strategy(1 << 20, 1) == "allgather"
+    # small shards: per-hop latency dominates, one fused gather wins
+    assert choose_strategy(8 * (RING_AUTO_MIN_SHARD - 8), 8) == "allgather"
+    # large shards: overlapped ring hides the transfer entirely
+    assert choose_strategy(8 * RING_AUTO_MIN_SHARD, 8) == "ring"
+
+
+def test_sharded_auto_matches_single_device(mesh8, random_state_tiny):
+    pos, vel = random_state_tiny
+    ref_p, ref_v = _single_device_reference(pos, vel)
+    ps, vs = shard_state(mesh8, pos, vel)
+    step = make_sharded_step(mesh8, kernel="xla", strategy="auto")
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)
+    assert p1.sharding == ps.sharding
