@@ -40,10 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tipsy", type=str, default=None, help="load a tipsy galaxy file")
     p.add_argument("-i", "--iterations", type=int, default=10,
                    help="benchmark iterations (default 10)")
-    p.add_argument("--blockSize", type=int, default=256, dest="block_size",
-                   help="i-tile height of the Pallas kernel (reference block size)")
+    p.add_argument("--blockSize", type=int, default=None, dest="block_size",
+                   help="i-tile height of the Pallas kernel (reference block "
+                        "size); explicit values win over the autotuner cache")
     # TPU-native extensions
-    p.add_argument("--tile-j", type=int, default=1024, help="j-stream tile width")
+    p.add_argument("--tile-j", type=int, default=None,
+                   help="j-stream tile width; explicit values win over the "
+                        "autotuner cache")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
@@ -144,6 +147,11 @@ def _main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.fp64:
+        jax.config.update("jax_enable_x64", True)
+    if args.interactive and not jax.config.jax_enable_x64:
+        # runtime fp32<->fp64 parity (reference Enter key, controls.cpp:92-94):
+        # x64 must be available from process start for the toggle to work
+        # mid-loop; fp32 state stays fp32 (dtypes are explicit throughout)
         jax.config.update("jax_enable_x64", True)
 
     from nbody_tpu.compute import Compute
@@ -247,7 +255,13 @@ def _main(argv=None) -> int:
     if args.selftest:
         status = _run_selftest(compute)
     elif args.drift_check is not None:
-        compute.drift_check(args.drift_check)
+        drift = compute.drift_check(args.drift_check)
+        # same pass criterion as --selftest, so scripted/CI invocations can
+        # catch drift regressions through the exit-code ladder
+        scale = max(abs(drift["drift_oracle"]), 1e-12)
+        if drift["delta"] > max(5e-4, 0.05 * scale):
+            print("drift check FAILED", file=sys.stderr)
+            status = 1
     elif args.benchmark:
         result = compute.run_benchmark(args.iterations)
         if args.metrics:
@@ -312,7 +326,8 @@ def _run_demo(compute, args) -> int:
 
         controls = Controls(compute, camera)
         print("interactive: space=pause q=quit enter=precision [ ]=demos "
-              "1/2/3=reset c=cycle p=mode o=params w/s=zoom a/e=rotate")
+              "1/2/3=reset c=cycle p=mode o=params w/s=zoom a/e=rotate "
+              "H/J/K/L=translate")
 
     if not args.no_hud:
         from nbody_tpu.ui.hud import draw_hud, hud_lines

@@ -30,7 +30,28 @@ from nbody_tpu.params import (
 QA_TOLERANCE = 5e-4
 QA_DT = 0.001
 
-DEFAULT_NUM_BODIES = 16384
+def default_num_bodies(ndev: int = 1) -> int:
+    """Device-derived default N — the TPU-native analogue of the reference's
+    default ``4 * blockSize * SM-count``
+    (/root/reference/src/nbody/compute_cuda.cpp:113).
+
+    Per TensorCore: 64 i-tiles of DEFAULT_TILE_I (=256) bodies = 16384, the
+    point where a v5e core is decisively compute-bound (step time ~ms vs
+    ~µs dispatch; PARITY.md), scaled by core and device count so bigger
+    meshes default to proportionally more work. On CPU, the reference's CPU
+    default of 4096 (/root/reference/src/nbody/compute_cpu.cpp:31).
+    """
+    import jax
+
+    from nbody_tpu.ops.pallas_kernel import DEFAULT_TILE_I
+
+    if jax.default_backend() == "cpu":
+        return 4096
+    try:
+        cores = int(getattr(jax.devices()[0], "num_cores", 1) or 1)
+    except Exception:
+        cores = 1
+    return 64 * DEFAULT_TILE_I * cores * max(int(ndev), 1)
 
 
 class Compute:
@@ -41,8 +62,8 @@ class Compute:
         fp64: bool = False,
         cycle_demo: bool = True,
         backend: str = "auto",
-        tile_i: int = 256,
-        tile_j: int = 1024,
+        tile_i: Optional[int] = None,
+        tile_j: Optional[int] = None,
         placement: str = "device",
         mesh=None,
         strategy: str = "auto",
@@ -70,7 +91,10 @@ class Compute:
         if tipsy_state is not None:
             num_bodies = tipsy_state[0].shape[0]
         elif num_bodies is None:
-            num_bodies = DEFAULT_NUM_BODIES
+            ndev = 1
+            if mesh is not None:
+                ndev = int(np.prod(list(mesh.shape.values())))
+            num_bodies = default_num_bodies(ndev)
 
         scales = tuned_scales(num_bodies)
         if scales is not None:

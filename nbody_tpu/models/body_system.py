@@ -61,8 +61,8 @@ class BodySystem:
         *,
         dtype=jnp.float32,
         backend: str = "auto",
-        tile_i: int = DEFAULT_TILE_I,
-        tile_j: int = DEFAULT_TILE_J,
+        tile_i: Optional[int] = None,
+        tile_j: Optional[int] = None,
         placement: str = "device",
         mesh=None,
         strategy: str = "auto",
@@ -79,7 +79,9 @@ class BodySystem:
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
-        self._requested_backend = backend  # pre-resolution, for precision switch
+        # pre-resolution values, so a precision switch can re-resolve them
+        self._requested_backend = backend
+        self._requested_interpret = interpret
         if backend == "auto":
             backend = "pallas" if (_default_backend_is_tpu() and dtype == jnp.float32) else "xla"
         if backend == "pallas" and dtype != jnp.float32:
@@ -95,8 +97,12 @@ class BodySystem:
         self.params = params
         self.dtype = dtype
         self.backend = backend
-        self.tile_i = tile_i
-        self.tile_j = tile_j
+        # None = "not specified": defaults apply and the tune cache may
+        # override them; an explicit value always wins (reference --blockSize)
+        explicit_tile_i = tile_i is not None
+        explicit_tile_j = tile_j is not None
+        self.tile_i = tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
+        self.tile_j = tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
         self.placement = placement
         self.mesh = mesh
         self.strategy = strategy
@@ -123,8 +129,19 @@ class BodySystem:
                 resolved = best_config(self.num_bodies)
             if resolved:
                 variant = resolved["variant"]
-                self.tile_i = tile_i = resolved["tile_i"]
-                self.tile_j = tile_j = resolved["tile_j"]
+                if explicit_tile_i or explicit_tile_j:
+                    import warnings
+
+                    warnings.warn(
+                        f"explicit tile sizes (tile_i={tile_i}, tile_j={tile_j}) "
+                        f"override the autotuner cache (tile_i={resolved['tile_i']}, "
+                        f"tile_j={resolved['tile_j']})",
+                        stacklevel=2,
+                    )
+                if not explicit_tile_i:
+                    self.tile_i = tile_i = resolved["tile_i"]
+                if not explicit_tile_j:
+                    self.tile_j = tile_j = resolved["tile_j"]
             else:
                 variant = "vpu"
             self.variant = variant
@@ -325,11 +342,23 @@ class BodySystem:
         equivalent is a compiled scan so per-step host dispatch (expensive
         over a remote-attached chip) disappears."""
         dt = self.params.time_step if dt is None else dt
-        if self.placement == "host" or steps <= 1:
+        if steps <= 1:
             for _ in range(steps):
                 self.update(dt)
             return
         p = self.params
+        if self.placement == "host":
+            # stream host state in ONCE, scan k steps on-device, stream out:
+            # one dispatch instead of k (each costing ~8 ms relay latency),
+            # preserving the zero-copy intent of the reference's host-memory
+            # path (/root/reference/src/nbody/bodysystemcuda_host_memory.cpp:20-32)
+            npos, nvel = self._rollout_fn(steps)(
+                jnp.asarray(self._pos), jnp.asarray(self._vel),
+                dt, p.softening, p.damping,
+            )
+            self._pos = np.asarray(npos)
+            self._vel = np.asarray(nvel)
+            return
         self._pos, self._vel = self._rollout_fn(steps)(
             self._pos, self._vel, dt, p.softening, p.damping
         )
@@ -367,7 +396,7 @@ class BodySystem:
             strategy=self.strategy,
             variant=self.variant,
             integrator=self.integrator,
-            interpret=self.interpret if new_dtype == jnp.float32 else None,
+            interpret=self._requested_interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
             config=self.config,
             seed=self.seed,
@@ -376,6 +405,10 @@ class BodySystem:
                 self.velocities.astype(np.float64 if new_dtype == jnp.float64 else np.float32),
             ),
         )
+        # the fp64 hop is forced onto the XLA path; carry the user's ORIGINAL
+        # request across it so fp32->fp64->fp32 restores the Pallas kernel
+        other._requested_backend = self._requested_backend
+        other._requested_interpret = self._requested_interpret
         return other
 
     # ---- diagnostics ----

@@ -4,8 +4,9 @@ Same key map as the reference (/root/reference/src/nbody/controls.cpp:75-149):
 space=pause, q/Esc=quit, Enter=precision toggle, backquote=sliders panel,
 g=GFLOPs<->interactions HUD toggle, p=display mode cycle, c=toggle demo
 cycling, [ / ]=previous/next demo, d=display off, o=print params,
-1/2/3=reset shell/random/expand. Mouse camera control maps to
-w/a/s/d/arrow-ish keys here (rotate/zoom) since the host is a terminal.
+1/2/3=reset shell/random/expand. Mouse camera control maps to keys since
+the host is a terminal: w/s=zoom, a/e=rotate, and SHIFT+H/J/K/L=translate
+(the reference's shift/middle-drag, controls.cpp:38-55).
 
 The dispatcher is pure: ``Controls.handle(key)`` mutates the engine/camera
 it was built with and returns False when the loop should quit — so it is
@@ -100,6 +101,12 @@ class Controls:
             self.camera.rotate(-25.0, 0.0)
         elif self.camera is not None and key == "e":
             self.camera.rotate(25.0, 0.0)
+        # SHIFT+vim-keys = camera translate, mirroring the reference's
+        # shift/middle-button drag (/root/reference/src/nbody/controls.cpp:38-55)
+        elif self.camera is not None and key in "HJKL":
+            dx = {"H": -25.0, "L": 25.0}.get(key, 0.0)
+            dy = {"J": 25.0, "K": -25.0}.get(key, 0.0)
+            self.camera.translate(dx, dy)
         return True
 
     @staticmethod

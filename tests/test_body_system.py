@@ -57,6 +57,18 @@ def test_host_placement_matches_device():
     np.testing.assert_allclose(a.positions, b.positions, atol=1e-6)
 
 
+def test_host_placement_rollout_single_dispatch():
+    """update_many with placement='host' runs the same scan rollout as the
+    device path (one dispatch), and the state stays host-resident."""
+    a = _sys(placement="device")
+    b = _sys(placement="host")
+    a.update_many(5, 0.01)
+    b.update_many(5, 0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+    assert isinstance(b.state[0], np.ndarray)  # still host-resident
+    assert 5 in b._rollout_cache  # took the scan path, not a Python loop
+
+
 def test_pallas_interpret_backend():
     s = _sys(backend="pallas", tile_i=8, tile_j=128, interpret=True)
     x = _sys(backend="xla")

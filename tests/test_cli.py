@@ -110,11 +110,37 @@ def test_print_params(capsys):
 def test_interactive_quit_via_stdin(tmp_path, capsys, monkeypatch):
     import io
 
+    import jax
+
     monkeypatch.setattr("sys.stdin", io.StringIO("q"))
-    rc = main(["--numbodies", "128", "--frames", "50", "--kernel", "xla",
-               "--no-cycle", "--interactive"])
+    try:
+        rc = main(["--numbodies", "128", "--frames", "50", "--kernel", "xla",
+                   "--no-cycle", "--interactive"])
+    finally:
+        # --interactive enables x64 process-wide; undo for the other tests
+        jax.config.update("jax_enable_x64", False)
     assert rc == 0
     assert "quit" in capsys.readouterr().out
+
+
+def test_interactive_runtime_precision_toggle(capsys, monkeypatch):
+    """Enter mid-loop switches fp32->fp64 with no pre-set env (the reference's
+    free runtime precision switch, compute_cuda.cpp:152-181): --interactive
+    turns x64 on at process start so the toggle is always available."""
+    import io
+
+    import jax
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("\nq"))
+    try:
+        rc = main(["--numbodies", "128", "--frames", "50", "--kernel", "xla",
+                   "--no-cycle", "--interactive"])
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "precision: fp64" in out
+    assert "quit" in out
 
 
 def test_render_writes_metadata_and_hud(tmp_path):

@@ -81,3 +81,21 @@ def test_reset_config():
     p_shell = c.system.positions.copy()
     c.reset(NBodyConfig.EXPAND)
     assert not np.allclose(c.system.positions, p_shell)
+
+
+def test_default_num_bodies_device_derived(monkeypatch):
+    """Default N derives from the device (reference: 4*blockSize*SMs,
+    compute_cuda.cpp:113): 64 i-tiles/core on TPU, CPU reference's 4096."""
+    import jax
+
+    from nbody_tpu.compute import default_num_bodies
+
+    assert default_num_bodies() == 4096  # tests run on the CPU backend
+
+    class FakeDev:
+        num_cores = 2
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
+    assert default_num_bodies() == 64 * 256 * 2
+    assert default_num_bodies(8) == 64 * 256 * 2 * 8

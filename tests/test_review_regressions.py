@@ -25,6 +25,28 @@ def test_precision_switch_preserves_integrator_and_backend():
         jax.config.update("jax_enable_x64", False)
 
 
+def test_precision_round_trip_restores_pallas_backend():
+    """fp32(pallas) -> fp64(xla hop) -> fp32 must come back to the Pallas
+    kernel, not stay latched on the hop's 'xla' (advisor finding r1)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        s = BodySystem(128, NBodyParams(), backend="pallas", seed=0,
+                       tile_i=8, tile_j=128)
+        assert s.backend == "pallas"
+        s64 = s.switch_precision()
+        assert s64.backend == "xla" and s64.dtype == jnp.float64
+        # the user's original request survives the forced-xla hop
+        assert s64._requested_backend == "pallas"
+        s32 = s64.switch_precision()
+        assert s32.backend == "pallas" and s32.dtype == jnp.float32
+        # interpret re-resolves for the current platform (True on CPU)
+        assert s32.interpret == s.interpret
+        s32.update()  # and the restored kernel actually runs
+        assert np.isfinite(s32.positions).all()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_checkpoint_bare_path_roundtrip(tmp_path):
     from nbody_tpu.io import load_checkpoint, save_checkpoint
 
@@ -106,6 +128,76 @@ def test_demo_out_of_range_exits_2():
     rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
                "--no-cycle", "--demo", "9"])
     assert rc == 2
+
+
+def test_explicit_tiles_override_tune_cache(monkeypatch):
+    """--blockSize/--tile-j given explicitly must beat a variant=auto cache
+    hit (judge finding r1: the cache silently overwrote user tiles)."""
+    import warnings
+
+    import nbody_tpu.tune as tune
+    from nbody_tpu.models import body_system as bs_mod
+
+    monkeypatch.setattr(bs_mod, "_default_backend_is_tpu", lambda: True)
+    monkeypatch.setattr(tune, "best_config",
+                        lambda n: {"variant": "mxu_bf16",
+                                   "tile_i": 1024, "tile_j": 8192})
+    # no explicit tiles: the cached winner applies in full
+    s = BodySystem(4096, NBodyParams(), backend="pallas", variant="auto",
+                   interpret=True)
+    assert (s.variant, s.tile_i, s.tile_j) == ("mxu_bf16", 1024, 8192)
+    # explicit tile_i: honored (tile_j stays cache-tuned), with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = BodySystem(4096, NBodyParams(), backend="pallas", variant="auto",
+                       tile_i=512, interpret=True)
+    assert s.tile_i == 512 and s.tile_j == 8192
+    assert any("override the autotuner cache" in str(x.message) for x in w)
+
+
+def test_drift_check_pass_exits_0():
+    from nbody_tpu.cli import main
+
+    rc = main(["--numbodies", "128", "--kernel", "xla", "--drift-check", "2"])
+    assert rc == 0
+
+
+def test_drift_check_failure_exits_1(monkeypatch):
+    """--drift-check must feed the exit-code ladder (advisor finding r1)."""
+    from nbody_tpu import compute as compute_mod
+    from nbody_tpu.cli import main
+
+    monkeypatch.setattr(
+        compute_mod.Compute, "drift_check",
+        lambda self, steps: {"steps": steps, "drift_device": 1.0,
+                             "drift_oracle": 0.0, "delta": 1.0},
+    )
+    rc = main(["--numbodies", "128", "--kernel", "xla", "--drift-check", "2"])
+    assert rc == 1
+
+
+def test_fp32_step_unchanged_by_x64_enable():
+    """--interactive enables x64 at start for the runtime precision toggle;
+    the fp32 path must be bit-stable under it (no incidental f64 promotion)."""
+    from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+    from nbody_tpu.ops.reference import nbody_step_xla
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.5, 2.0, seed=5)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    ref_x = np.asarray(nbody_step_xla(p, v, 0.001, 0.1, 1.0)[0])
+    ref_p = np.asarray(nbody_step_pallas(p, v, 0.001, 0.1, 1.0, tile_i=8,
+                                         tile_j=128, interpret=True)[0])
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p, v = jnp.asarray(pos), jnp.asarray(vel)
+        out_x = nbody_step_xla(p, v, 0.001, 0.1, 1.0)[0]
+        out_p = nbody_step_pallas(p, v, 0.001, 0.1, 1.0, tile_i=8,
+                                  tile_j=128, interpret=True)[0]
+        assert out_x.dtype == jnp.float32 and out_p.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out_x), ref_x)
+        np.testing.assert_array_equal(np.asarray(out_p), ref_p)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_leapfrog_compare_uses_matching_oracle():

@@ -95,6 +95,27 @@ def test_camera_keys():
     assert cam.rotation[1] != 0
 
 
+def test_camera_translate_keys():
+    """SHIFT+H/J/K/L translate the camera (the reference's shift/middle-drag,
+    controls.cpp:38-55 — Camera.translate must be reachable from the loop)."""
+    from nbody_tpu.render import Camera
+
+    c = _compute()
+    cam = Camera(origin=(0, 0, -50))
+    ctl = Controls(c, cam, log=lambda *a: None)
+    x0, y0 = cam.translation[0], cam.translation[1]
+    ctl.handle("L")
+    assert cam.translation[0] > x0
+    ctl.handle("H")
+    ctl.handle("H")
+    assert cam.translation[0] < x0
+    ctl.handle("K")
+    assert cam.translation[1] > y0
+    ctl.handle("J")
+    ctl.handle("J")
+    assert cam.translation[1] < y0
+
+
 # ---- param panel ----
 
 def test_param_clamping_and_percentage():
