@@ -238,11 +238,18 @@ def _scal(dt, softening, damping):
     ).reshape(1, 4)
 
 
+def _ix(*vals):
+    """x64-proof block indices: Mosaic needs i32 index-map outputs, but with
+    jax_enable_x64 python-int constants trace as i64 and fail to legalize
+    (``func.return(i64)``). Cast explicitly so kernels compile either way."""
+    return tuple(jnp.asarray(v, jnp.int32) for v in vals)
+
+
 def _common_specs(tile_i, tile_j):
     return dict(
-        smem=pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        i_tile=pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        j_tile=pl.BlockSpec((4, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        smem=pl.BlockSpec((1, 4), lambda i, j: _ix(0, 0), memory_space=pltpu.SMEM),
+        i_tile=pl.BlockSpec((tile_i, 4), lambda i, j: _ix(i, 0), memory_space=pltpu.VMEM),
+        j_tile=pl.BlockSpec((4, tile_j), lambda i, j: _ix(0, j), memory_space=pltpu.VMEM),
     )
 
 

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nbody_tpu.ops.pallas_kernel import _ix
+
 LANES = 128
 
 
@@ -200,13 +202,13 @@ def ring_accel_fused(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda h, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_i, 4), lambda h, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, m_local), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda h, i: _ix(0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_i, 4), lambda h, i: _ix(i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m_local), lambda h, i: _ix(0, 0), memory_space=pltpu.VMEM),
         ],
         # the accumulator: one (8, M) block revisited by every grid step, so
         # it stays VMEM-resident across all hops and flushes once at the end
-        out_specs=pl.BlockSpec((8, m_local), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, m_local), lambda h, i: _ix(0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, m_local), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 8, m_local), jnp.float32),  # ring double buffer
