@@ -73,6 +73,9 @@ def main() -> int:
     # metric name carries the kernel variant: the headline number is fp32
     # state with a bf16 force-reduction matmul, not a pure-fp32 pipeline
     name = f"fp32_state_bf16_reduce_gflops_n{N}" if on_tpu else f"fp32_gflops_n{N}_cpu_fallback"
+    print("# vs_baseline denominator is NOMINAL (2000 GFLOP/s, a typical "
+          "desktop-GPU run of the CUDA sample; the reference publishes no "
+          "numbers — see BASELINE.md)", file=sys.stderr)
     print(json.dumps({
         "metric": name,
         "value": round(gflops, 1),

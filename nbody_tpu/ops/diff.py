@@ -71,3 +71,51 @@ def rollout_diff(pos, vel, dt, softening, damping, *, steps: int, config=()):
 
     (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
     return pos, vel
+
+
+def make_sharded_step_diff(mesh, *, strategy: str = "auto",
+                           tile_i=None, tile_j=None,
+                           interpret: bool = False, chunk_size=None):
+    """Differentiable body-sharded step over a device mesh.
+
+    Same recompute-for-backward pairing as ``nbody_step_diff``, lifted to
+    multi-chip: forward runs the fused Pallas sharded step; backward
+    differentiates the mathematically identical XLA sharded step (XLA
+    transposes the collectives itself — all_gather ↔ reduce-scatter,
+    ppermute ↔ inverse ppermute). Gradients flow to pos/vel/dt/softening/
+    damping, all staying sharded P('bodies', None).
+    """
+    from nbody_tpu.ops.pallas_kernel import DEFAULT_TILE_I, DEFAULT_TILE_J
+    from nbody_tpu.parallel.sharded import make_sharded_step
+
+    fast = make_sharded_step(
+        mesh, kernel="pallas", strategy=strategy,
+        tile_i=DEFAULT_TILE_I if tile_i is None else tile_i,
+        tile_j=DEFAULT_TILE_J if tile_j is None else tile_j,
+        interpret=interpret,
+    )
+    ref = make_sharded_step(
+        mesh, kernel="xla", strategy=strategy, chunk_size=chunk_size
+    )
+
+    @jax.custom_vjp
+    def step(pos, vel, dt, softening, damping):
+        return fast(pos, vel, dt, softening, damping)
+
+    def fwd(pos, vel, dt, softening, damping):
+        return step(pos, vel, dt, softening, damping), (
+            pos, vel, dt, softening, damping
+        )
+
+    def bwd(residuals, cotangents):
+        pos, vel, dt, softening, damping = residuals
+        import jax.numpy as jnp
+
+        dt = jnp.asarray(dt, pos.dtype)
+        softening = jnp.asarray(softening, pos.dtype)
+        damping = jnp.asarray(damping, pos.dtype)
+        _, vjp = jax.vjp(ref, pos, vel, dt, softening, damping)
+        return vjp(cotangents)
+
+    step.defvjp(fwd, bwd)
+    return step

@@ -26,6 +26,15 @@ DEFAULT_CANDIDATES = (
     ("mxu_bf16", 2048, 8192),
 )
 
+# Drift gate: a candidate only qualifies if its relative energy drift over
+# DRIFT_GATE_STEPS steps agrees with the exact-fp32 `vpu` anchor to within
+# max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor drift|) — the same
+# shape of criterion as the oracle drift check (compute.drift_check), so
+# speed can never silently buy a different simulation (VERDICT r1 §2).
+DRIFT_GATE_STEPS = 100
+DRIFT_GATE_REL = 0.05
+DRIFT_GATE_ABS = 5e-4
+
 
 def _cache_path() -> pathlib.Path:
     root = pathlib.Path(os.environ.get("XDG_CACHE_HOME", "~/.cache")).expanduser()
@@ -60,8 +69,38 @@ def best_config(n: int) -> dict | None:
     return dict(entry) if entry else None
 
 
+def _gate_by_drift(results, drift_of, *, log=print) -> list:
+    """Drop candidates whose energy drift disagrees with the vpu anchor.
+
+    ``drift_of(variant, tile_i, tile_j)`` returns the relative energy drift
+    over DRIFT_GATE_STEPS steps. vpu candidates pass by definition (they ARE
+    the anchor kernel); others must match the anchor's drift to within
+    max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor|)."""
+    anchor = drift_of("vpu", 256, 1024)
+    bound = max(DRIFT_GATE_ABS, DRIFT_GATE_REL * abs(anchor))
+    log(f"drift gate: vpu anchor {anchor:+.3e}, bound {bound:.1e} "
+        f"over {DRIFT_GATE_STEPS} steps")
+    gated = []
+    for r in sorted(results, key=lambda r: -r["g_interactions_per_s"]):
+        if r["variant"] == "vpu":
+            r["drift_delta"] = 0.0
+            gated.append(r)
+            continue
+        delta = abs(drift_of(r["variant"], r["tile_i"], r["tile_j"]) - anchor)
+        r["drift_delta"] = round(delta, 8)
+        if delta <= bound:
+            gated.append(r)
+        else:
+            log(f"  REJECTED {r['variant']} ti={r['tile_i']} "
+                f"tj={r['tile_j']}: drift delta {delta:.2e} > {bound:.1e}")
+    if not gated:
+        raise RuntimeError("every tuning candidate failed the drift gate")
+    return gated
+
+
 def autotune(n: int = 65536, *, steps: int = 20,
-             candidates=DEFAULT_CANDIDATES, save: bool = True, log=print) -> dict:
+             candidates=DEFAULT_CANDIDATES, save: bool = True,
+             drift_gate: bool = True, log=print) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -75,17 +114,32 @@ def autotune(n: int = 65536, *, steps: int = 20,
     pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0)
     p, v = jnp.asarray(pos), jnp.asarray(vel)
 
-    results = []
-    for variant, ti, tj in candidates:
-        def roll_fn(pp, vv, variant=variant, ti=ti, tj=tj):
+    def make_roll(variant, ti, tj, length):
+        def roll_fn(pp, vv):
             def body(s, _):
                 return nbody_step_pallas(
                     *s, 0.016, 0.1, 1.0, tile_i=ti, tile_j=tj, variant=variant
                 ), None
-            (pp, vv), _ = jax.lax.scan(body, (pp, vv), None, length=steps)
+            (pp, vv), _ = jax.lax.scan(body, (pp, vv), None, length=length)
             return pp, vv
+        return jax.jit(roll_fn)
 
-        roll = jax.jit(roll_fn)
+    def energy_f32(pp, vv):
+        from nbody_tpu.ops.energy import kinetic_energy
+        from nbody_tpu.ops.pallas_kernel import potential_energy_pallas
+
+        return float(kinetic_energy(pp, vv) + potential_energy_pallas(pp, 0.1))
+
+    def drift_of(variant, ti, tj):
+        roll = make_roll(variant, ti, tj, DRIFT_GATE_STEPS)
+        e0 = energy_f32(p, v)
+        out = roll(p, v)
+        hard_sync(out)
+        return (energy_f32(*out) - e0) / abs(e0)
+
+    results = []
+    for variant, ti, tj in candidates:
+        roll = make_roll(variant, ti, tj, steps)
         try:
             out = roll(p, v)
             hard_sync(out)
@@ -103,6 +157,10 @@ def autotune(n: int = 65536, *, steps: int = 20,
 
     if not results:
         raise RuntimeError("no tuning candidate succeeded")
+
+    if drift_gate:
+        results = _gate_by_drift(results, drift_of, log=log)
+
     best = max(results, key=lambda r: r["g_interactions_per_s"])
     log(f"best: {best}")
 
@@ -123,8 +181,11 @@ def main(argv=None) -> int:
     ap.add_argument("--numbodies", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument("--no-drift-gate", action="store_true",
+                    help="skip the energy-drift-vs-vpu qualification pass")
     args = ap.parse_args(argv)
-    autotune(args.numbodies, steps=args.steps, save=not args.no_save)
+    autotune(args.numbodies, steps=args.steps, save=not args.no_save,
+             drift_gate=not args.no_drift_gate)
     return 0
 
 

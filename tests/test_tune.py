@@ -52,3 +52,39 @@ def test_corrupt_cache_ignored(tmp_path):
     path.parent.mkdir(parents=True)
     path.write_text("{not json")
     assert tune.best_config(65536) is None
+
+
+def test_drift_gate_rejects_divergent_variants():
+    """The speed winner cannot ship if its energy drift diverges from the
+    exact vpu anchor (VERDICT r1: gate variant=auto on a drift bound)."""
+    results = [
+        {"variant": "vpu", "tile_i": 256, "tile_j": 1024,
+         "g_interactions_per_s": 140.0},
+        {"variant": "mxu_bf16", "tile_i": 1024, "tile_j": 8192,
+         "g_interactions_per_s": 205.0},
+        {"variant": "mxu_bf16", "tile_i": 2048, "tile_j": 8192,
+         "g_interactions_per_s": 210.0},
+    ]
+    drifts = {("vpu", 256, 1024): -1e-3,
+              ("mxu_bf16", 1024, 8192): -1.02e-3,   # within 5% of anchor
+              ("mxu_bf16", 2048, 8192): -9e-3}      # way off: rejected
+    logs = []
+    gated = tune._gate_by_drift(
+        results, lambda v, ti, tj: drifts[(v, ti, tj)], log=logs.append
+    )
+    names = {(r["variant"], r["tile_i"]) for r in gated}
+    assert ("mxu_bf16", 1024) in names
+    assert ("mxu_bf16", 2048) not in names
+    assert ("vpu", 256) in names
+    assert any("REJECTED" in line for line in logs)
+
+
+def test_drift_gate_all_rejected_raises():
+    results = [{"variant": "mxu_bf16", "tile_i": 1024, "tile_j": 8192,
+                "g_interactions_per_s": 205.0}]
+    with pytest.raises(RuntimeError, match="drift gate"):
+        tune._gate_by_drift(
+            results,
+            lambda v, ti, tj: 0.0 if v == "vpu" else 1.0,
+            log=lambda *a: None,
+        )
