@@ -5,6 +5,12 @@ init, demo-0 params (dt=0.016, softening=0.1, damping=1.0), reporting
 GFLOP/s at the reference's 20-flops-per-interaction convention
 (/root/reference/src/nbody/compute.cpp:16-18,118-120).
 
+The kernel is the exact-fp32 `vpu` variant — deliberately NOT the faster
+mxu_bf16 mode: the measured drift table (PARITY.md) shows bf16-reduction
+force noise makes the simulation explode by 10k steps, so its throughput
+would be for a different simulation than the reference runs. vpu is
+measured at 96-100%+ of the chip's VPU roofline (docs/ARCHITECTURE.md).
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is a nominal 2000 fp32 GFLOP/s — the ballpark a modern desktop
 GPU reaches on the CUDA sample's own --benchmark at this N — making
@@ -42,12 +48,12 @@ def main() -> int:
     if on_tpu:
         from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
 
-        # fastest QA-passing configuration measured on v5e: the MXU-hybrid
-        # kernel with bf16 reduction, ti=1024 / tj=8192 (see ops/pallas_kernel)
+        # fastest DRIFT-FAITHFUL configuration measured on v5e: the exact
+        # fp32 vpu kernel (scripts/tpu_perf_sweep.py tile sweep)
         def step(p, v):
             return nbody_step_pallas(p, v, params.time_step, params.softening,
-                                     params.damping, tile_i=1024, tile_j=8192,
-                                     variant="mxu_bf16")
+                                     params.damping, tile_i=256, tile_j=1024,
+                                     variant="vpu")
     else:  # CPU fallback so the bench always reports something
         from nbody_tpu.ops.reference import nbody_step_xla
 
@@ -70,9 +76,9 @@ def main() -> int:
     interactions = N * N * 1e-9 * steps_per_s
     gflops = interactions * 20.0
 
-    # metric name carries the kernel variant: the headline number is fp32
-    # state with a bf16 force-reduction matmul, not a pure-fp32 pipeline
-    name = f"fp32_state_bf16_reduce_gflops_n{N}" if on_tpu else f"fp32_gflops_n{N}_cpu_fallback"
+    # pure exact-fp32 pipeline end to end (the vpu kernel), so the metric
+    # name needs no precision qualifier
+    name = f"fp32_gflops_n{N}" if on_tpu else f"fp32_gflops_n{N}_cpu_fallback"
     print("# vs_baseline denominator is NOMINAL (2000 GFLOP/s, a typical "
           "desktop-GPU run of the CUDA sample; the reference publishes no "
           "numbers — see BASELINE.md)", file=sys.stderr)

@@ -50,9 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
-                   help="pallas kernel variant (mxu offloads the force "
-                        "reduction; auto = autotuner cache when present, "
-                        "else vpu — see nbody-tune)")
+                   help="pallas kernel variant (mxu* offload the force "
+                        "reduction to the MXU; mxu_bf16 is fastest but "
+                        "drift-unfaithful past ~1k steps — see PARITY.md; "
+                        "auto = drift-gated autotuner cache when present, "
+                        "else vpu)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy",

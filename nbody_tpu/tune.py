@@ -28,11 +28,18 @@ DEFAULT_CANDIDATES = (
 
 # Drift gate: a candidate only qualifies if its relative energy drift over
 # DRIFT_GATE_STEPS steps agrees with the exact-fp32 `vpu` anchor to within
-# max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor drift|) — the same
-# shape of criterion as the oracle drift check (compute.drift_check), so
-# speed can never silently buy a different simulation (VERDICT r1 §2).
-DRIFT_GATE_STEPS = 100
-DRIFT_GATE_REL = 0.05
+# max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor drift|) — the same shape of
+# criterion as the oracle drift check (compute.drift_check), so speed can
+# never silently buy a different simulation (VERDICT r1 §2).
+#
+# Constants set from the measured N=65536 table (PARITY.md "Long-horizon
+# drift"): at 1,000 steps mxu_bf16 deviates 4.0% from the vpu anchor and by
+# 10,000 steps it has exploded (drift +1471 vs +0.75) — bf16 reduction noise
+# stochastically heats the system. mxu (3-pass) deviates 0.2%. A 1,000-step
+# window at 2% cleanly rejects the former and passes the latter; 100 steps
+# (0.4% deviation) would NOT have caught it.
+DRIFT_GATE_STEPS = 1000
+DRIFT_GATE_REL = 0.02
 DRIFT_GATE_ABS = 5e-4
 
 

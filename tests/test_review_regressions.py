@@ -196,6 +196,16 @@ def test_fp32_step_unchanged_by_x64_enable():
         assert out_x.dtype == jnp.float32 and out_p.dtype == jnp.float32
         np.testing.assert_array_equal(np.asarray(out_x), ref_x)
         np.testing.assert_array_equal(np.asarray(out_p), ref_p)
+        # the remaining kernel entry points also stay f32 under x64
+        from nbody_tpu.ops.pallas_kernel import (
+            compute_accel_pallas, potential_energy_pallas)
+
+        acc = compute_accel_pallas(p, p, 0.1, tile_i=8, tile_j=128,
+                                   interpret=True)
+        assert acc.dtype == jnp.float32
+        pe = potential_energy_pallas(p, 0.1, tile_i=8, tile_j=128,
+                                     interpret=True)
+        assert pe.dtype == jnp.float32
     finally:
         jax.config.update("jax_enable_x64", False)
 

@@ -65,9 +65,9 @@ def test_drift_gate_rejects_divergent_variants():
         {"variant": "mxu_bf16", "tile_i": 2048, "tile_j": 8192,
          "g_interactions_per_s": 210.0},
     ]
-    drifts = {("vpu", 256, 1024): -1e-3,
-              ("mxu_bf16", 1024, 8192): -1.02e-3,   # within 5% of anchor
-              ("mxu_bf16", 2048, 8192): -9e-3}      # way off: rejected
+    drifts = {("vpu", 256, 1024): 0.566,            # the measured anchor scale
+              ("mxu_bf16", 1024, 8192): 0.571,      # 0.9% off: passes 2% gate
+              ("mxu_bf16", 2048, 8192): 0.589}      # 4.1% off: rejected
     logs = []
     gated = tune._gate_by_drift(
         results, lambda v, ti, tj: drifts[(v, ti, tj)], log=logs.append
