@@ -49,10 +49,10 @@ def main() -> int:
         from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
 
         # fastest DRIFT-FAITHFUL configuration measured on v5e: the exact
-        # fp32 vpu kernel (scripts/tpu_perf_sweep.py tile sweep)
+        # fp32 vpu kernel at ti=64 / tj=32768 (r2 tile sweep, 197 G int/s)
         def step(p, v):
             return nbody_step_pallas(p, v, params.time_step, params.softening,
-                                     params.damping, tile_i=256, tile_j=1024,
+                                     params.damping, tile_i=64, tile_j=32768,
                                      variant="vpu")
     else:  # CPU fallback so the bench always reports something
         from nbody_tpu.ops.reference import nbody_step_xla

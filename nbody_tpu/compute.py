@@ -35,7 +35,7 @@ def default_num_bodies(ndev: int = 1) -> int:
     default ``4 * blockSize * SM-count``
     (/root/reference/src/nbody/compute_cuda.cpp:113).
 
-    Per TensorCore: 64 i-tiles of DEFAULT_TILE_I (=256) bodies = 16384, the
+    Per TensorCore: 256 i-tiles of DEFAULT_TILE_I (=64) bodies = 16384, the
     point where a v5e core is decisively compute-bound (step time ~ms vs
     ~µs dispatch; PARITY.md), scaled by core and device count so bigger
     meshes default to proportionally more work. On CPU, the reference's CPU
@@ -51,7 +51,8 @@ def default_num_bodies(ndev: int = 1) -> int:
         cores = int(getattr(jax.devices()[0], "num_cores", 1) or 1)
     except Exception:
         cores = 1
-    return 64 * DEFAULT_TILE_I * cores * max(int(ndev), 1)
+    tiles_per_core = 16384 // DEFAULT_TILE_I
+    return tiles_per_core * DEFAULT_TILE_I * cores * max(int(ndev), 1)
 
 
 class Compute:

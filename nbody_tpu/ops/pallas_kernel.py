@@ -40,8 +40,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEFAULT_TILE_I = 256
-DEFAULT_TILE_J = 1024
+# Measured sweet spot on v5e (scripts/tpu_perf_sweep.py + the r2 tile
+# sweep): SMALL i-tiles with LARGE streamed j-tiles win — (64, 8192) runs
+# ~35% faster than the r1 default (256, 1024) at N=65536, and (64, 32768)
+# peaks at 197 G int/s. Small ti shortens the per-grid-step dependency
+# chain (3 accumulators of (ti,128) stay register-resident), big tj
+# amortizes grid-step overhead; tj auto-clamps to N so small problems are
+# unaffected.
+DEFAULT_TILE_I = 64
+DEFAULT_TILE_J = 8192
 
 
 def _round_up(x: int, m: int) -> int:

@@ -19,11 +19,12 @@ import pathlib
 import time
 
 DEFAULT_CANDIDATES = (
-    ("vpu", 256, 1024),
+    ("vpu", 64, 32768),
+    ("vpu", 64, 8192),
     ("vpu", 128, 4096),
+    ("vpu", 256, 1024),
     ("mxu_bf16", 512, 4096),
     ("mxu_bf16", 1024, 8192),
-    ("mxu_bf16", 2048, 8192),
 )
 
 # Drift gate: a candidate only qualifies if its relative energy drift over
@@ -83,7 +84,7 @@ def _gate_by_drift(results, drift_of, *, log=print) -> list:
     over DRIFT_GATE_STEPS steps. vpu candidates pass by definition (they ARE
     the anchor kernel); others must match the anchor's drift to within
     max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor|)."""
-    anchor = drift_of("vpu", 256, 1024)
+    anchor = drift_of("vpu", 64, 8192)
     bound = max(DRIFT_GATE_ABS, DRIFT_GATE_REL * abs(anchor))
     log(f"drift gate: vpu anchor {anchor:+.3e}, bound {bound:.1e} "
         f"over {DRIFT_GATE_STEPS} steps")

@@ -85,7 +85,7 @@ def test_reset_config():
 
 def test_default_num_bodies_device_derived(monkeypatch):
     """Default N derives from the device (reference: 4*blockSize*SMs,
-    compute_cuda.cpp:113): 64 i-tiles/core on TPU, CPU reference's 4096."""
+    compute_cuda.cpp:113): 16384 bodies/core on TPU, CPU reference's 4096."""
     import jax
 
     from nbody_tpu.compute import default_num_bodies
@@ -97,5 +97,5 @@ def test_default_num_bodies_device_derived(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "devices", lambda *a: [FakeDev()])
-    assert default_num_bodies() == 64 * 256 * 2
-    assert default_num_bodies(8) == 64 * 256 * 2 * 8
+    assert default_num_bodies() == 16384 * 2
+    assert default_num_bodies(8) == 16384 * 2 * 8
