@@ -113,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the active parameter set (reference 'o' key)")
     p.add_argument("--metrics", type=str, default=None, metavar="PATH",
                    help="append per-report perf metrics as JSON lines")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(view in TensorBoard/Perfetto/XProf)")
     p.add_argument("--version", action="store_true")
     return p
 
@@ -253,29 +256,37 @@ def _main(argv=None) -> int:
     if args.print_params:
         print(compute.active_params.print_values())
 
-    status = 0
-    if args.selftest:
-        status = _run_selftest(compute)
-    elif args.drift_check is not None:
-        drift = compute.drift_check(args.drift_check)
-        # same pass criterion as --selftest, so scripted/CI invocations can
-        # catch drift regressions through the exit-code ladder
-        scale = max(abs(drift["drift_oracle"]), 1e-12)
-        if drift["delta"] > max(5e-4, 0.05 * scale):
-            print("drift check FAILED", file=sys.stderr)
-            status = 1
-    elif args.benchmark:
-        result = compute.run_benchmark(args.iterations)
-        if args.metrics:
-            import json
+    from nbody_tpu.utils.profiling import format_memory_line, trace
 
-            with open(args.metrics, "a") as f:
-                f.write(json.dumps(result) + "\n")
-    elif args.compare or args.qatest:
-        passed = compute.compare_results()
-        status = 0 if passed else 1
-    else:
-        status = _run_demo(compute, args)
+    status = 0
+    with trace(args.profile) as trace_dir:
+        if args.selftest:
+            status = _run_selftest(compute)
+        elif args.drift_check is not None:
+            drift = compute.drift_check(args.drift_check)
+            # same pass criterion as --selftest, so scripted/CI invocations
+            # can catch drift regressions through the exit-code ladder
+            scale = max(abs(drift["drift_oracle"]), 1e-12)
+            if drift["delta"] > max(5e-4, 0.05 * scale):
+                print("drift check FAILED", file=sys.stderr)
+                status = 1
+        elif args.benchmark:
+            result = compute.run_benchmark(args.iterations)
+            mem = format_memory_line()
+            if mem:
+                print(mem)
+            if args.metrics:
+                import json
+
+                with open(args.metrics, "a") as f:
+                    f.write(json.dumps(result) + "\n")
+        elif args.compare or args.qatest:
+            passed = compute.compare_results()
+            status = 0 if passed else 1
+        else:
+            status = _run_demo(compute, args)
+    if trace_dir:
+        print(f"profiler trace written to {trace_dir}")
 
     if args.checkpoint_save:
         from nbody_tpu.io import save_checkpoint

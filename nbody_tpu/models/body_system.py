@@ -323,7 +323,13 @@ class BodySystem:
 
     def update(self, dt: Optional[float] = None) -> None:
         """Advance one step (dt defaults to params.time_step)."""
+        from nbody_tpu.utils.profiling import annotate
+
         dt = self.params.time_step if dt is None else dt
+        with annotate("nbody.step"):
+            self._update_inner(dt)
+
+    def _update_inner(self, dt: float) -> None:
         if self.placement == "host":
             pos = jnp.asarray(self._pos)
             vel = jnp.asarray(self._vel)
@@ -341,11 +347,17 @@ class BodySystem:
         (/root/reference/src/nbody/compute_cuda.cpp:183-195); on TPU the
         equivalent is a compiled scan so per-step host dispatch (expensive
         over a remote-attached chip) disappears."""
+        from nbody_tpu.utils.profiling import annotate
+
         dt = self.params.time_step if dt is None else dt
         if steps <= 1:
             for _ in range(steps):
                 self.update(dt)
             return
+        with annotate(f"nbody.rollout[{steps}]"):
+            self._update_many_inner(steps, dt)
+
+    def _update_many_inner(self, steps: int, dt: float) -> None:
         p = self.params
         if self.placement == "host":
             # stream host state in ONCE, scan k steps on-device, stream out:

@@ -79,3 +79,38 @@ def test_bench_script_emits_json_line():
     data = json.loads(line)
     assert set(data) == {"metric", "value", "unit", "vs_baseline"}
     assert data["value"] > 0
+
+
+def test_annotate_and_memory_stats():
+    from nbody_tpu.utils.profiling import annotate, device_memory_stats
+
+    with annotate("nbody.test"):
+        pass  # must be a cheap, exception-free span even with no trace
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # {} on CPU is fine
+
+
+def test_format_memory_line(monkeypatch):
+    from nbody_tpu.utils import profiling
+
+    monkeypatch.setattr(profiling, "device_memory_stats",
+                        lambda device=None: {"bytes_in_use": 2 << 30,
+                                             "peak_bytes_in_use": 3 << 30,
+                                             "bytes_limit": 16 << 30})
+    line = profiling.format_memory_line()
+    assert "in use 2.00 GiB" in line and "peak 3.00 GiB" in line
+    monkeypatch.setattr(profiling, "device_memory_stats",
+                        lambda device=None: {})
+    assert profiling.format_memory_line() == ""
+
+
+def test_cli_profile_flag_writes_trace(tmp_path, capsys):
+    from nbody_tpu.cli import main
+
+    tdir = tmp_path / "trace"
+    rc = main(["--numbodies", "128", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--profile", str(tdir)])
+    assert rc == 0
+    assert "profiler trace written to" in capsys.readouterr().out
+    assert any(tdir.rglob("*.xplane.pb")) or any(tdir.rglob("*.trace.json*")) \
+        or any(tdir.iterdir()), "trace directory is empty"
