@@ -47,7 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-j", type=int, default=None,
                    help="j-stream tile width; explicit values win over the "
                         "autotuner cache")
-    p.add_argument("--kernel", choices=["auto", "pallas", "xla"], default="auto")
+    p.add_argument("--kernel", choices=["auto", "pallas", "xla", "pm"],
+                   default="auto",
+                   help="compute backend (pm = O(N) particle-mesh far-field "
+                        "solver, resolution-limited accuracy — will not pass "
+                        "--qatest's all-pairs tolerance by design)")
+    p.add_argument("--pm-grid", type=int, default=64,
+                   help="PM mesh resolution per axis (--kernel pm)")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
                    help="pallas kernel variant (mxu* offload the force "
@@ -215,6 +221,7 @@ def _main(argv=None) -> int:
         strategy=args.strategy,
         variant=args.variant,
         integrator=args.integrator,
+        pm_grid=args.pm_grid,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

@@ -72,6 +72,7 @@ class Compute:
         integrator: str = "euler",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
+        pm_grid: int = 64,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
         log=print,
@@ -118,6 +119,7 @@ class Compute:
             integrator=integrator,
             interpret=interpret,
             chunk_size=chunk_size,
+            pm_grid=pm_grid,
             seed=seed,
             state=tipsy_state,
         )

@@ -20,6 +20,8 @@ SURVEY.md §2) map to:
 Backends:
   * "pallas" — the fused TPU kernel (float32)
   * "xla"    — portable jnp path (any backend, fp64-capable)
+  * "pm"     — particle-mesh far-field solver (O(N + G^3 log G),
+               resolution-limited accuracy — see ops/pm.py)
   * "auto"   — pallas on TPU for float32, else xla
 A ``jax.sharding.Mesh`` switches stepping to the body-sharded multi-chip path.
 """
@@ -70,12 +72,15 @@ class BodySystem:
         integrator: str = "euler",
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
+        pm_grid: int = 64,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
     ):
-        if backend not in ("auto", "pallas", "xla"):
+        if backend not in ("auto", "pallas", "xla", "pm"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pm" and mesh is not None:
+            raise ValueError("pm backend is single-device (sharded PM is future work)")
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
@@ -112,6 +117,7 @@ class BodySystem:
         self.integrator = integrator
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
+        self.pm_grid = int(pm_grid)
         self.seed = seed
         self.config = config
 
@@ -248,6 +254,15 @@ class BodySystem:
             return self._sharded_step
         if self.integrator == "leapfrog":
             return self._leapfrog_fn()
+        if self.backend == "pm":
+            from nbody_tpu.ops.pm import nbody_step_pm
+
+            grid = self.pm_grid
+
+            def step(pos, vel, dt, soft, damp):
+                return nbody_step_pm(pos, vel, dt, soft, damp, grid=grid)
+
+            return step
         if self.backend == "pallas":
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             variant = self.variant
@@ -273,6 +288,19 @@ class BodySystem:
         from nbody_tpu.ops.reference import nbody_step_leapfrog
 
         chunk = self.chunk_size
+        if self.backend == "pm":
+            from nbody_tpu.ops.pm import pm_accel
+
+            grid = self.pm_grid
+
+            def step(pos, vel, dt, soft, damp):
+                def accel_fn(p4):
+                    return pm_accel(p4, grid=grid)
+
+                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
+                                           accel_fn=accel_fn)
+
+            return step
         if self.backend == "pallas":
             from nbody_tpu.ops.pallas_kernel import compute_accel_pallas
 
@@ -410,6 +438,7 @@ class BodySystem:
             integrator=self.integrator,
             interpret=self._requested_interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
+            pm_grid=self.pm_grid,
             config=self.config,
             seed=self.seed,
             state=(
