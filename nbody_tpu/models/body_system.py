@@ -79,8 +79,6 @@ class BodySystem:
     ):
         if backend not in ("auto", "pallas", "xla", "pm"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "pm" and mesh is not None:
-            raise ValueError("pm backend is single-device (sharded PM is future work)")
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
@@ -155,19 +153,26 @@ class BodySystem:
         self._rollout_cache: dict = {}
         self._sharded_step = None
         if mesh is not None:
-            from nbody_tpu.parallel import make_sharded_step
+            if backend == "pm":
+                from nbody_tpu.ops.pm import make_sharded_pm_step
 
-            self._sharded_step = make_sharded_step(
-                mesh,
-                kernel=backend,
-                strategy=strategy,
-                tile_i=tile_i,
-                tile_j=tile_j,
-                interpret=self.interpret,
-                chunk_size=chunk_size,
-                variant=variant,
-                integrator=integrator,
-            )
+                self._sharded_step = make_sharded_pm_step(
+                    mesh, grid=self.pm_grid, integrator=integrator
+                )
+            else:
+                from nbody_tpu.parallel import make_sharded_step
+
+                self._sharded_step = make_sharded_step(
+                    mesh,
+                    kernel=backend,
+                    strategy=strategy,
+                    tile_i=tile_i,
+                    tile_j=tile_j,
+                    interpret=self.interpret,
+                    chunk_size=chunk_size,
+                    variant=variant,
+                    integrator=integrator,
+                )
 
         if state is not None:
             pos, vel = state

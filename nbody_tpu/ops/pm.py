@@ -20,6 +20,12 @@ Accuracy is resolution-limited: forces are smooth below the cell scale
 tests pin the RMS force error vs the exact direct sum. For production
 accuracy at small N, use the exact kernels; PM is for N where O(N^2) is
 unaffordable or as the far-field half of a future P3M split.
+
+Multi-chip (``make_sharded_pm_step``): bodies shard over the mesh; each
+chip deposits its shard locally, ONE ``psum`` of the G^3 density grid
+(~1 MiB at G=64) replicates the mass field, the FFT solve runs redundantly
+per chip (a few ms), and each chip gathers forces for its own shard —
+deposit/gather scale 1/D, the only collective is the grid reduction.
 """
 
 from __future__ import annotations
@@ -28,6 +34,25 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+
+def _fit_box(pos3, grid: int, *, axis: str | None = None):
+    """Particle-fitting bounding box -> (lo corner (3,), cell size h).
+
+    With `axis`, reduces the extremes across a shard_map mesh axis so every
+    device agrees on one global box.
+    """
+    f32 = jnp.float32
+    lo_raw = jnp.min(pos3, axis=0)
+    hi_raw = jnp.max(pos3, axis=0)
+    if axis is not None:
+        lo_raw = jax.lax.pmin(lo_raw, axis)
+        hi_raw = jax.lax.pmax(hi_raw, axis)
+    span = jnp.max(hi_raw - lo_raw)
+    h = span / f32(grid - 4) + f32(1e-30)  # 2-cell margin each side
+    center = (lo_raw + hi_raw) / 2.0
+    lo = center - h * f32(grid) / 2.0
+    return lo, h
 
 
 def _cic_indices_weights(pos3, lo, h, grid: int):
@@ -56,38 +81,20 @@ def _cic_indices_weights(pos3, lo, h, grid: int):
     return jnp.stack(idxs), jnp.stack(weights)
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def pm_accel(pos, *, grid: int = 64):
-    """(N, 4) [x,y,z,m] -> (N, 3) far-field accelerations.
+def _deposit(idx, w, mass, grid: int):
+    """CIC scatter-add -> flat (grid^3,) density grid."""
+    rho = jnp.zeros(grid * grid * grid, jnp.float32)
+    return rho.at[idx.reshape(-1)].add((w * mass[None, :]).reshape(-1))
 
-    Isolated (non-periodic) boundary conditions via the zero-padding
-    trick: the density lives on a grid^3 mesh, the convolution runs on a
-    (2*grid)^3 zero-padded mesh with the open-space kernel 1/r, so no
-    periodic images pollute the forces.
+
+def _solve_force_grids(rho_flat, h, grid: int):
+    """Isolated-BC Poisson solve; returns 3 flat (grid^3,) accel grids.
+
+    phi = -conv(rho, 1/r) on the 2G zero-padded mesh, a = -grad(phi) =
+    +grad(conv); gradient applied spectrally (i*k multiply).
     """
-    if pos.shape[-1] != 4:
-        raise ValueError("pm_accel expects (N, 4) [x,y,z,m]")
     f32 = jnp.float32
-    pos3 = pos[:, :3].astype(f32)
-    mass = pos[:, 3].astype(f32)
-
-    # fit the box to the particles with a 2-cell margin (dynamic values,
-    # static shapes -> no recompilation as the system expands)
-    lo_raw = jnp.min(pos3, axis=0)
-    hi_raw = jnp.max(pos3, axis=0)
-    span = jnp.max(hi_raw - lo_raw)
-    h = span / f32(grid - 4) + f32(1e-30)  # cell size
-    center = (lo_raw + hi_raw) / 2.0
-    lo = center - h * f32(grid) / 2.0
-
-    # 1. deposit (CIC scatter-add)
-    idx, w = _cic_indices_weights(pos3, lo, h, grid)
-    rho = jnp.zeros(grid * grid * grid, f32)
-    rho = rho.at[idx.reshape(-1)].add((w * mass[None, :]).reshape(-1))
-    rho = rho.reshape(grid, grid, grid)
-
-    # 2. Poisson solve on the 2G padded mesh: phi = -conv(rho, 1/r),
-    #    a = -grad(phi) = +grad(conv); spectral gradient = i*k multiply
+    rho = rho_flat.reshape(grid, grid, grid)
     gp = 2 * grid
     rho_p = jnp.zeros((gp, gp, gp), f32).at[:grid, :grid, :grid].set(rho)
 
@@ -100,22 +107,34 @@ def pm_accel(pos, *, grid: int = 64):
           + d[None, None, :] ** 2)
     kernel = jnp.where(r2 > 0, 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-30)), 0.0)
 
-    rho_k = jnp.fft.fftn(rho_p)
-    conv_k = rho_k * jnp.fft.fftn(kernel)
-
+    conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
     k1 = (2.0 * jnp.pi) * jnp.fft.fftfreq(gp, d=h).astype(f32)
-    acc = []
+    grids = []
     for axis in range(3):
         shape = [1, 1, 1]
         shape[axis] = gp
         kv = k1.reshape(shape)
-        grad_k = conv_k * (1j * kv)
-        grad = jnp.real(jnp.fft.ifftn(grad_k)).astype(f32)
-        acc.append(grad[:grid, :grid, :grid].reshape(-1))
+        grad = jnp.real(jnp.fft.ifftn(conv_k * (1j * kv))).astype(f32)
+        grids.append(grad[:grid, :grid, :grid].reshape(-1))
+    return grids
 
-    # 3. gather (CIC interpolation of the force grids)
-    out = [jnp.sum(g[idx] * w, axis=0) for g in acc]
-    return jnp.stack(out, axis=1)
+
+def _gather(force_grids, idx, w):
+    return jnp.stack([jnp.sum(g[idx] * w, axis=0) for g in force_grids],
+                     axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def pm_accel(pos, *, grid: int = 64):
+    """(N, 4) [x,y,z,m] -> (N, 3) far-field accelerations (single device)."""
+    if pos.shape[-1] != 4:
+        raise ValueError("pm_accel expects (N, 4) [x,y,z,m]")
+    pos3 = pos[:, :3].astype(jnp.float32)
+    mass = pos[:, 3].astype(jnp.float32)
+    lo, h = _fit_box(pos3, grid)
+    idx, w = _cic_indices_weights(pos3, lo, h, grid)
+    rho = _deposit(idx, w, mass, grid)
+    return _gather(_solve_force_grids(rho, h, grid), idx, w)
 
 
 def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
@@ -127,6 +146,10 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
     """
     del softening
     a = pm_accel(pos, grid=grid)
+    return _integrate(pos, vel, a, dt, damping)
+
+
+def _integrate(pos, vel, a, dt, damping):
     dt = jnp.asarray(dt, pos.dtype)
     damping = jnp.asarray(damping, pos.dtype)
     v3 = (vel[:, :3] + a * dt) * damping
@@ -134,3 +157,58 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
     new_pos = jnp.concatenate([p3, pos[:, 3:4]], axis=1)
     new_vel = jnp.concatenate([v3, vel[:, 3:4]], axis=1)
     return new_pos, new_vel
+
+
+def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
+                         integrator: str = "euler"):
+    """Body-sharded PM step over a mesh: (pos, vel, dt, soft, damp) ->
+    (pos, vel), pos/vel sharded P(axis, None).
+
+    Per chip: local CIC deposit of its body shard, one psum of the G^3
+    density grid over ICI, a (redundant, cheap) per-chip FFT solve, local
+    gather — the multi-chip structure where only O(G^3) bytes move.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+
+    def accel_local(pos_sh):
+        pos3 = pos_sh[:, :3].astype(jnp.float32)
+        mass = pos_sh[:, 3].astype(jnp.float32)
+        lo, h = _fit_box(pos3, grid, axis=axis)
+        idx, w = _cic_indices_weights(pos3, lo, h, grid)
+        rho = jax.lax.psum(_deposit(idx, w, mass, grid), axis)
+        return _gather(_solve_force_grids(rho, h, grid), idx, w)
+
+    def local(pos_sh, vel_sh, dt, soft, damp):
+        del soft
+        if integrator == "leapfrog":
+            half = pos_sh[:, :3] + vel_sh[:, :3] * (dt / 2)
+            pos_half = jnp.concatenate([half, pos_sh[:, 3:4]], axis=1)
+            a = accel_local(pos_half)
+            v3 = (vel_sh[:, :3] + a * dt) * damp
+            p3 = pos_half[:, :3] + v3 * (dt / 2)
+            return (jnp.concatenate([p3, pos_sh[:, 3:4]], axis=1),
+                    jnp.concatenate([v3, vel_sh[:, 3:4]], axis=1))
+        a = accel_local(pos_sh)
+        return _integrate(pos_sh, vel_sh, a, dt, damp)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(pos, vel, dt, softening, damping):
+        return sharded(
+            pos, vel,
+            jnp.asarray(dt, pos.dtype),
+            jnp.asarray(softening, pos.dtype),
+            jnp.asarray(damping, pos.dtype),
+        )
+
+    return step

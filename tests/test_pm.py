@@ -83,15 +83,38 @@ def test_pm_step_and_body_system():
     np.testing.assert_array_equal(np.asarray(p1)[:, 3], pos[:, 3])  # mass kept
 
 
-def test_pm_rejects_mesh():
+def test_sharded_pm_matches_single_device(cloud):
+    """Body-sharded PM (local deposit + grid psum + local gather) must
+    reproduce the single-device solve: same global box, same mass field."""
+    from nbody_tpu.ops.pm import make_sharded_pm_step, nbody_step_pm
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    ref_p, ref_v = nbody_step_pm(pos, vel, 0.001, 0.1, 1.0, grid=32)
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    step = make_sharded_pm_step(mesh, grid=32)
+    p1, v1 = step(ps, vs, 0.001, 0.1, 1.0)
+    assert p1.sharding == ps.sharding
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_pm_leapfrog_via_body_system(cloud):
     from nbody_tpu.models import BodySystem
     from nbody_tpu.params import NBodyParams
     from nbody_tpu.parallel import make_mesh
 
-    if len(jax.devices()) < 2:
-        pytest.skip("needs >1 device")
-    with pytest.raises(ValueError, match="single-device"):
-        BodySystem(128, NBodyParams(), backend="pm", mesh=make_mesh(2))
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = BodySystem(512, NBodyParams(), backend="pm", pm_grid=32,
+                   mesh=make_mesh(8), integrator="leapfrog", seed=0)
+    s.update_many(3, 0.001)
+    assert np.isfinite(s.positions).all()
 
 
 def test_cli_pm_kernel_demo(capsys):
