@@ -1,5 +1,13 @@
-"""Device compute ops: XLA (jnp) reference path, Pallas TPU kernels, energy."""
+"""Device compute ops: XLA (jnp) reference path, Pallas TPU kernels,
+particle-mesh far-field solver, energy diagnostics, differentiable steps."""
 
 from nbody_tpu.ops.reference import nbody_step_xla, compute_accel_xla
+from nbody_tpu.ops.pm import make_sharded_pm_step, nbody_step_pm, pm_accel
 
-__all__ = ["nbody_step_xla", "compute_accel_xla"]
+__all__ = [
+    "nbody_step_xla",
+    "compute_accel_xla",
+    "pm_accel",
+    "nbody_step_pm",
+    "make_sharded_pm_step",
+]

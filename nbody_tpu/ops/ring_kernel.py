@@ -176,6 +176,15 @@ def ring_accel_fused(
         raise TypeError("ring_fused is float32-only")
     m_real = pos_shard.shape[0]
     tile_i = min(tile_i, max(8, (m_real // 8) * 8) or 8)
+    if not interpret and tile_i % LANES:
+        # the per-tile accumulator store accout_ref[0:1, i*tile_i : ...] is a
+        # lane-dimension slice; Mosaic requires 128-aligned offsets compiled
+        raise ValueError(
+            f"compiled ring_fused needs tile_i to be a multiple of {LANES} "
+            f"(lane-aligned accumulator stores); got tile_i={tile_i} after "
+            f"clamping to the {m_real}-body shard. Use a larger shard/tile "
+            f"or interpret=True."
+        )
     # zero-mass-pad the shard to a lane/tile multiple (uniform across devices,
     # so ring transfers stay shape-identical; padding exerts no force)
     m_local = max(math.lcm(tile_i, LANES),

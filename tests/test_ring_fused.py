@@ -64,3 +64,23 @@ def test_ring_fused_nonmultiple_shards_padded():
     acc = _accel_via_mesh(pos, 8, tile_i=32)
     ref = np.asarray(compute_accel_xla(jnp.asarray(pos), SOFT))
     np.testing.assert_allclose(acc, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_compiled_ring_fused_requires_lane_aligned_tiles(random_state_tiny):
+    """Compiled (non-interpret) ring_fused must fail fast with an actionable
+    error when tile_i is not 128-aligned — Mosaic otherwise dies late with
+    'cannot statically prove index is a multiple of 128' (found r2 on-chip)."""
+    import jax
+    import pytest
+
+    from nbody_tpu.parallel import make_mesh, make_sharded_step, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8)
+    pos, vel = random_state_tiny
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="ring_fused",
+                             tile_i=8, interpret=False)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        step(ps, vs, 0.001, 0.1, 1.0)
