@@ -69,9 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-device communication strategy (auto = "
                         "cost-model pick between allgather and ring by "
                         "shard size)")
-    p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
+    p.add_argument("--integrator", choices=["euler", "leapfrog", "hermite"],
+                   default="euler",
                    help="euler = reference's damped semi-implicit Euler; "
-                        "leapfrog = symplectic DKD (bounded energy drift)")
+                        "leapfrog = symplectic DKD (bounded energy drift); "
+                        "hermite = 4th-order predictor-corrector (2 force "
+                        "evals/step, O(dt^4) accuracy)")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
     p.add_argument("--config", choices=["shell", "random", "expand", "galaxy"],
                    default="shell",

@@ -110,7 +110,7 @@ class BodySystem:
         self.mesh = mesh
         self.strategy = strategy
         self.variant = variant
-        if integrator not in ("euler", "leapfrog"):
+        if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(f"unknown integrator {integrator!r}")
         self.integrator = integrator
         self.interpret = bool(interpret)
@@ -257,6 +257,20 @@ class BodySystem:
         """(pos, vel, dt, softening, damping) -> (pos, vel), jit-compatible."""
         if self._sharded_step is not None:
             return self._sharded_step
+        if self.integrator == "hermite":
+            # 4th-order predictor-corrector; the acc+jerk evaluation runs on
+            # the XLA path for every backend (a fused Pallas acc+jerk kernel
+            # is future work — 2 force passes/step make it the accuracy
+            # mode, not the speed mode)
+            from nbody_tpu.ops.reference import nbody_step_hermite
+
+            chunk = self.chunk_size
+
+            def step(pos, vel, dt, soft, damp):
+                return nbody_step_hermite(pos, vel, dt, soft, damp,
+                                          chunk_size=chunk)
+
+            return step
         if self.integrator == "leapfrog":
             return self._leapfrog_fn()
         if self.backend == "pm":

@@ -128,6 +128,81 @@ def nbody_step_leapfrog(pos, vel, dt, softening, damping, *, accel_fn=None,
     return new_pos, new_vel
 
 
+def _accel_jerk_rows(rows_p, rows_v, all_p, all_v, all_m, eps2):
+    """(C,3) acceleration AND jerk on the row set due to all bodies.
+
+    jerk = da/dt = sum_j m_j [ v_ij / r^3 - 3 (r_ij . v_ij) r_ij / r^5 ]
+    with the softened r^2 = |r_ij|^2 + eps^2 (self pair contributes 0)."""
+    dx = all_p[None, :, :] - rows_p[:, None, :]  # (C, N, 3)
+    dv = all_v[None, :, :] - rows_v[:, None, :]
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2  # (C, N)
+    inv = jax.lax.rsqrt(r2)
+    inv3 = inv * inv * inv
+    s = all_m[None, :] * inv3
+    rv = jnp.sum(dx * dv, axis=-1)  # (C, N)
+    acc = jnp.einsum("cn,cnk->ck", s, dx)
+    jerk = (jnp.einsum("cn,cnk->ck", s, dv)
+            - 3.0 * jnp.einsum("cn,cnk->ck", s * rv / r2, dx))
+    return acc, jerk
+
+
+def compute_accel_jerk_xla(pos, vel, softening, *, chunk_size: int | None = None):
+    """(acc, jerk), each (N,3), for AoS state — the Hermite scheme's force
+    evaluation (Makino & Aarseth 1992; the arXiv astro-ph/0511062 Hermite
+    direct-integration family from PAPERS.md)."""
+    n = pos.shape[0]
+    p3, v3, m = pos[:, :3], vel[:, :3], pos[:, 3]
+    eps2 = jnp.asarray(softening, pos.dtype) ** 2
+    c, n_pad = _chunk_and_pad(n, chunk_size)
+    if c == n:
+        return _accel_jerk_rows(p3, v3, p3, v3, m, eps2)
+    if n_pad != n:
+        p3p = jnp.pad(p3, ((0, n_pad - n), (0, 0)))
+        v3p = jnp.pad(v3, ((0, n_pad - n), (0, 0)))
+    else:
+        p3p, v3p = p3, v3
+    rows_p = p3p.reshape(n_pad // c, c, 3)
+    rows_v = v3p.reshape(n_pad // c, c, 3)
+    acc, jerk = jax.lax.map(
+        lambda rv: _accel_jerk_rows(rv[0], rv[1], p3, v3, m, eps2),
+        (rows_p, rows_v),
+    )
+    return acc.reshape(n_pad, 3)[:n], jerk.reshape(n_pad, 3)[:n]
+
+
+def nbody_step_hermite(pos, vel, dt, softening, damping,
+                       *, chunk_size: int | None = None):
+    """4th-order Hermite predictor-corrector step, P(EC) form:
+
+        predict:  x_p = x + v dt + a0 dt²/2 + j0 dt³/6
+                  v_p = v + a0 dt + j0 dt²/2
+        evaluate: (a1, j1) at the predicted state
+        correct:  v1 = v + dt/2 (a0+a1) + dt²/12 (j0−j1)
+                  x1 = x + dt/2 (v +v1) + dt²/12 (a0−a1)
+
+    then the reference's damping multiplier on v1 for interface parity.
+    Two force evaluations per step buy O(dt⁴) local accuracy — the
+    collisional-dynamics workhorse integrator (Makino & Aarseth 1992).
+    """
+    dt = jnp.asarray(dt, pos.dtype)
+    damping = jnp.asarray(damping, pos.dtype)
+    x0, v0 = pos[:, :3], vel[:, :3]
+    a0, j0 = compute_accel_jerk_xla(pos, vel, softening, chunk_size=chunk_size)
+
+    xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
+    vp = v0 + a0 * dt + j0 * (dt * dt / 2)
+    pos_p = jnp.concatenate([xp, pos[:, 3:4]], axis=1)
+    vel_p = jnp.concatenate([vp, vel[:, 3:4]], axis=1)
+    a1, j1 = compute_accel_jerk_xla(pos_p, vel_p, softening,
+                                    chunk_size=chunk_size)
+
+    v1 = (v0 + (dt / 2) * (a0 + a1) + (dt * dt / 12) * (j0 - j1)) * damping
+    x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)
+    new_pos = jnp.concatenate([x1, pos[:, 3:4]], axis=1)
+    new_vel = jnp.concatenate([v1, vel[:, 3:4]], axis=1)
+    return new_pos, new_vel
+
+
 @functools.partial(jax.jit, static_argnames=("steps", "chunk_size"), donate_argnums=(0, 1))
 def rollout_xla(pos, vel, dt, softening, damping, *, steps: int, chunk_size: int | None = None):
     """`steps` integration steps under one jit, via lax.scan (compiler-friendly

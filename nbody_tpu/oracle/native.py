@@ -112,6 +112,12 @@ def step_native_leapfrog(pos, vel, dt, softening, damping):
 def step(pos, vel, dt, softening, damping, integrator: str = "euler"):
     """Best available CPU oracle step (native if built, else NumPy), with the
     integrator matching the device's (QA must compare like with like)."""
+    if integrator == "hermite":
+        # jerk evaluation lives only in the NumPy oracle (the native engine
+        # computes forces, not their time derivatives)
+        from nbody_tpu.oracle.numpy_oracle import step_numpy_hermite
+
+        return step_numpy_hermite(pos, vel, dt, softening, damping)
     if integrator == "leapfrog":
         if native_available():
             return step_native_leapfrog(pos, vel, dt, softening, damping)
