@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="camera origin override (default: demo preset's)")
     p.add_argument("--sprite-size", type=float, default=1.0,
                    help="point sprite size (reference Point Size slider)")
+    p.add_argument("--splat", type=int, default=None,
+                   help="splat patch size in pixels (max sprite extent); "
+                        "default 16, or 8 above 262144 bodies (the scatter "
+                        "cost scales with N*splat^2)")
     p.add_argument("--brightness", type=float, default=0.3,
                    help="splat additive intensity (source-alpha analogue)")
     p.add_argument("--checkpoint-save", type=str, default=None)
@@ -336,7 +340,10 @@ def _run_demo(compute, args) -> int:
         import pathlib
 
         width, height = (1920, 1080) if args.fullscreen else (args.width, args.height)
-        renderer = FrameRenderer(width=width, height=height)
+        splat = args.splat
+        if splat is None:
+            splat = 16 if compute.num_bodies <= 262144 else 8
+        renderer = FrameRenderer(width=width, height=height, splat=splat)
         if args.render:
             outdir = pathlib.Path(args.outdir)
             outdir.mkdir(parents=True, exist_ok=True)

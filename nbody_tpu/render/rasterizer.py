@@ -51,20 +51,29 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
     k = splat
     p3 = pos[:, :3].astype(jnp.float32)
 
-    # per-body base color: B, G, R cycle (white for non-color modes)
+    # Scatter layout (the hot op at 1M bodies): the body color cycle takes
+    # only THREE values (B/G/R, initialise_colours), so instead of scattering
+    # (N*K*K, 3) rgb payloads with 2-D indices we scatter SCALAR weights with
+    # pre-flattened 1-D indices into per-color-class planes — 3x less
+    # payload and a scatter shape XLA lowers far better on TPU (measured
+    # 16.5 s -> see PARITY.md for the r2 number at 1M bodies).
     idx = jnp.arange(n)
     if mode == "sprites_color":
-        sel = idx % 3
-        base = jnp.stack(
-            [(sel == 2).astype(jnp.float32),
-             (sel == 1).astype(jnp.float32),
-             (sel == 0).astype(jnp.float32)],
-            axis=1,
-        )
-        base = 0.6 + 0.4 * base  # fragment-shader modulation
+        nclass = 3
+        cls = (idx % 3).astype(jnp.int32)
+        # class c colors body i%3==c: B, G, R, modulated like the fragment
+        # shader (0.6 + 0.4*color), then tinted
+        onehot = jnp.stack([
+            jnp.array([0.0, 0.0, 1.0]),  # i%3==0 -> blue
+            jnp.array([0.0, 1.0, 0.0]),  # i%3==1 -> green
+            jnp.array([1.0, 0.0, 0.0]),  # i%3==2 -> red
+        ])
+        class_rgb = (0.6 + 0.4 * onehot) * tint[None, :]
     else:
-        base = jnp.ones((n, 3), jnp.float32)
-    rgb = base * tint[None, :]
+        nclass = 1
+        cls = jnp.zeros((n,), jnp.int32)
+        class_rgb = tint[None, :]
+    planes_len = nclass * height * width
 
     eye = p3 @ mv[:3, :3].T + mv[:3, 3]
     clip = eye @ proj[:3, :3].T + proj[:3, 3]
@@ -80,7 +89,7 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
         size = jnp.clip(500.0 * sprite_size / (1.0 - eye[:, 2]), 1.0, float(k))
 
     def splat_chunk(args):
-        sx_c, sy_c, size_c, rgb_c, valid_c = args
+        sx_c, sy_c, size_c, cls_c, valid_c = args
         m = sx_c.shape[0]
         # integer pixel indices around the body; weights are evaluated at
         # PIXEL CENTERS (index + 0.5) so size~1 sprites neither vanish nor
@@ -101,14 +110,18 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
             d = jnp.minimum(jnp.broadcast_to(d, (m, k, k)), 1.0)
             w = 2 * d**3 - 3 * d**2 + 1  # Hermite splat
             w = w * valid_c[:, None, None] * brightness
-        pxi = jnp.broadcast_to(px, (m, k, k)).astype(jnp.int32).reshape(-1)
-        pyi = jnp.broadcast_to(py, (m, k, k)).astype(jnp.int32).reshape(-1)
-        contrib = w.reshape(-1, 1) * jnp.repeat(rgb_c, k * k, axis=0)
-        img = jnp.zeros((height, width, 3), jnp.float32)
-        return img.at[pyi, pxi, :].add(contrib, mode="drop")
+        pxi = jnp.broadcast_to(px, (m, k, k)).astype(jnp.int32)
+        pyi = jnp.broadcast_to(py, (m, k, k)).astype(jnp.int32)
+        inb = (pxi >= 0) & (pxi < width) & (pyi >= 0) & (pyi < height)
+        flat = (cls_c[:, None, None] * (height * width)
+                + pyi * width + pxi)
+        # out-of-frame pixels route to a sacrificial trailing slot
+        flat = jnp.where(inb, flat, planes_len)
+        buf = jnp.zeros((planes_len + 1,), jnp.float32)
+        return buf.at[flat.reshape(-1)].add(w.reshape(-1))
 
     if n <= chunk:
-        acc = splat_chunk((sx, sy, size, rgb, valid.astype(jnp.float32)))
+        acc = splat_chunk((sx, sy, size, cls, valid.astype(jnp.float32)))
     else:
         c = chunk
         n_pad = ((n + c - 1) // c) * c
@@ -120,12 +133,14 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
             )
 
         chunks = (
-            padded(sx), padded(sy), padded(size), padded(rgb),
+            padded(sx), padded(sy), padded(size), padded(cls),
             padded(valid.astype(jnp.float32)),
         )
         acc = jax.lax.map(splat_chunk, chunks).sum(axis=0)
 
-    return (jnp.clip(acc, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    planes = acc[:planes_len].reshape(nclass, height, width)
+    img = jnp.einsum("chw,ck->hwk", planes, class_rgb)
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 class FrameRenderer:
