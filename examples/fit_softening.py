@@ -10,7 +10,6 @@ Runs anywhere (CPU included): ``python examples/fit_softening.py``.
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from nbody_tpu import NBodyConfig, ic
 from nbody_tpu.ops.diff import rollout_diff
@@ -20,8 +19,8 @@ STEPS = 8
 DT = 0.005
 TRUE_SOFTENING = 0.30
 INIT_SOFTENING = 0.10
-LR = 0.02
-ITERS = 120
+MAX_STEP = 0.05  # trust region for the Newton update
+ITERS = 30
 
 
 def main():
@@ -34,17 +33,19 @@ def main():
         p, _ = rollout_diff(p0, v0, DT, softening, 1.0, steps=STEPS)
         return jnp.mean((p[:, :3] - target[:, :3]) ** 2)
 
+    # second-order fit: jax gives the curvature for free (grad of grad
+    # through the whole rollout), so a trust-region Newton step handles the
+    # decades-spanning gradient scale a fixed-lr descent would stall on
     grad = jax.jit(jax.value_and_grad(loss))
-    # Adam: the raw gradient spans decades as the fit converges, so a
-    # fixed-step descent stalls — normalize per-step instead
-    opt = optax.adam(LR)
+    curv = jax.jit(jax.grad(jax.grad(loss)))
     s = jnp.float32(INIT_SOFTENING)
-    opt_state = opt.init(s)
     for i in range(ITERS):
         val, g = grad(s)
-        updates, opt_state = opt.update(g, opt_state)
-        s = optax.apply_updates(s, updates)
-        if i % 20 == 0 or i == ITERS - 1:
+        h = curv(s)
+        step = jnp.clip(g / jnp.maximum(jnp.abs(h), 1e-12),
+                        -MAX_STEP, MAX_STEP)
+        s = s - step
+        if i % 5 == 0 or i == ITERS - 1:
             print(f"iter {i:3d}  loss={float(val):.3e}  softening={float(s):.4f}")
 
     err = abs(float(s) - TRUE_SOFTENING)

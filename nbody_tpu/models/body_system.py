@@ -112,6 +112,17 @@ class BodySystem:
         self.variant = variant
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(f"unknown integrator {integrator!r}")
+        if integrator == "hermite" and backend == "pm":
+            raise ValueError(
+                "integrator='hermite' needs the jerk of the exact pairwise "
+                "force, which the pm mesh solver does not provide; use "
+                "euler or leapfrog with backend='pm'"
+            )
+        if integrator == "hermite" and mesh is not None:
+            raise ValueError(
+                "integrator='hermite' is single-device for now; use euler "
+                "or leapfrog with a mesh"
+            )
         self.integrator = integrator
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size

@@ -144,19 +144,11 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
     softening is the cell scale (set by `grid`), which dominates any
     Plummer epsilon below it.
     """
+    from nbody_tpu.ops.reference import integrate
+
     del softening
     a = pm_accel(pos, grid=grid)
-    return _integrate(pos, vel, a, dt, damping)
-
-
-def _integrate(pos, vel, a, dt, damping):
-    dt = jnp.asarray(dt, pos.dtype)
-    damping = jnp.asarray(damping, pos.dtype)
-    v3 = (vel[:, :3] + a * dt) * damping
-    p3 = pos[:, :3] + v3 * dt
-    new_pos = jnp.concatenate([p3, pos[:, 3:4]], axis=1)
-    new_vel = jnp.concatenate([v3, vel[:, 3:4]], axis=1)
-    return new_pos, new_vel
+    return integrate(pos, vel, a, dt, damping)
 
 
 def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
@@ -170,6 +162,8 @@ def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
     """
     from jax.sharding import PartitionSpec as P
 
+    from nbody_tpu.ops.reference import integrate, nbody_step_leapfrog
+
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
 
@@ -182,17 +176,11 @@ def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
         return _gather(_solve_force_grids(rho, h, grid), idx, w)
 
     def local(pos_sh, vel_sh, dt, soft, damp):
-        del soft
+        del soft  # PM's effective softening is the cell scale
         if integrator == "leapfrog":
-            half = pos_sh[:, :3] + vel_sh[:, :3] * (dt / 2)
-            pos_half = jnp.concatenate([half, pos_sh[:, 3:4]], axis=1)
-            a = accel_local(pos_half)
-            v3 = (vel_sh[:, :3] + a * dt) * damp
-            p3 = pos_half[:, :3] + v3 * (dt / 2)
-            return (jnp.concatenate([p3, pos_sh[:, 3:4]], axis=1),
-                    jnp.concatenate([v3, vel_sh[:, 3:4]], axis=1))
-        a = accel_local(pos_sh)
-        return _integrate(pos_sh, vel_sh, a, dt, damp)
+            return nbody_step_leapfrog(pos_sh, vel_sh, dt, 0.0, damp,
+                                       accel_fn=accel_local)
+        return integrate(pos_sh, vel_sh, accel_local(pos_sh), dt, damp)
 
     sharded = jax.shard_map(
         local,

@@ -147,6 +147,19 @@ def _kernel(scal_ref, posi_ref, post_ref, accout_ref,
     accout_ref[2:3, sl_i] += jnp.sum(az_ref[:], axis=1, keepdims=True).T
 
 
+def _resolve_tile_i(tile_i: int, m_real: int, interpret: bool) -> int:
+    """Clamp tile_i to the shard, then (compiled only) round UP to a lane
+    multiple: the per-tile accumulator store ``accout_ref[0:1, i*tile_i:…]``
+    is a lane-dimension slice and Mosaic requires 128-aligned offsets —
+    an unaligned tile dies late with 'cannot statically prove index is a
+    multiple of 128'. Rounding up (the shard zero-pads to an lcm multiple
+    anyway) keeps the framework default tile_i=64 working compiled."""
+    tile_i = min(tile_i, max(8, (m_real // 8) * 8) or 8)
+    if not interpret and tile_i % LANES:
+        tile_i = ((tile_i + LANES - 1) // LANES) * LANES
+    return tile_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("axis", "ndev", "tile_i", "interpret", "collective_id"),
@@ -175,16 +188,7 @@ def ring_accel_fused(
     if pos_shard.dtype != jnp.float32:
         raise TypeError("ring_fused is float32-only")
     m_real = pos_shard.shape[0]
-    tile_i = min(tile_i, max(8, (m_real // 8) * 8) or 8)
-    if not interpret and tile_i % LANES:
-        # the per-tile accumulator store accout_ref[0:1, i*tile_i : ...] is a
-        # lane-dimension slice; Mosaic requires 128-aligned offsets compiled
-        raise ValueError(
-            f"compiled ring_fused needs tile_i to be a multiple of {LANES} "
-            f"(lane-aligned accumulator stores); got tile_i={tile_i} after "
-            f"clamping to the {m_real}-body shard. Use a larger shard/tile "
-            f"or interpret=True."
-        )
+    tile_i = _resolve_tile_i(tile_i, m_real, interpret)
     # zero-mass-pad the shard to a lane/tile multiple (uniform across devices,
     # so ring transfers stay shape-identical; padding exerts no force)
     m_local = max(math.lcm(tile_i, LANES),

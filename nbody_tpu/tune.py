@@ -78,29 +78,36 @@ def best_config(n: int) -> dict | None:
 
 
 def _gate_by_drift(results, drift_of, *, log=print) -> list:
-    """Drop candidates whose energy drift disagrees with the vpu anchor.
+    """Qualifying candidates, fastest first, stopping at the first pass.
 
     ``drift_of(variant, tile_i, tile_j)`` returns the relative energy drift
     over DRIFT_GATE_STEPS steps. vpu candidates pass by definition (they ARE
     the anchor kernel); others must match the anchor's drift to within
-    max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor|)."""
-    anchor = drift_of("vpu", 64, 8192)
-    bound = max(DRIFT_GATE_ABS, DRIFT_GATE_REL * abs(anchor))
-    log(f"drift gate: vpu anchor {anchor:+.3e}, bound {bound:.1e} "
-        f"over {DRIFT_GATE_STEPS} steps")
+    max(DRIFT_GATE_ABS, DRIFT_GATE_REL * |anchor|). Candidates are walked in
+    descending speed order and the walk STOPS at the first qualifier —
+    slower candidates can never win, and each skipped drift test saves
+    ~DRIFT_GATE_STEPS on-device steps plus a multi-minute remote compile.
+    The anchor rollout itself only runs if a non-vpu candidate leads."""
+    anchor = None
+    bound = None
     gated = []
     for r in sorted(results, key=lambda r: -r["g_interactions_per_s"]):
         if r["variant"] == "vpu":
             r["drift_delta"] = 0.0
             gated.append(r)
-            continue
+            break
+        if anchor is None:
+            anchor = drift_of("vpu", 64, 8192)
+            bound = max(DRIFT_GATE_ABS, DRIFT_GATE_REL * abs(anchor))
+            log(f"drift gate: vpu anchor {anchor:+.3e}, bound {bound:.1e} "
+                f"over {DRIFT_GATE_STEPS} steps")
         delta = abs(drift_of(r["variant"], r["tile_i"], r["tile_j"]) - anchor)
         r["drift_delta"] = round(delta, 8)
         if delta <= bound:
             gated.append(r)
-        else:
-            log(f"  REJECTED {r['variant']} ti={r['tile_i']} "
-                f"tj={r['tile_j']}: drift delta {delta:.2e} > {bound:.1e}")
+            break
+        log(f"  REJECTED {r['variant']} ti={r['tile_i']} "
+            f"tj={r['tile_j']}: drift delta {delta:.2e} > {bound:.1e}")
     if not gated:
         raise RuntimeError("every tuning candidate failed the drift gate")
     return gated

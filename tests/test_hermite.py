@@ -102,3 +102,25 @@ def test_hermite_mass_and_w_lane_pass_through(state):
     p1, v1 = nbody_step_hermite(pos, vel, DT, SOFT, 1.0)
     np.testing.assert_array_equal(np.asarray(p1)[:, 3], np.asarray(pos)[:, 3])
     np.testing.assert_array_equal(np.asarray(v1)[:, 3], np.asarray(vel)[:, 3])
+
+
+def test_hermite_rejects_pm_backend():
+    """--kernel pm --integrator hermite must error clearly, not silently run
+    the O(N^2) pairwise Hermite path (code-review finding r2)."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    with pytest.raises(ValueError, match="jerk"):
+        BodySystem(128, NBodyParams(), backend="pm", integrator="hermite")
+
+
+def test_hermite_rejects_mesh():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+    from nbody_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    with pytest.raises(ValueError, match="single-device"):
+        BodySystem(128, NBodyParams(), backend="xla",
+                   integrator="hermite", mesh=make_mesh(2))

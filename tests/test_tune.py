@@ -73,10 +73,31 @@ def test_drift_gate_rejects_divergent_variants():
         results, lambda v, ti, tj: drifts[(v, ti, tj)], log=logs.append
     )
     names = {(r["variant"], r["tile_i"]) for r in gated}
-    assert ("mxu_bf16", 1024) in names
+    # fastest (2048) rejected on drift; next (1024) qualifies and the walk
+    # stops there — slower candidates are never drift-tested
     assert ("mxu_bf16", 2048) not in names
-    assert ("vpu", 256) in names
+    assert names == {("mxu_bf16", 1024)}
     assert any("REJECTED" in line for line in logs)
+
+
+def test_drift_gate_vpu_leader_skips_anchor_rollout():
+    """When the fastest candidate is already the exact kernel, the gate must
+    not burn TPU time measuring drifts at all."""
+    calls = []
+
+    def drift_of(v, ti, tj):
+        calls.append((v, ti, tj))
+        return 0.0
+
+    results = [
+        {"variant": "vpu", "tile_i": 64, "tile_j": 32768,
+         "g_interactions_per_s": 200.0},
+        {"variant": "mxu_bf16", "tile_i": 1024, "tile_j": 8192,
+         "g_interactions_per_s": 150.0},
+    ]
+    gated = tune._gate_by_drift(results, drift_of, log=lambda *a: None)
+    assert [r["variant"] for r in gated] == ["vpu"]
+    assert calls == []  # no anchor, no candidate drift runs
 
 
 def test_drift_gate_all_rejected_raises():
