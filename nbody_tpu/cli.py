@@ -47,13 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile-j", type=int, default=None,
                    help="j-stream tile width; explicit values win over the "
                         "autotuner cache")
-    p.add_argument("--kernel", choices=["auto", "pallas", "xla", "pm"],
+    p.add_argument("--kernel", choices=["auto", "pallas", "xla", "pm", "p3m"],
                    default="auto",
                    help="compute backend (pm = O(N) particle-mesh far-field "
-                        "solver, resolution-limited accuracy — will not pass "
-                        "--qatest's all-pairs tolerance by design)")
+                        "solver, resolution-limited accuracy; p3m = PM + "
+                        "exact short-range correction, sub-percent forces "
+                        "at PM speed — neither passes --qatest's all-pairs "
+                        "tolerance by design)")
     p.add_argument("--pm-grid", type=int, default=64,
-                   help="PM mesh resolution per axis (--kernel pm)")
+                   help="mesh resolution per axis (--kernel pm/p3m)")
+    p.add_argument("--p3m-capacity", type=int, default=128,
+                   help="p3m neighbor-cell capacity (bodies per cell; "
+                        "overflow at init raises)")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
                    help="pallas kernel variant (mxu* offload the force "
@@ -229,6 +234,7 @@ def _main(argv=None) -> int:
         variant=args.variant,
         integrator=args.integrator,
         pm_grid=args.pm_grid,
+        p3m_capacity=args.p3m_capacity,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

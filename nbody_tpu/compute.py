@@ -73,6 +73,7 @@ class Compute:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
+        p3m_capacity: int = 128,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
         log=print,
@@ -120,6 +121,7 @@ class Compute:
             interpret=interpret,
             chunk_size=chunk_size,
             pm_grid=pm_grid,
+            p3m_capacity=p3m_capacity,
             seed=seed,
             state=tipsy_state,
         )

@@ -73,12 +73,18 @@ class BodySystem:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
+        p3m_capacity: int = 128,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
     ):
-        if backend not in ("auto", "pallas", "xla", "pm"):
+        if backend not in ("auto", "pallas", "xla", "pm", "p3m"):
             raise ValueError(f"unknown backend {backend!r}")
+        if backend == "p3m" and mesh is not None:
+            raise ValueError(
+                "p3m is single-device for now; use backend='pm' or the "
+                "all-pairs strategies with a mesh"
+            )
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
@@ -112,11 +118,11 @@ class BodySystem:
         self.variant = variant
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(f"unknown integrator {integrator!r}")
-        if integrator == "hermite" and backend == "pm":
+        if integrator == "hermite" and backend in ("pm", "p3m"):
             raise ValueError(
                 "integrator='hermite' needs the jerk of the exact pairwise "
-                "force, which the pm mesh solver does not provide; use "
-                "euler or leapfrog with backend='pm'"
+                "force, which the mesh solvers do not provide; use euler "
+                f"or leapfrog with backend={backend!r}"
             )
         if integrator == "hermite" and mesh is not None:
             raise ValueError(
@@ -127,6 +133,7 @@ class BodySystem:
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
         self.pm_grid = int(pm_grid)
+        self.p3m_capacity = int(p3m_capacity)
         self.seed = seed
         self.config = config
 
@@ -212,6 +219,27 @@ class BodySystem:
         else:
             self._pos = jnp.asarray(pos)
             self._vel = jnp.asarray(vel)
+        if self.backend == "p3m":
+            self._probe_p3m_capacity(pos)
+
+    def _probe_p3m_capacity(self, pos) -> None:
+        """Fail fast when the p3m cell capacity cannot hold the CURRENT
+        state (overflowing cells silently drop short-range pairs). Steps
+        assume the contract keeps holding as the system evolves; heavily
+        collapsing runs should re-set_state periodically or raise capacity."""
+        from nbody_tpu.ops.p3m import p3m_accel
+
+        _, overflow = p3m_accel(jnp.asarray(pos, jnp.float32),
+                                self.params.softening,
+                                grid=self.pm_grid,
+                                capacity=self.p3m_capacity)
+        overflow = int(overflow)
+        if overflow:
+            raise ValueError(
+                f"p3m cell capacity {self.p3m_capacity} overflows for "
+                f"{overflow} bodies of this state; raise p3m_capacity "
+                f"(--p3m-capacity) or the mesh resolution (--pm-grid)"
+            )
 
     def set_state(self, pos, vel) -> None:
         self._place(np.asarray(pos), np.asarray(vel))
@@ -293,6 +321,19 @@ class BodySystem:
                 return nbody_step_pm(pos, vel, dt, soft, damp, grid=grid)
 
             return step
+        if self.backend == "p3m":
+            from nbody_tpu.ops.p3m import nbody_step_p3m
+
+            grid, cap = self.pm_grid, self.p3m_capacity
+
+            def step(pos, vel, dt, soft, damp):
+                # overflow was probed against the initial state (_place);
+                # steps assume the capacity contract keeps holding
+                p, v, _ = nbody_step_p3m(pos, vel, dt, soft, damp,
+                                         grid=grid, capacity=cap)
+                return p, v
+
+            return step
         if self.backend == "pallas":
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             variant = self.variant
@@ -326,6 +367,19 @@ class BodySystem:
             def step(pos, vel, dt, soft, damp):
                 def accel_fn(p4):
                     return pm_accel(p4, grid=grid)
+
+                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
+                                           accel_fn=accel_fn)
+
+            return step
+        if self.backend == "p3m":
+            from nbody_tpu.ops.p3m import p3m_accel
+
+            grid, cap = self.pm_grid, self.p3m_capacity
+
+            def step(pos, vel, dt, soft, damp):
+                def accel_fn(p4):
+                    return p3m_accel(p4, soft, grid=grid, capacity=cap)[0]
 
                 return nbody_step_leapfrog(pos, vel, dt, soft, damp,
                                            accel_fn=accel_fn)
@@ -469,6 +523,7 @@ class BodySystem:
             interpret=self._requested_interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
             pm_grid=self.pm_grid,
+            p3m_capacity=self.p3m_capacity,
             config=self.config,
             seed=self.seed,
             state=(

@@ -1,0 +1,214 @@
+"""P3M (particle-particle particle-mesh): near-exact forces at PM speed.
+
+Ewald-style split of the softened Plummer force into a smooth long-range
+part solved on the PM mesh and an exact short-range correction summed over
+neighbors only (Hockney & Eastwood's P3M, built TPU-first):
+
+  long-range:  the PM pipeline (ops/pm.py) with the Gaussian-smoothed
+               kernel erf(r / sqrt(2) sigma) / r — smooth at the origin, so
+               the mesh is only asked to represent structure above sigma;
+  short-range: s_sr(r) = (r^2+eps^2)^{-3/2} - s_lr(r), where
+               s_lr(r) = [erf(u) - (2/sqrt(pi)) u exp(-u^2)] / r^3,
+               u = r/(sqrt(2) sigma) — decays like exp(-u^2), truncated at
+               r_cut = 4 sigma (relative truncation ~1e-7).
+
+The short-range sum uses a SORTED CELL LIST laid out for the TPU's
+contiguity preferences (random-index gathers measured 100x slower):
+particles sort into cell order once, each cell's bodies become one
+contiguous row range, a cell's 27 neighbor ranges are fetched with
+``dynamic_slice`` (capacity-padded, masked), and the pair math runs on
+dense (capacity, 27*capacity) VPU tiles batched through ``lax.map``.
+Everything is static-shaped, jit- and vmap-friendly. Cells holding more
+than ``capacity`` bodies overflow: excess bodies drop out of the
+short-range sums, so ``p3m_accel`` returns the overflow count for the
+caller to act on (BodySystem raises at state-set; standalone callers
+should check). Sizing rule: pick ``grid`` so the mean occupancy
+N/(grid/6)^3 stays a few times below ``capacity``.
+
+All-pairs kernels remain the exactness anchor; P3M is the production fast
+mode for N where O(N^2) is unaffordable. Measured (PARITY.md): ~0.6%
+median force error (5-15x tighter than plain PM on the same mesh), 1.36 s
+per force evaluation at N=1M/G=128 on one v5e — 3.6x the exact kernel —
+with the gap growing quadratically in N.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops.pm import (
+    _cic_indices_weights,
+    _deposit,
+    _fit_box,
+    _gather,
+    _solve_force_grids,
+)
+
+# Gaussian split scale, in PM-mesh cells. Measured tradeoff (PARITY.md):
+# bigger sigma shrinks mesh error but grows rcut = 4*sigma and with it the
+# neighbor-cell occupancy (cost ~ rcut^3), so production P3M keeps sigma
+# near the cell scale and buys accuracy back with CIC deconvolution.
+SIGMA_CELLS = 1.5
+RCUT_SIGMAS = 4.0    # short-range truncation radius, in sigmas (err ~1e-7)
+
+
+def _s_lr(r2, sigma):
+    """Long-range force shape s_lr(r) with F_lr = m * s_lr * r_vec; smooth
+    limit (2/sqrt(pi)) (2/3) / (sqrt(2) sigma)^3 at r=0 (the naive formula
+    is 0/0 there)."""
+    f32 = jnp.float32
+    sq2s = jnp.sqrt(2.0).astype(f32) * sigma
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    u = r / sq2s
+    two_over_sqrtpi = jnp.asarray(2.0 / math.sqrt(math.pi), f32)
+    num = jax.scipy.special.erf(u) - two_over_sqrtpi * u * jnp.exp(-u * u)
+    limit = two_over_sqrtpi * (2.0 / 3.0) / (sq2s * sq2s * sq2s)
+    return jnp.where(r2 > 1e-12, num / (r * r2), limit)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "capacity", "chunk")
+)
+def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
+              chunk: int = 2048):
+    """(N, 4) [x,y,z,m] -> ((N, 3) accelerations, overflow count).
+
+    Equals the softened all-pairs Plummer force up to mesh error of the
+    SMOOTH field (sub-percent). `overflow` counts bodies that did not fit
+    their cell's `capacity` slots; nonzero overflow means some short-range
+    pairs were dropped — callers should treat it like a failed assertion.
+    """
+    if pos.shape[-1] != 4:
+        raise ValueError("p3m_accel expects (N, 4) [x,y,z,m]")
+    f32 = jnp.float32
+    n = pos.shape[0]
+    pos3 = pos[:, :3].astype(f32)
+    mass = pos[:, 3].astype(f32)
+    eps2 = jnp.asarray(softening, f32) ** 2
+
+    lo, h = _fit_box(pos3, grid)
+    sigma = f32(SIGMA_CELLS) * h
+    rcut = f32(RCUT_SIGMAS) * sigma
+
+    # ---- long-range: PM with the smoothed kernel ----
+    idx, w = _cic_indices_weights(pos3, lo, h, grid)
+    rho = _deposit(idx, w, mass, grid)
+    acc_lr = _gather(
+        _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True),
+        idx, w,
+    )
+
+    # ---- short-range: sorted cell list, processed as dense tiles ----
+    # Random-index gathers are TPU-hostile (measured 35 s at N=262k), so
+    # the short-range pass is laid out for contiguity instead: particles
+    # SORT into cell order once, each cell's bodies become one contiguous
+    # row range, and a cell's 27 neighbor ranges are fetched with
+    # dynamic_slice (contiguous, capacity-padded, masked) — all pair math
+    # then runs on dense (capacity, 27*capacity) tiles.
+    #
+    # cells per axis is STATIC because rcut is a fixed multiple of h
+    # (rcut = RCUT_SIGMAS*SIGMA_CELLS mesh cells)
+    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
+    ncell = gc * gc * gc
+    cap = capacity
+    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
+                  0, gc - 1)
+    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+
+    order = jnp.argsort(cell)
+    sorted_cell = cell[order]
+    bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1))
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = ends - starts
+    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+
+    # sorted AoS rows, padded so any (start, cap) slice stays in bounds;
+    # padding rows are far away with zero mass (inert either side)
+    sorted_pos4 = jnp.concatenate(
+        [pos3[order], mass[order][:, None]], axis=1)
+    pad_rows = jnp.concatenate(
+        [jnp.full((cap, 3), 1e30, f32), jnp.zeros((cap, 1), f32)], axis=1)
+    sorted_pos4 = jnp.concatenate([sorted_pos4, pad_rows], axis=0)
+
+    # per-cell neighbor cell ids (static 27-stencil over the cell grid)
+    cc = jnp.arange(ncell, dtype=jnp.int32)
+    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
+    nx = cx[:, None] + offs[None, :, 0]
+    ny = cy[:, None] + offs[None, :, 1]
+    nz = cz[:, None] + offs[None, :, 2]
+    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
+              & (nz >= 0) & (nz < gc))
+    nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
+    n_starts = jnp.where(nvalid, starts[nid], n)        # (ncell, 27)
+    n_counts = jnp.where(nvalid, counts[nid], 0)
+
+    lane = jnp.arange(cap)
+
+    def one_cell(c_start, c_count, nst, nct):
+        rows = jax.lax.dynamic_slice(sorted_pos4, (c_start, 0), (cap, 4))
+        ivalid = lane < jnp.minimum(c_count, cap)
+
+        def neighbor(st, ct):
+            blk = jax.lax.dynamic_slice(sorted_pos4, (st, 0), (cap, 4))
+            mj = jnp.where(lane < jnp.minimum(ct, cap), blk[:, 3], 0.0)
+            return blk[:, :3], mj
+
+        pj, mj = jax.vmap(neighbor)(nst, nct)           # (27, cap, 3/..)
+        pj = pj.reshape(27 * cap, 3)
+        mj = mj.reshape(27 * cap)
+        d = pj[None, :, :] - rows[:, None, :3]          # (cap, 27cap, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        inv_full = jax.lax.rsqrt(r2 + eps2)
+        s_full = inv_full * inv_full * inv_full
+        s = jnp.where(r2 < rcut * rcut, s_full - _s_lr(r2, sigma), 0.0)
+        acc = jnp.einsum("mk,mkj->mj", mj[None, :] * s, d)
+        return jnp.where(ivalid[:, None], acc, 0.0)
+
+    # batch cells through lax.map so the (b, cap, 27*cap) tiles bound memory
+    b = max(1, min(ncell, chunk // cap))
+    nbatch = (ncell + b - 1) // b
+    ncell_pad = nbatch * b
+
+    def padc(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((ncell_pad - ncell,) + x.shape[1:], fill, x.dtype)])
+
+    acc_cells = jax.lax.map(
+        lambda args: jax.vmap(one_cell)(*args),
+        (padc(starts, n).reshape(nbatch, b),
+         padc(counts, 0).reshape(nbatch, b),
+         padc(n_starts, n).reshape(nbatch, b, 27),
+         padc(n_counts, 0).reshape(nbatch, b, 27)),
+    ).reshape(ncell_pad * cap, 3)[: ncell * cap]
+
+    # scatter each cell's rows back to sorted order, then unsort
+    dest = (starts[:, None] + lane[None, :])            # (ncell, cap)
+    within = lane[None, :] < jnp.minimum(counts, cap)[:, None]
+    dest = jnp.where(within, dest, n)                   # sacrificial row
+    acc_sorted = jnp.zeros((n + 1, 3), f32).at[dest.reshape(-1)].add(acc_cells)
+    acc_sr = jnp.zeros((n, 3), f32).at[order].set(acc_sorted[:n])
+
+    return acc_lr + acc_sr, overflow
+
+
+def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
+                   capacity: int = 128, chunk: int = 2048):
+    """P3M step with the reference's damped semi-implicit Euler update.
+
+    Returns (pos, vel, overflow); callers doing long rollouts should probe
+    overflow on their initial state (see BodySystem) — a clustered core
+    outgrowing `capacity` degrades the short-range sum silently.
+    """
+    from nbody_tpu.ops.reference import integrate
+
+    a, overflow = p3m_accel(pos, softening, grid=grid, capacity=capacity,
+                            chunk=chunk)
+    new_pos, new_vel = integrate(pos, vel, a, dt, damping)
+    return new_pos, new_vel, overflow

@@ -87,28 +87,51 @@ def _deposit(idx, w, mass, grid: int):
     return rho.at[idx.reshape(-1)].add((w * mass[None, :]).reshape(-1))
 
 
-def _solve_force_grids(rho_flat, h, grid: int):
+def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
+                       deconvolve: bool = False):
     """Isolated-BC Poisson solve; returns 3 flat (grid^3,) accel grids.
 
-    phi = -conv(rho, 1/r) on the 2G zero-padded mesh, a = -grad(phi) =
+    phi = -conv(rho, K) on the 2G zero-padded mesh, a = -grad(phi) =
     +grad(conv); gradient applied spectrally (i*k multiply).
+
+    K is the open-space kernel: plain PM uses 1/r with K(0)=0 (removes the
+    bulk of the self-interaction); the P3M split passes ``sigma`` (in
+    LENGTH units) to use the Gaussian-smoothed erf(r/(sqrt2 sigma))/r —
+    smooth at the origin (K(0) = sqrt(2/pi)/sigma), so the mesh only ever
+    represents structure above sigma and a short-range pair sum supplies
+    the rest exactly.
+
+    ``deconvolve`` divides the spectrum by the squared CIC window W(k)^2
+    (one factor for deposit, one for gather). Only sensible when the target
+    field is smooth (the sigma path — measured ~2x error reduction at
+    sigma=1.5h); it AMPLIFIES sub-cell error for the raw 1/r kernel, so
+    plain PM keeps it off.
     """
     f32 = jnp.float32
     rho = rho_flat.reshape(grid, grid, grid)
     gp = 2 * grid
     rho_p = jnp.zeros((gp, gp, gp), f32).at[:grid, :grid, :grid].set(rho)
 
-    # open-space kernel: 1/r with min-image distances on the padded mesh;
-    # K(0)=0 removes the bulk of the self-interaction (CIC gather of a
-    # particle's own deposit through a symmetric kernel cancels to O(h))
     n = jnp.arange(gp)
     d = jnp.minimum(n, gp - n).astype(f32) * h
     r2 = (d[:, None, None] ** 2 + d[None, :, None] ** 2
           + d[None, None, :] ** 2)
-    kernel = jnp.where(r2 > 0, 1.0 / jnp.sqrt(jnp.maximum(r2, 1e-30)), 0.0)
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    if sigma is None:
+        kernel = jnp.where(r2 > 0, 1.0 / r, 0.0)
+    else:
+        sigma = jnp.asarray(sigma, f32)
+        k0 = jnp.sqrt(2.0 / jnp.pi) / sigma
+        u = r / (jnp.sqrt(2.0).astype(f32) * sigma)
+        kernel = jnp.where(r2 > 0, jax.scipy.special.erf(u) / r, k0)
 
     conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
-    k1 = (2.0 * jnp.pi) * jnp.fft.fftfreq(gp, d=h).astype(f32)
+    f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
+    if deconvolve:
+        wx = jnp.sinc(f1 * h)  # CIC assignment window per axis
+        win = wx[:, None, None] * wx[None, :, None] * wx[None, None, :]
+        conv_k = conv_k / (win * win)
+    k1 = (2.0 * jnp.pi) * f1
     grids = []
     for axis in range(3):
         shape = [1, 1, 1]

@@ -1,0 +1,98 @@
+"""P3M solver tests: accuracy envelope, overflow contract, integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+from nbody_tpu.ops.p3m import nbody_step_p3m, p3m_accel
+from nbody_tpu.ops.pm import pm_accel
+from nbody_tpu.ops.reference import compute_accel_xla
+
+SOFT = 0.1
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    pos, vel = ic.generate(NBodyConfig.SHELL, 2048, 1.5, 2.0, seed=3)
+    return jnp.asarray(pos), jnp.asarray(vel)
+
+
+def _rel_err(a, a_ref):
+    num = np.sqrt(((np.asarray(a) - a_ref) ** 2).sum(1))
+    den = np.maximum(np.sqrt((a_ref ** 2).sum(1)), 1e-12)
+    return num / den
+
+
+def test_p3m_accuracy_envelope(cloud):
+    """Documented envelope: sub-percent median force error, and ~10x
+    tighter than plain PM on the same mesh."""
+    pos, _ = cloud
+    a_ref = np.asarray(compute_accel_xla(pos, SOFT))
+    a_p3m, ovf = p3m_accel(pos, SOFT, grid=64, capacity=64)
+    assert int(ovf) == 0
+    rel = _rel_err(a_p3m, a_ref)
+    assert np.median(rel) < 0.015, np.median(rel)
+    assert np.percentile(rel, 90) < 0.04
+
+    rel_pm = _rel_err(pm_accel(pos, grid=64), a_ref)
+    assert np.median(rel) < np.median(rel_pm) / 4
+
+
+def test_p3m_conserves_momentum(cloud):
+    """Mesh part is spectrally symmetric and the pair part is antisymmetric
+    (both partners find each other in the cell table), so net momentum
+    injection vanishes."""
+    pos, _ = cloud
+    a, ovf = p3m_accel(pos, SOFT, grid=64, capacity=64)
+    assert int(ovf) == 0
+    m = np.asarray(pos)[:, 3:4]
+    a = np.asarray(a)
+    imbalance = np.abs((m * a).sum(0)).max() / np.abs(m * a).sum()
+    assert imbalance < 1e-5, imbalance
+
+
+def test_p3m_reports_overflow(cloud):
+    """A capacity the cluster cannot fit must be REPORTED, not silently
+    degrade (the short-range sum drops pairs on overflow)."""
+    pos, _ = cloud
+    _, ovf = p3m_accel(pos, SOFT, grid=64, capacity=2)
+    assert int(ovf) > 0
+
+
+def test_p3m_step_shapes_and_mass(cloud):
+    pos, vel = cloud
+    p1, v1, ovf = nbody_step_p3m(pos, vel, 0.001, SOFT, 0.999,
+                                 grid=32, capacity=64)
+    assert p1.shape == pos.shape and v1.shape == vel.shape
+    np.testing.assert_array_equal(np.asarray(p1)[:, 3], np.asarray(pos)[:, 3])
+    assert np.isfinite(np.asarray(p1)).all()
+
+
+def test_p3m_body_system_backend():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    for integrator in ("euler", "leapfrog"):
+        s = BodySystem(512, NBodyParams(), backend="p3m", pm_grid=32,
+                       p3m_capacity=64, integrator=integrator, seed=0)
+        s.update_many(3, 0.001)
+        assert np.isfinite(s.positions).all(), integrator
+
+
+def test_p3m_body_system_rejects_undersized_capacity():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    with pytest.raises(ValueError, match="capacity"):
+        BodySystem(2048, NBodyParams(), backend="p3m", pm_grid=64,
+                   p3m_capacity=2, seed=0)
+
+
+def test_cli_p3m_kernel_demo():
+    from nbody_tpu.cli import main
+
+    rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "p3m",
+               "--pm-grid", "32", "--no-cycle"])
+    assert rc == 0
