@@ -121,7 +121,9 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
 
     order = jnp.argsort(cell)
     sorted_cell = cell[order]
-    bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1))
+    # int32 throughout: under jax_enable_x64 searchsorted/arange default to
+    # int64 and dynamic_slice then rejects mixed-dtype start indices
+    bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1)).astype(jnp.int32)
     starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
     overflow = jnp.sum(jnp.maximum(counts - cap, 0))
@@ -146,17 +148,18 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
     nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
               & (nz >= 0) & (nz < gc))
     nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
-    n_starts = jnp.where(nvalid, starts[nid], n)        # (ncell, 27)
-    n_counts = jnp.where(nvalid, counts[nid], 0)
+    n_starts = jnp.where(nvalid, starts[nid], n).astype(jnp.int32)
+    n_counts = jnp.where(nvalid, counts[nid], 0).astype(jnp.int32)
 
-    lane = jnp.arange(cap)
+    lane = jnp.arange(cap, dtype=jnp.int32)
 
     def one_cell(c_start, c_count, nst, nct):
-        rows = jax.lax.dynamic_slice(sorted_pos4, (c_start, 0), (cap, 4))
+        zero = jnp.int32(0)
+        rows = jax.lax.dynamic_slice(sorted_pos4, (c_start, zero), (cap, 4))
         ivalid = lane < jnp.minimum(c_count, cap)
 
         def neighbor(st, ct):
-            blk = jax.lax.dynamic_slice(sorted_pos4, (st, 0), (cap, 4))
+            blk = jax.lax.dynamic_slice(sorted_pos4, (st, zero), (cap, 4))
             mj = jnp.where(lane < jnp.minimum(ct, cap), blk[:, 3], 0.0)
             return blk[:, :3], mj
 

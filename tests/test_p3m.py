@@ -96,3 +96,23 @@ def test_cli_p3m_kernel_demo():
     rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "p3m",
                "--pm-grid", "32", "--no-cycle"])
     assert rc == 0
+
+
+def test_p3m_and_pm_stable_under_x64(cloud):
+    """Mesh solvers must work with jax_enable_x64 on (the --interactive
+    process state): int64-defaulting index ops broke dynamic_slice (r2)."""
+    pos, _ = cloud
+    ref_p3m, _ = p3m_accel(pos, SOFT, grid=32, capacity=64)
+    ref_pm = pm_accel(pos, grid=32)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        a, ovf = p3m_accel(pos, SOFT, grid=32, capacity=64)
+        assert a.dtype == jnp.float32 and int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref_p3m),
+                                   rtol=1e-5, atol=1e-5)
+        b = pm_accel(pos, grid=32)
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(b), np.asarray(ref_pm),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        jax.config.update("jax_enable_x64", False)
