@@ -25,5 +25,11 @@ for n in sizes:
         except Exception as e:
             print(f"{n:>9} {kernel:>7} {variant:>9}  failed: {e}")
             continue
-        print(f"{n:>9} {kernel:>7} {variant:>9} {r['milliseconds']/10:>9.2f} "
-              f"{r['interactions_per_second_e9']:>9.1f} {r['gflops']:>9.0f}")
+        if kernel in ("pm", "p3m"):
+            # N^2-convention rates are fictitious for O(N) solvers — only
+            # ms/step is comparable across rows
+            print(f"{n:>9} {kernel:>7} {variant:>9} "
+                  f"{r['milliseconds']/10:>9.2f} {'-':>9} {'-':>9}")
+        else:
+            print(f"{n:>9} {kernel:>7} {variant:>9} {r['milliseconds']/10:>9.2f} "
+                  f"{r['interactions_per_second_e9']:>9.1f} {r['gflops']:>9.0f}")

@@ -226,14 +226,14 @@ class BodySystem:
         """Fail fast when the p3m cell capacity cannot hold the CURRENT
         state (overflowing cells silently drop short-range pairs). Steps
         assume the contract keeps holding as the system evolves; heavily
-        collapsing runs should re-set_state periodically or raise capacity."""
-        from nbody_tpu.ops.p3m import p3m_accel
+        collapsing runs should re-set_state periodically or raise capacity.
+        Uses the occupancy-only counter (a bincount — no FFT, no pair
+        math), and counts only massive bodies: zero-mass padding is inert."""
+        from nbody_tpu.ops.p3m import p3m_overflow_count
 
-        _, overflow = p3m_accel(jnp.asarray(pos, jnp.float32),
-                                self.params.softening,
-                                grid=self.pm_grid,
-                                capacity=self.p3m_capacity)
-        overflow = int(overflow)
+        overflow = int(p3m_overflow_count(jnp.asarray(pos, jnp.float32),
+                                          grid=self.pm_grid,
+                                          capacity=self.p3m_capacity))
         if overflow:
             raise ValueError(
                 f"p3m cell capacity {self.p3m_capacity} overflows for "

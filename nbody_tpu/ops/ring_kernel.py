@@ -156,7 +156,15 @@ def _resolve_tile_i(tile_i: int, m_real: int, interpret: bool) -> int:
     anyway) keeps the framework default tile_i=64 working compiled."""
     tile_i = min(tile_i, max(8, (m_real // 8) * 8) or 8)
     if not interpret and tile_i % LANES:
-        tile_i = ((tile_i + LANES - 1) // LANES) * LANES
+        aligned = ((tile_i + LANES - 1) // LANES) * LANES
+        import warnings
+
+        warnings.warn(
+            f"compiled ring_fused rounded tile_i {tile_i} -> {aligned} "
+            f"(lane-aligned accumulator stores require multiples of {LANES})",
+            stacklevel=3,
+        )
+        tile_i = aligned
     return tile_i
 
 

@@ -33,8 +33,8 @@ def test_p3m_accuracy_envelope(cloud):
     a_p3m, ovf = p3m_accel(pos, SOFT, grid=64, capacity=64)
     assert int(ovf) == 0
     rel = _rel_err(a_p3m, a_ref)
-    assert np.median(rel) < 0.015, np.median(rel)
-    assert np.percentile(rel, 90) < 0.04
+    assert np.median(rel) < 0.008, np.median(rel)  # full-deconv envelope
+    assert np.percentile(rel, 90) < 0.02
 
     rel_pm = _rel_err(pm_accel(pos, grid=64), a_ref)
     assert np.median(rel) < np.median(rel_pm) / 4
@@ -116,3 +116,45 @@ def test_p3m_and_pm_stable_under_x64(cloud):
                                    rtol=1e-5, atol=1e-5)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_p3m_overflow_ignores_zero_mass_padding():
+    """Zero-mass pad bodies (tipsy-style, all at the origin) must neither
+    trip the capacity probe nor crowd massive bodies out of their cell
+    (massive bodies sort first within a cell)."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops.p3m import p3m_overflow_count
+    from nbody_tpu.params import NBodyParams
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 500, 1.5, 2.0, seed=2)
+    # BodySystem pads 500 -> 2048 with zero-mass bodies at the origin
+    s = BodySystem(2048, NBodyParams(), backend="p3m", pm_grid=32,
+                   p3m_capacity=64, state=(pos, vel))
+    assert s.num_bodies == 2048  # construction did not raise
+    padded = np.asarray(s.positions)
+    assert int(p3m_overflow_count(jnp.asarray(padded), grid=32,
+                                  capacity=64)) == 0
+    # the padded state still produces finite, padding-independent physics
+    a_pad, ovf = p3m_accel(jnp.asarray(padded, jnp.float32), SOFT,
+                           grid=32, capacity=64)
+    assert int(ovf) == 0
+    a_raw, _ = p3m_accel(jnp.asarray(pos, jnp.float32), SOFT,
+                         grid=32, capacity=64)
+    np.testing.assert_allclose(np.asarray(a_pad)[:500], np.asarray(a_raw),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_s_lr_no_catastrophic_cancellation():
+    """f32 closed form cancels for r << sigma (measured -7276 vs true +266
+    at r=1e-5, sigma=0.1); the series branch must hold ~1e-5 accuracy."""
+    import math
+
+    from nbody_tpu.ops.p3m import _s_lr
+
+    sigma = 0.1
+    for r in (2e-6, 1e-5, 1e-3, 0.02, 0.0354, 0.05, 0.1, 0.3):
+        u = r / (math.sqrt(2) * sigma)
+        truth = (math.erf(u) - (2 / math.sqrt(math.pi)) * u
+                 * math.exp(-u * u)) / r ** 3
+        got = float(_s_lr(jnp.float32(r * r), jnp.float32(sigma)))
+        assert abs(got - truth) / truth < 1e-4, (r, got, truth)
