@@ -56,9 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "tolerance by design)")
     p.add_argument("--pm-grid", type=int, default=64,
                    help="mesh resolution per axis (--kernel pm/p3m)")
-    p.add_argument("--p3m-capacity", type=int, default=128,
-                   help="p3m neighbor-cell capacity (bodies per cell; "
-                        "overflow at init raises)")
+    p.add_argument("--p3m-capacity", type=int, default=None,
+                   help="p3m neighbor-cell capacity (bodies per cell); "
+                        "default auto-sizes from the initial state's max "
+                        "occupancy +50%% headroom; overflow at init raises")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
                    help="pallas kernel variant (mxu* offload the force "

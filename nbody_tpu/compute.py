@@ -73,7 +73,7 @@ class Compute:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
-        p3m_capacity: int = 128,
+        p3m_capacity: Optional[int] = None,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
         log=print,

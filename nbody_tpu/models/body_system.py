@@ -73,7 +73,7 @@ class BodySystem:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
-        p3m_capacity: int = 128,
+        p3m_capacity: Optional[int] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
@@ -133,7 +133,9 @@ class BodySystem:
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
         self.pm_grid = int(pm_grid)
-        self.p3m_capacity = int(p3m_capacity)
+        # None = auto-size from the initial state's cell occupancy (+50%
+        # headroom) at first placement; resolved before any step compiles
+        self.p3m_capacity = None if p3m_capacity is None else int(p3m_capacity)
         self.seed = seed
         self.config = config
 
@@ -228,10 +230,17 @@ class BodySystem:
         assume the contract keeps holding as the system evolves; heavily
         collapsing runs should re-set_state periodically or raise capacity.
         Uses the occupancy-only counter (a bincount — no FFT, no pair
-        math), and counts only massive bodies: zero-mass padding is inert."""
-        from nbody_tpu.ops.p3m import p3m_overflow_count
+        math), and counts only massive bodies: zero-mass padding is inert.
 
-        overflow = int(p3m_overflow_count(jnp.asarray(pos, jnp.float32),
+        p3m_capacity=None auto-sizes from the first state: max cell
+        occupancy + 50% headroom, rounded up to a multiple of 8."""
+        from nbody_tpu.ops.p3m import p3m_max_occupancy, p3m_overflow_count
+
+        pos32 = jnp.asarray(pos, jnp.float32)
+        if self.p3m_capacity is None:
+            occ = int(p3m_max_occupancy(pos32, grid=self.pm_grid))
+            self.p3m_capacity = max(8, -(-int(occ * 1.5 + 1) // 8) * 8)
+        overflow = int(p3m_overflow_count(pos32,
                                           grid=self.pm_grid,
                                           capacity=self.p3m_capacity))
         if overflow:

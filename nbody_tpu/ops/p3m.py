@@ -82,6 +82,24 @@ def _s_lr(r2, sigma):
     return jnp.where(u2 < 0.0625, series, closed)
 
 
+@functools.partial(jax.jit, static_argnames=("grid",))
+def p3m_max_occupancy(pos, *, grid: int = 64):
+    """Largest number of MASSIVE bodies in any short-range cell — the
+    occupancy statistic capacity auto-sizing needs (one bincount)."""
+    f32 = jnp.float32
+    pos3 = pos[:, :3].astype(f32)
+    mass = pos[:, 3].astype(f32)
+    lo, h = _fit_box(pos3, grid)
+    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
+    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
+                  0, gc - 1)
+    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+    occ = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(
+        (mass > 0).astype(jnp.int32))
+    return jnp.max(occ)
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "capacity"))
 def p3m_overflow_count(pos, *, grid: int = 64, capacity: int = 128):
     """Occupancy-only overflow check — how many MASSIVE bodies exceed their

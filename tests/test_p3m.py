@@ -158,3 +158,19 @@ def test_s_lr_no_catastrophic_cancellation():
                  * math.exp(-u * u)) / r ** 3
         got = float(_s_lr(jnp.float32(r * r), jnp.float32(sigma)))
         assert abs(got - truth) / truth < 1e-4, (r, got, truth)
+
+
+def test_p3m_capacity_auto_sizes():
+    """p3m_capacity=None derives a fitting capacity from the first state
+    (max occupancy + 50% headroom, multiple of 8) — no manual sizing."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops.p3m import p3m_max_occupancy
+    from nbody_tpu.params import NBodyParams
+
+    s = BodySystem(2048, NBodyParams(), backend="p3m", pm_grid=64, seed=3)
+    occ = int(p3m_max_occupancy(jnp.asarray(s.positions, jnp.float32),
+                                grid=64))
+    assert s.p3m_capacity >= occ  # fits by construction
+    assert s.p3m_capacity % 8 == 0
+    s.update_many(2, 0.001)
+    assert np.isfinite(s.positions).all()
