@@ -22,8 +22,11 @@ Backends:
   * "xla"    — portable jnp path (any backend, fp64-capable)
   * "pm"     — particle-mesh far-field solver (O(N + G^3 log G),
                resolution-limited accuracy — see ops/pm.py)
+  * "p3m"    — PM + exact short-range correction (sub-percent forces at
+               mesh speed — see ops/p3m.py)
   * "auto"   — pallas on TPU for float32, else xla
-A ``jax.sharding.Mesh`` switches stepping to the body-sharded multi-chip path.
+A ``jax.sharding.Mesh`` switches stepping to the body-sharded multi-chip path
+(all backends: pallas/xla strategies, sharded PM, sharded P3M).
 """
 
 from __future__ import annotations
@@ -80,11 +83,6 @@ class BodySystem:
     ):
         if backend not in ("auto", "pallas", "xla", "pm", "p3m"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "p3m" and mesh is not None:
-            raise ValueError(
-                "p3m is single-device for now; use backend='pm' or the "
-                "all-pairs strategies with a mesh"
-            )
         if placement not in ("device", "host"):
             raise ValueError(f"unknown placement {placement!r}")
         dtype = jnp.dtype(dtype)
@@ -179,6 +177,11 @@ class BodySystem:
                 self._sharded_step = make_sharded_pm_step(
                     mesh, grid=self.pm_grid, integrator=integrator
                 )
+            elif backend == "p3m":
+                # built lazily in _step_fn: p3m_capacity=None auto-sizes
+                # from the first state, which is placed below — the builder
+                # needs the resolved capacity
+                pass
             else:
                 from nbody_tpu.parallel import make_sharded_step
 
@@ -303,6 +306,16 @@ class BodySystem:
 
     def _step_fn(self):
         """(pos, vel, dt, softening, damping) -> (pos, vel), jit-compatible."""
+        if (self.mesh is not None and self.backend == "p3m"
+                and self._sharded_step is None):
+            # deferred from __init__: by now state placement has resolved
+            # p3m_capacity (auto-size probe runs at every _place)
+            from nbody_tpu.ops.p3m import make_sharded_p3m_step
+
+            self._sharded_step = make_sharded_p3m_step(
+                self.mesh, grid=self.pm_grid, capacity=self.p3m_capacity,
+                integrator=self.integrator,
+            )
         if self._sharded_step is not None:
             return self._sharded_step
         if self.integrator == "hermite":

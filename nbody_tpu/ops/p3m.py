@@ -119,6 +119,135 @@ def p3m_overflow_count(pos, *, grid: int = 64, capacity: int = 128):
     return jnp.sum(jnp.maximum(occ - capacity, 0))
 
 
+def _cell_grid_size(grid: int) -> int:
+    """Short-range cells per axis — STATIC because rcut is a fixed multiple
+    of the mesh cell h (rcut = RCUT_SIGMAS*SIGMA_CELLS mesh cells)."""
+    return max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
+
+
+def _sorted_cell_tables(pos3, mass, lo, rcut, gc: int, cap: int):
+    """Sort bodies into rcut-sized cells; build the contiguous range tables
+    the dense-tile short-range pass consumes.
+
+    Random-index gathers are TPU-hostile (measured 35 s at N=262k), so the
+    short-range pass is laid out for contiguity instead: particles SORT
+    into cell order once, each cell's bodies become one contiguous row
+    range, and a cell's 27 neighbor ranges are fetched with dynamic_slice
+    (contiguous, capacity-padded, masked).
+
+    Returns (order, sorted_pos4, starts, counts, n_starts, n_counts,
+    overflow): `sorted_pos4` is (N+cap, 4) — cap inert pad rows (far away,
+    zero mass) so any (start, cap) slice stays in bounds; `n_starts` /
+    `n_counts` are the (ncell, 27) neighbor-range tables; `overflow` counts
+    MASSIVE bodies beyond their cell's cap slots.
+    """
+    f32 = jnp.float32
+    n = pos3.shape[0]
+    ncell = gc * gc * gc
+    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
+                  0, gc - 1)
+    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+
+    # sort key puts MASSIVE bodies first within each cell, so zero-mass
+    # padding (tipsy/BodySystem pads pile up at the origin cell) fills the
+    # trailing capacity slots and drops first — a dropped massless body
+    # neither exerts nor (physically) needs force, so only dropped massive
+    # bodies count as overflow
+    massive = mass > 0
+    order = jnp.argsort(cell * 2 + (~massive).astype(jnp.int32))
+    sorted_cell = cell[order]
+    # int32 throughout: under jax_enable_x64 searchsorted/arange default to
+    # int64 and dynamic_slice then rejects mixed-dtype start indices
+    bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1)).astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = ends - starts
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
+    overflow = jnp.sum((rank >= cap) & massive[order])
+
+    sorted_pos4 = jnp.concatenate(
+        [pos3[order], mass[order][:, None]], axis=1)
+    pad_rows = jnp.concatenate(
+        [jnp.full((cap, 3), 1e30, f32), jnp.zeros((cap, 1), f32)], axis=1)
+    sorted_pos4 = jnp.concatenate([sorted_pos4, pad_rows], axis=0)
+
+    # per-cell neighbor cell ids (static 27-stencil over the cell grid)
+    cc = jnp.arange(ncell, dtype=jnp.int32)
+    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
+    nx = cx[:, None] + offs[None, :, 0]
+    ny = cy[:, None] + offs[None, :, 1]
+    nz = cz[:, None] + offs[None, :, 2]
+    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
+              & (nz >= 0) & (nz < gc))
+    nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
+    n_starts = jnp.where(nvalid, starts[nid], n).astype(jnp.int32)
+    n_counts = jnp.where(nvalid, counts[nid], 0).astype(jnp.int32)
+    return order, sorted_pos4, starts, counts, n_starts, n_counts, overflow
+
+
+def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
+                       eps2, sigma, rcut, cap: int, chunk: int, n: int):
+    """Dense-tile short-range pass over the given per-cell range tables.
+
+    The tables may cover ANY static number of cells — the single-device
+    path passes all of them, the sharded path passes its device's slice
+    (padded cells are inert: start=n lands on the pad rows, count=0 masks
+    everything). Pair math runs on dense (cap, 27*cap) VPU tiles batched
+    through ``lax.map``; returns accelerations scattered into the SORTED
+    frame, shape (n, 3) — rows of cells outside the given tables are zero.
+    """
+    f32 = jnp.float32
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    ncl = starts.shape[0]
+
+    def one_cell(c_start, c_count, nst, nct):
+        zero = jnp.int32(0)
+        rows = jax.lax.dynamic_slice(sorted_pos4, (c_start, zero), (cap, 4))
+        ivalid = lane < jnp.minimum(c_count, cap)
+
+        def neighbor(st, ct):
+            blk = jax.lax.dynamic_slice(sorted_pos4, (st, zero), (cap, 4))
+            mj = jnp.where(lane < jnp.minimum(ct, cap), blk[:, 3], 0.0)
+            return blk[:, :3], mj
+
+        pj, mj = jax.vmap(neighbor)(nst, nct)           # (27, cap, 3/..)
+        pj = pj.reshape(27 * cap, 3)
+        mj = mj.reshape(27 * cap)
+        d = pj[None, :, :] - rows[:, None, :3]          # (cap, 27cap, 3)
+        r2 = jnp.sum(d * d, axis=-1)
+        inv_full = jax.lax.rsqrt(r2 + eps2)
+        s_full = inv_full * inv_full * inv_full
+        s = jnp.where(r2 < rcut * rcut, s_full - _s_lr(r2, sigma), 0.0)
+        acc = jnp.einsum("mk,mkj->mj", mj[None, :] * s, d)
+        return jnp.where(ivalid[:, None], acc, 0.0)
+
+    # batch cells through lax.map so the (b, cap, 27*cap) tiles bound memory
+    b = max(1, min(ncl, chunk // cap))
+    nbatch = (ncl + b - 1) // b
+    ncl_pad = nbatch * b
+
+    def padc(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((ncl_pad - ncl,) + x.shape[1:], fill, x.dtype)])
+
+    acc_cells = jax.lax.map(
+        lambda args: jax.vmap(one_cell)(*args),
+        (padc(starts, n).reshape(nbatch, b),
+         padc(counts, 0).reshape(nbatch, b),
+         padc(n_starts, n).reshape(nbatch, b, 27),
+         padc(n_counts, 0).reshape(nbatch, b, 27)),
+    ).reshape(ncl_pad * cap, 3)[: ncl * cap]
+
+    # scatter each cell's rows back to sorted order
+    dest = (starts[:, None] + lane[None, :])            # (ncl, cap)
+    within = lane[None, :] < jnp.minimum(counts, cap)[:, None]
+    dest = jnp.where(within, dest, n)                   # sacrificial row
+    acc_sorted = jnp.zeros((n + 1, 3), f32).at[dest.reshape(-1)].add(acc_cells)
+    return acc_sorted[:n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid", "capacity", "chunk")
 )
@@ -152,107 +281,14 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
     )
 
     # ---- short-range: sorted cell list, processed as dense tiles ----
-    # Random-index gathers are TPU-hostile (measured 35 s at N=262k), so
-    # the short-range pass is laid out for contiguity instead: particles
-    # SORT into cell order once, each cell's bodies become one contiguous
-    # row range, and a cell's 27 neighbor ranges are fetched with
-    # dynamic_slice (contiguous, capacity-padded, masked) — all pair math
-    # then runs on dense (capacity, 27*capacity) tiles.
-    #
-    # cells per axis is STATIC because rcut is a fixed multiple of h
-    # (rcut = RCUT_SIGMAS*SIGMA_CELLS mesh cells)
-    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
-    ncell = gc * gc * gc
-    cap = capacity
-    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
-                  0, gc - 1)
-    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
-
-    # sort key puts MASSIVE bodies first within each cell, so zero-mass
-    # padding (tipsy/BodySystem pads pile up at the origin cell) fills the
-    # trailing capacity slots and drops first — a dropped massless body
-    # neither exerts nor (physically) needs force, so only dropped massive
-    # bodies count as overflow
-    massive = mass > 0
-    order = jnp.argsort(cell * 2 + (~massive).astype(jnp.int32))
-    sorted_cell = cell[order]
-    # int32 throughout: under jax_enable_x64 searchsorted/arange default to
-    # int64 and dynamic_slice then rejects mixed-dtype start indices
-    bounds = jnp.searchsorted(sorted_cell, jnp.arange(ncell + 1)).astype(jnp.int32)
-    starts, ends = bounds[:-1], bounds[1:]
-    counts = ends - starts
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
-    overflow = jnp.sum((rank >= cap) & massive[order])
-
-    # sorted AoS rows, padded so any (start, cap) slice stays in bounds;
-    # padding rows are far away with zero mass (inert either side)
-    sorted_pos4 = jnp.concatenate(
-        [pos3[order], mass[order][:, None]], axis=1)
-    pad_rows = jnp.concatenate(
-        [jnp.full((cap, 3), 1e30, f32), jnp.zeros((cap, 1), f32)], axis=1)
-    sorted_pos4 = jnp.concatenate([sorted_pos4, pad_rows], axis=0)
-
-    # per-cell neighbor cell ids (static 27-stencil over the cell grid)
-    cc = jnp.arange(ncell, dtype=jnp.int32)
-    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
-    offs = jnp.asarray(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
-    nx = cx[:, None] + offs[None, :, 0]
-    ny = cy[:, None] + offs[None, :, 1]
-    nz = cz[:, None] + offs[None, :, 2]
-    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
-              & (nz >= 0) & (nz < gc))
-    nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
-    n_starts = jnp.where(nvalid, starts[nid], n).astype(jnp.int32)
-    n_counts = jnp.where(nvalid, counts[nid], 0).astype(jnp.int32)
-
-    lane = jnp.arange(cap, dtype=jnp.int32)
-
-    def one_cell(c_start, c_count, nst, nct):
-        zero = jnp.int32(0)
-        rows = jax.lax.dynamic_slice(sorted_pos4, (c_start, zero), (cap, 4))
-        ivalid = lane < jnp.minimum(c_count, cap)
-
-        def neighbor(st, ct):
-            blk = jax.lax.dynamic_slice(sorted_pos4, (st, zero), (cap, 4))
-            mj = jnp.where(lane < jnp.minimum(ct, cap), blk[:, 3], 0.0)
-            return blk[:, :3], mj
-
-        pj, mj = jax.vmap(neighbor)(nst, nct)           # (27, cap, 3/..)
-        pj = pj.reshape(27 * cap, 3)
-        mj = mj.reshape(27 * cap)
-        d = pj[None, :, :] - rows[:, None, :3]          # (cap, 27cap, 3)
-        r2 = jnp.sum(d * d, axis=-1)
-        inv_full = jax.lax.rsqrt(r2 + eps2)
-        s_full = inv_full * inv_full * inv_full
-        s = jnp.where(r2 < rcut * rcut, s_full - _s_lr(r2, sigma), 0.0)
-        acc = jnp.einsum("mk,mkj->mj", mj[None, :] * s, d)
-        return jnp.where(ivalid[:, None], acc, 0.0)
-
-    # batch cells through lax.map so the (b, cap, 27*cap) tiles bound memory
-    b = max(1, min(ncell, chunk // cap))
-    nbatch = (ncell + b - 1) // b
-    ncell_pad = nbatch * b
-
-    def padc(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((ncell_pad - ncell,) + x.shape[1:], fill, x.dtype)])
-
-    acc_cells = jax.lax.map(
-        lambda args: jax.vmap(one_cell)(*args),
-        (padc(starts, n).reshape(nbatch, b),
-         padc(counts, 0).reshape(nbatch, b),
-         padc(n_starts, n).reshape(nbatch, b, 27),
-         padc(n_counts, 0).reshape(nbatch, b, 27)),
-    ).reshape(ncell_pad * cap, 3)[: ncell * cap]
-
-    # scatter each cell's rows back to sorted order, then unsort
-    dest = (starts[:, None] + lane[None, :])            # (ncell, cap)
-    within = lane[None, :] < jnp.minimum(counts, cap)[:, None]
-    dest = jnp.where(within, dest, n)                   # sacrificial row
-    acc_sorted = jnp.zeros((n + 1, 3), f32).at[dest.reshape(-1)].add(acc_cells)
-    acc_sr = jnp.zeros((n, 3), f32).at[order].set(acc_sorted[:n])
+    gc = _cell_grid_size(grid)
+    (order, sorted_pos4, starts, counts,
+     n_starts, n_counts, overflow) = _sorted_cell_tables(
+        pos3, mass, lo, rcut, gc, capacity)
+    acc_sorted = _short_range_cells(
+        sorted_pos4, starts, counts, n_starts, n_counts,
+        eps2=eps2, sigma=sigma, rcut=rcut, cap=capacity, chunk=chunk, n=n)
+    acc_sr = jnp.zeros((n, 3), f32).at[order].set(acc_sorted)
 
     return acc_lr + acc_sr, overflow
 
@@ -271,3 +307,122 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
                             chunk=chunk)
     new_pos, new_vel = integrate(pos, vel, a, dt, damping)
     return new_pos, new_vel, overflow
+
+
+def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
+                          chunk: int = 2048, axis: str = "bodies",
+                          integrator: str = "euler"):
+    """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
+    (pos, vel), pos/vel sharded P(axis, None).
+
+    Multi-chip structure (TPU-first — no halo bookkeeping):
+
+    * **long-range**: exactly the sharded-PM shape — each chip deposits its
+      body shard locally, ONE ``psum`` of the G^3 density grid over ICI,
+      a redundant (cheap) per-chip FFT solve with the smoothed kernel, and
+      a local gather for its own shard.
+    * **short-range**: the shards ``all_gather`` positions (N·16 B — the
+      same collective the exact allgather strategy pays), every chip sorts
+      the full set into cells REDUNDANTLY (one O(N log N) XLA sort, a few
+      ms — far cheaper than exchanging halo cells and rebalancing), then
+      computes only ITS static 1/D slice of the cells. Capacity-padded
+      dense tiles make per-cell cost uniform regardless of occupancy, so
+      the static cell split is perfectly load-balanced by construction.
+      One ``psum`` of the (N, 3) short-range accelerations (each sorted
+      row is written by exactly one chip) completes the field, and each
+      chip keeps its body rows.
+
+    Per-step ICI traffic: N·16 B gather + N·12 B psum + G^3·4 B psum
+    (~29 MB at N=1M, G=64) — comparable to the exact allgather strategy.
+
+    Overflow is NOT returned (shard_map outputs are the stepped state);
+    callers must validate `capacity` against their initial state with
+    ``p3m_overflow_count`` / ``p3m_max_occupancy`` — BodySystem does this
+    at every state-set.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.ops.reference import integrate, nbody_step_leapfrog
+
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    ndev = mesh.shape[axis]
+    gc = _cell_grid_size(grid)
+    ncell = gc * gc * gc
+    ncell_loc = -(-ncell // ndev)       # cells per chip (static)
+    ncell_pad = ncell_loc * ndev
+
+    def accel_local(pos_sh, soft):
+        f32 = jnp.float32
+        nloc = pos_sh.shape[0]
+        n = nloc * ndev
+        pos3_sh = pos_sh[:, :3].astype(f32)
+        mass_sh = pos_sh[:, 3].astype(f32)
+        eps2 = jnp.asarray(soft, f32) ** 2
+        lo, h = _fit_box(pos3_sh, grid, axis=axis)  # pmin/pmax → global box
+        sigma = f32(SIGMA_CELLS) * h
+        rcut = f32(RCUT_SIGMAS) * sigma
+
+        # long-range: local deposit, grid psum, redundant solve, local gather
+        idx, w = _cic_indices_weights(pos3_sh, lo, h, grid)
+        rho = jax.lax.psum(_deposit(idx, w, mass_sh, grid), axis)
+        acc_lr = _gather(
+            _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True),
+            idx, w,
+        )
+
+        # short-range: gather bodies, redundant sort, slice of cells, psum
+        pos_all = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
+        pos3 = pos_all[:, :3].astype(f32)
+        mass = pos_all[:, 3].astype(f32)
+        (order, sorted_pos4, starts, counts,
+         n_starts, n_counts, _) = _sorted_cell_tables(
+            pos3, mass, lo, rcut, gc, capacity)
+
+        def padc(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((ncell_pad - ncell,) + x.shape[1:], fill,
+                             x.dtype)])
+
+        off = (jax.lax.axis_index(axis) * ncell_loc).astype(jnp.int32)
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, off, ncell_loc, axis=0)
+
+        acc_sorted = _short_range_cells(
+            sorted_pos4, sl(padc(starts, n)), sl(padc(counts, 0)),
+            sl(padc(n_starts, n)), sl(padc(n_counts, 0)),
+            eps2=eps2, sigma=sigma, rcut=rcut, cap=capacity, chunk=chunk,
+            n=n)
+        acc_sorted = jax.lax.psum(acc_sorted, axis)
+        acc_sr = jnp.zeros((n, 3), f32).at[order].set(acc_sorted)
+        d = jax.lax.axis_index(axis)
+        acc_sr_local = jax.lax.dynamic_slice_in_dim(
+            acc_sr, (d * nloc).astype(jnp.int32), nloc, axis=0)
+        return acc_lr + acc_sr_local
+
+    def local(pos_sh, vel_sh, dt, soft, damp):
+        if integrator == "leapfrog":
+            return nbody_step_leapfrog(
+                pos_sh, vel_sh, dt, 0.0, damp,
+                accel_fn=lambda p4: accel_local(p4, soft))
+        return integrate(pos_sh, vel_sh, accel_local(pos_sh, soft), dt, damp)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(pos, vel, dt, softening, damping):
+        return sharded(
+            pos, vel,
+            jnp.asarray(dt, pos.dtype),
+            jnp.asarray(softening, pos.dtype),
+            jnp.asarray(damping, pos.dtype),
+        )
+
+    return step
