@@ -122,11 +122,6 @@ class BodySystem:
                 "force, which the mesh solvers do not provide; use euler "
                 f"or leapfrog with backend={backend!r}"
             )
-        if integrator == "hermite" and mesh is not None:
-            raise ValueError(
-                "integrator='hermite' is single-device for now; use euler "
-                "or leapfrog with a mesh"
-            )
         self.integrator = integrator
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
@@ -187,7 +182,10 @@ class BodySystem:
 
                 self._sharded_step = make_sharded_step(
                     mesh,
-                    kernel=backend,
+                    # hermite's accel+jerk has no Pallas kernel; its sharded
+                    # step runs the XLA evaluation regardless of backend
+                    # (matching the single-device hermite path)
+                    kernel="xla" if integrator == "hermite" else backend,
                     strategy=strategy,
                     tile_i=tile_i,
                     tile_j=tile_j,

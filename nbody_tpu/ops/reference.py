@@ -171,7 +171,8 @@ def compute_accel_jerk_xla(pos, vel, softening, *, chunk_size: int | None = None
 
 
 def nbody_step_hermite(pos, vel, dt, softening, damping,
-                       *, chunk_size: int | None = None):
+                       *, chunk_size: int | None = None,
+                       accel_jerk_fn=None):
     """4th-order Hermite predictor-corrector step, P(EC) form:
 
         predict:  x_p = x + v dt + a0 dt²/2 + j0 dt³/6
@@ -183,18 +184,25 @@ def nbody_step_hermite(pos, vel, dt, softening, damping,
     then the reference's damping multiplier on v1 for interface parity.
     Two force evaluations per step buy O(dt⁴) local accuracy — the
     collisional-dynamics workhorse integrator (Makino & Aarseth 1992).
+
+    `accel_jerk_fn(pos4, vel4) -> (acc, jerk)` lets callers plug a custom
+    force evaluation (the sharded step passes the collective-backed one);
+    defaults to the chunked XLA pass.
     """
     dt = jnp.asarray(dt, pos.dtype)
     damping = jnp.asarray(damping, pos.dtype)
+    if accel_jerk_fn is None:
+        def accel_jerk_fn(p4, v4):
+            return compute_accel_jerk_xla(p4, v4, softening,
+                                          chunk_size=chunk_size)
     x0, v0 = pos[:, :3], vel[:, :3]
-    a0, j0 = compute_accel_jerk_xla(pos, vel, softening, chunk_size=chunk_size)
+    a0, j0 = accel_jerk_fn(pos, vel)
 
     xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
     vp = v0 + a0 * dt + j0 * (dt * dt / 2)
     pos_p = jnp.concatenate([xp, pos[:, 3:4]], axis=1)
     vel_p = jnp.concatenate([vp, vel[:, 3:4]], axis=1)
-    a1, j1 = compute_accel_jerk_xla(pos_p, vel_p, softening,
-                                    chunk_size=chunk_size)
+    a1, j1 = accel_jerk_fn(pos_p, vel_p)
 
     v1 = (v0 + (dt / 2) * (a0 + a1) + (dt * dt / 12) * (j0 - j1)) * damping
     x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)

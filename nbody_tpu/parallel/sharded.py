@@ -89,11 +89,14 @@ def make_sharded_step(
       between allgather and ring by shard size at trace time; see
       choose_strategy).
     variant: pallas kernel variant ("vpu" / "mxu" / "mxu_bf16").
-    integrator: "euler" (reference parity) or "leapfrog" (symplectic DKD —
+    integrator: "euler" (reference parity), "leapfrog" (symplectic DKD —
       the local shard drifts dt/2 first, the gathered/ring-streamed j-side is
-      the half-step positions, then kick + second half-drift).
+      the half-step positions, then kick + second half-drift), or "hermite"
+      (4th-order predictor-corrector — two accel+jerk evaluations per step,
+      each gathering/ring-streaming BOTH positions and velocities; XLA
+      kernel only, as the fused Pallas kernels compute no jerk).
     """
-    if integrator not in ("euler", "leapfrog"):
+    if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(f"unknown integrator {integrator!r}")
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -101,6 +104,16 @@ def make_sharded_step(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "ring_fused" and kernel != "pallas":
         raise ValueError("strategy='ring_fused' is a Pallas kernel; use kernel='pallas'")
+    if integrator == "hermite":
+        if kernel != "xla":
+            raise ValueError(
+                "integrator='hermite' needs the XLA accel+jerk evaluation; "
+                "use kernel='xla' (the Pallas kernels compute no jerk)")
+        if strategy == "ring_fused":
+            raise ValueError(
+                "integrator='hermite' supports strategies "
+                "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
+                "update into its kernel)")
     ndev = mesh.shape[axis]
 
     def step_vs(pos_sh, vel_sh, pos_j, dt, soft, damp):
@@ -146,7 +159,45 @@ def make_sharded_step(
         (_, acc), _ = jax.lax.scan(hop, (jpos0, acc0), None, length=ndev)
         return acc
 
+    def _hermite(pos_sh, vel_sh, dt, soft, damp, *, use_ring: bool):
+        from nbody_tpu.ops.reference import (
+            _accel_jerk_rows,
+            nbody_step_hermite,
+        )
+
+        eps2 = jnp.asarray(soft, pos_sh.dtype) ** 2
+
+        def aj_vs(p_sh, v_sh, p_j, v_j):
+            return _accel_jerk_rows(p_sh[:, :3], v_sh[:, :3],
+                                    p_j[:, :3], v_j[:, :3], p_j[:, 3], eps2)
+
+        if use_ring:
+            perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+            def aj(p_sh, v_sh):
+                def hop(carry, _):
+                    jp, jv, acc, jerk = carry
+                    a, jk = aj_vs(p_sh, v_sh, jp, jv)
+                    jp = jax.lax.ppermute(jp, axis, perm)
+                    jv = jax.lax.ppermute(jv, axis, perm)
+                    return (jp, jv, acc + a, jerk + jk), None
+
+                z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
+                (_, _, acc, jerk), _ = jax.lax.scan(
+                    hop, (p_sh, v_sh, z, z), None, length=ndev)
+                return acc, jerk
+        else:
+            def aj(p_sh, v_sh):
+                p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
+                v_all = jax.lax.all_gather(v_sh, axis, axis=0, tiled=True)
+                return aj_vs(p_sh, v_sh, p_all, v_all)
+
+        return nbody_step_hermite(pos_sh, vel_sh, dt, soft, damp,
+                                  accel_jerk_fn=aj)
+
     def local_allgather(pos_sh, vel_sh, dt, soft, damp):
+        if integrator == "hermite":
+            return _hermite(pos_sh, vel_sh, dt, soft, damp, use_ring=False)
         if integrator == "leapfrog":
             pos_half = _drift_half(pos_sh, vel_sh, dt)
             all_half = jax.lax.all_gather(pos_half, axis, axis=0, tiled=True)
@@ -156,6 +207,8 @@ def make_sharded_step(
         return step_vs(pos_sh, vel_sh, all_pos, dt, soft, damp)
 
     def local_ring(pos_sh, vel_sh, dt, soft, damp):
+        if integrator == "hermite":
+            return _hermite(pos_sh, vel_sh, dt, soft, damp, use_ring=True)
         if integrator == "leapfrog":
             pos_half = _drift_half(pos_sh, vel_sh, dt)
             acc = _ring_accel(pos_half, pos_half, soft)

@@ -114,13 +114,56 @@ def test_hermite_rejects_pm_backend():
         BodySystem(128, NBodyParams(), backend="pm", integrator="hermite")
 
 
-def test_hermite_rejects_mesh():
+def test_sharded_hermite_matches_single_device(state):
+    """Both collective shapes of the sharded Hermite step (allgather of
+    pos+vel, ring of (jpos, jvel) pairs) must reproduce the single-device
+    predictor-corrector."""
+    from nbody_tpu.parallel import make_mesh, shard_state
+    from nbody_tpu.parallel.sharded import make_sharded_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = state
+    ref_p, ref_v = nbody_step_hermite(pos, vel, DT, SOFT, 0.999)
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    for strategy in ("allgather", "ring"):
+        step = make_sharded_step(mesh, kernel="xla", strategy=strategy,
+                                 integrator="hermite")
+        p1, v1 = step(ps, vs, DT, SOFT, 0.999)
+        assert p1.sharding == ps.sharding
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                                   rtol=1e-5, atol=1e-6, err_msg=strategy)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                                   rtol=1e-5, atol=1e-6, err_msg=strategy)
+
+
+def test_sharded_hermite_via_body_system():
+    """BodySystem routes mesh+hermite to the XLA sharded step for any
+    requested backend (pallas has no jerk kernel)."""
     from nbody_tpu.models import BodySystem
     from nbody_tpu.params import NBodyParams
     from nbody_tpu.parallel import make_mesh
 
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = BodySystem(256, NBodyParams(), backend="xla",
+                   integrator="hermite", mesh=make_mesh(8), seed=1)
+    m0 = s.positions[:, 3].copy()
+    s.update_many(3, DT)
+    np.testing.assert_array_equal(s.positions[:, 3], m0)
+    assert np.isfinite(s.positions).all()
+
+
+def test_sharded_hermite_rejects_pallas_and_ring_fused():
+    from nbody_tpu.parallel import make_mesh
+    from nbody_tpu.parallel.sharded import make_sharded_step
+
     if len(jax.devices()) < 2:
         pytest.skip("needs >1 device")
-    with pytest.raises(ValueError, match="single-device"):
-        BodySystem(128, NBodyParams(), backend="xla",
-                   integrator="hermite", mesh=make_mesh(2))
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="jerk"):
+        make_sharded_step(mesh, kernel="pallas", integrator="hermite")
+    with pytest.raises(ValueError, match="ring_fused"):
+        make_sharded_step(mesh, kernel="xla", strategy="ring_fused",
+                          integrator="hermite")
