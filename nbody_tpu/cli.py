@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "tolerance by design)")
     p.add_argument("--pm-grid", type=int, default=64,
                    help="mesh resolution per axis (--kernel pm/p3m)")
+    p.add_argument("--pm-assignment", choices=["cic", "tsc"], default="cic",
+                   help="mass-assignment scheme for pm/p3m: cic = 8-point "
+                        "trilinear, tsc = 27-point quadratic (~2x lower "
+                        "mesh force error, same FFT cost)")
     p.add_argument("--p3m-capacity", type=int, default=None,
                    help="p3m neighbor-cell capacity (bodies per cell); "
                         "default auto-sizes from the initial state's max "
@@ -235,6 +239,7 @@ def _main(argv=None) -> int:
         variant=args.variant,
         integrator=args.integrator,
         pm_grid=args.pm_grid,
+        pm_assignment=args.pm_assignment,
         p3m_capacity=args.p3m_capacity,
         seed=args.seed,
         tipsy_state=tipsy_state,

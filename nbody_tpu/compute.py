@@ -73,6 +73,7 @@ class Compute:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
+        pm_assignment: str = "cic",
         p3m_capacity: Optional[int] = None,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
@@ -121,6 +122,7 @@ class Compute:
             interpret=interpret,
             chunk_size=chunk_size,
             pm_grid=pm_grid,
+            pm_assignment=pm_assignment,
             p3m_capacity=p3m_capacity,
             seed=seed,
             state=tipsy_state,

@@ -76,6 +76,7 @@ class BodySystem:
         interpret: Optional[bool] = None,
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
+        pm_assignment: str = "cic",
         p3m_capacity: Optional[int] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
@@ -126,6 +127,9 @@ class BodySystem:
         self.interpret = bool(interpret)
         self.chunk_size = chunk_size
         self.pm_grid = int(pm_grid)
+        if pm_assignment not in ("cic", "tsc"):
+            raise ValueError(f"unknown pm_assignment {pm_assignment!r}")
+        self.pm_assignment = pm_assignment
         # None = auto-size from the initial state's cell occupancy (+50%
         # headroom) at first placement; resolved before any step compiles
         self.p3m_capacity = None if p3m_capacity is None else int(p3m_capacity)
@@ -170,7 +174,8 @@ class BodySystem:
                 from nbody_tpu.ops.pm import make_sharded_pm_step
 
                 self._sharded_step = make_sharded_pm_step(
-                    mesh, grid=self.pm_grid, integrator=integrator
+                    mesh, grid=self.pm_grid, integrator=integrator,
+                    assignment=pm_assignment,
                 )
             elif backend == "p3m":
                 # built lazily in _step_fn: p3m_capacity=None auto-sizes
@@ -312,7 +317,7 @@ class BodySystem:
 
             self._sharded_step = make_sharded_p3m_step(
                 self.mesh, grid=self.pm_grid, capacity=self.p3m_capacity,
-                integrator=self.integrator,
+                integrator=self.integrator, assignment=self.pm_assignment,
             )
         if self._sharded_step is not None:
             return self._sharded_step
@@ -335,22 +340,25 @@ class BodySystem:
         if self.backend == "pm":
             from nbody_tpu.ops.pm import nbody_step_pm
 
-            grid = self.pm_grid
+            grid, assignment = self.pm_grid, self.pm_assignment
 
             def step(pos, vel, dt, soft, damp):
-                return nbody_step_pm(pos, vel, dt, soft, damp, grid=grid)
+                return nbody_step_pm(pos, vel, dt, soft, damp, grid=grid,
+                                     assignment=assignment)
 
             return step
         if self.backend == "p3m":
             from nbody_tpu.ops.p3m import nbody_step_p3m
 
             grid, cap = self.pm_grid, self.p3m_capacity
+            assignment = self.pm_assignment
 
             def step(pos, vel, dt, soft, damp):
                 # overflow was probed against the initial state (_place);
                 # steps assume the capacity contract keeps holding
                 p, v, _ = nbody_step_p3m(pos, vel, dt, soft, damp,
-                                         grid=grid, capacity=cap)
+                                         grid=grid, capacity=cap,
+                                         assignment=assignment)
                 return p, v
 
             return step
@@ -382,11 +390,11 @@ class BodySystem:
         if self.backend == "pm":
             from nbody_tpu.ops.pm import pm_accel
 
-            grid = self.pm_grid
+            grid, assignment = self.pm_grid, self.pm_assignment
 
             def step(pos, vel, dt, soft, damp):
                 def accel_fn(p4):
-                    return pm_accel(p4, grid=grid)
+                    return pm_accel(p4, grid=grid, assignment=assignment)
 
                 return nbody_step_leapfrog(pos, vel, dt, soft, damp,
                                            accel_fn=accel_fn)
@@ -396,10 +404,12 @@ class BodySystem:
             from nbody_tpu.ops.p3m import p3m_accel
 
             grid, cap = self.pm_grid, self.p3m_capacity
+            assignment = self.pm_assignment
 
             def step(pos, vel, dt, soft, damp):
                 def accel_fn(p4):
-                    return p3m_accel(p4, soft, grid=grid, capacity=cap)[0]
+                    return p3m_accel(p4, soft, grid=grid, capacity=cap,
+                                     assignment=assignment)[0]
 
                 return nbody_step_leapfrog(pos, vel, dt, soft, damp,
                                            accel_fn=accel_fn)
@@ -543,6 +553,7 @@ class BodySystem:
             interpret=self._requested_interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
             pm_grid=self.pm_grid,
+            pm_assignment=self.pm_assignment,
             p3m_capacity=self.p3m_capacity,
             config=self.config,
             seed=self.seed,

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu.ops.pm import (
-    _cic_indices_weights,
+    ASSIGNMENTS,
     _deposit,
     _fit_box,
     _gather,
@@ -249,10 +249,10 @@ def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "capacity", "chunk")
+    jax.jit, static_argnames=("grid", "capacity", "chunk", "assignment")
 )
 def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
-              chunk: int = 2048):
+              chunk: int = 2048, assignment: str = "cic"):
     """(N, 4) [x,y,z,m] -> ((N, 3) accelerations, overflow count).
 
     Equals the softened all-pairs Plummer force up to mesh error of the
@@ -273,10 +273,12 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
     rcut = f32(RCUT_SIGMAS) * sigma
 
     # ---- long-range: PM with the smoothed kernel ----
-    idx, w = _cic_indices_weights(pos3, lo, h, grid)
+    assign, wexp = ASSIGNMENTS[assignment]
+    idx, w = assign(pos3, lo, h, grid)
     rho = _deposit(idx, w, mass, grid)
     acc_lr = _gather(
-        _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True),
+        _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True,
+                           window_exp=wexp),
         idx, w,
     )
 
@@ -294,7 +296,8 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
 
 
 def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
-                   capacity: int = 128, chunk: int = 2048):
+                   capacity: int = 128, chunk: int = 2048,
+                   assignment: str = "cic"):
     """P3M step with the reference's damped semi-implicit Euler update.
 
     Returns (pos, vel, overflow); callers doing long rollouts should probe
@@ -304,14 +307,15 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
     from nbody_tpu.ops.reference import integrate
 
     a, overflow = p3m_accel(pos, softening, grid=grid, capacity=capacity,
-                            chunk=chunk)
+                            chunk=chunk, assignment=assignment)
     new_pos, new_vel = integrate(pos, vel, a, dt, damping)
     return new_pos, new_vel, overflow
 
 
 def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                           chunk: int = 2048, axis: str = "bodies",
-                          integrator: str = "euler"):
+                          integrator: str = "euler",
+                          assignment: str = "cic"):
     """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
 
@@ -347,6 +351,7 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
     ndev = mesh.shape[axis]
+    assign, wexp = ASSIGNMENTS[assignment]
     gc = _cell_grid_size(grid)
     ncell = gc * gc * gc
     ncell_loc = -(-ncell // ndev)       # cells per chip (static)
@@ -364,10 +369,11 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
         rcut = f32(RCUT_SIGMAS) * sigma
 
         # long-range: local deposit, grid psum, redundant solve, local gather
-        idx, w = _cic_indices_weights(pos3_sh, lo, h, grid)
+        idx, w = assign(pos3_sh, lo, h, grid)
         rho = jax.lax.psum(_deposit(idx, w, mass_sh, grid), axis)
         acc_lr = _gather(
-            _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True),
+            _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True,
+                               window_exp=wexp),
             idx, w,
         )
 

@@ -81,6 +81,53 @@ def _cic_indices_weights(pos3, lo, h, grid: int):
     return jnp.stack(idxs), jnp.stack(weights)
 
 
+def _tsc_indices_weights(pos3, lo, h, grid: int):
+    """TSC (triangular-shaped cloud, Hockney & Eastwood order-3): 27
+    (flat index, weight) pairs per particle.
+
+    Per axis, around the NEAREST node with frac ∈ [-0.5, 0.5):
+        w(-1) = (1/2)(1/2 − frac)²,  w(0) = 3/4 − frac²,
+        w(+1) = (1/2)(1/2 + frac)²           (sum = 1).
+    One order smoother than CIC — the assigned field has a continuous
+    first derivative, so the mesh force loses the cell-crossing kinks
+    that dominate CIC's error.
+    """
+    rel = (pos3 - lo[None, :]) / h
+    base = jnp.floor(rel + 0.5)      # nearest node
+    frac = rel - base                # in [-0.5, 0.5)
+    base = base.astype(jnp.int32)
+
+    def w1(fr, off):
+        if off == -1:
+            return 0.5 * (0.5 - fr) ** 2
+        if off == 0:
+            return 0.75 - fr * fr
+        return 0.5 * (0.5 + fr) ** 2
+
+    idxs = []
+    weights = []
+    for dx in (-1, 0, 1):
+        wx = w1(frac[:, 0], dx)
+        ix = jnp.clip(base[:, 0] + dx, 0, grid - 1)
+        for dy in (-1, 0, 1):
+            wy = w1(frac[:, 1], dy)
+            iy = jnp.clip(base[:, 1] + dy, 0, grid - 1)
+            for dz in (-1, 0, 1):
+                wz = w1(frac[:, 2], dz)
+                iz = jnp.clip(base[:, 2] + dz, 0, grid - 1)
+                idxs.append((ix * grid + iy) * grid + iz)
+                weights.append(wx * wy * wz)
+    return jnp.stack(idxs), jnp.stack(weights)
+
+
+# assignment scheme name -> ((idx, w) builder, per-axis Fourier-window
+# exponent: the order-p B-spline window is sinc^p per axis)
+ASSIGNMENTS = {
+    "cic": (_cic_indices_weights, 2),
+    "tsc": (_tsc_indices_weights, 3),
+}
+
+
 def _deposit(idx, w, mass, grid: int):
     """CIC scatter-add -> flat (grid^3,) density grid."""
     rho = jnp.zeros(grid * grid * grid, jnp.float32)
@@ -88,7 +135,7 @@ def _deposit(idx, w, mass, grid: int):
 
 
 def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
-                       deconvolve: bool = False):
+                       deconvolve: bool = False, window_exp: int = 2):
     """Isolated-BC Poisson solve; returns 3 flat (grid^3,) accel grids.
 
     phi = -conv(rho, K) on the 2G zero-padded mesh, a = -grad(phi) =
@@ -101,11 +148,12 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
     represents structure above sigma and a short-range pair sum supplies
     the rest exactly.
 
-    ``deconvolve`` divides the spectrum by the squared CIC window W(k)^2
-    (one factor for deposit, one for gather). Only sensible when the target
-    field is smooth (the sigma path — measured ~2x error reduction at
-    sigma=1.5h); it AMPLIFIES sub-cell error for the raw 1/r kernel, so
-    plain PM keeps it off.
+    ``deconvolve`` divides the spectrum by the squared assignment window
+    W(k)^2 (one factor for deposit, one for gather), where W is sinc^p per
+    axis with p = ``window_exp`` (2 for CIC, 3 for TSC). Only sensible when
+    the target field is smooth (the sigma path — measured ~2x error
+    reduction at sigma=1.5h); it AMPLIFIES sub-cell error for the raw 1/r
+    kernel, so plain PM keeps it off.
     """
     f32 = jnp.float32
     rho = rho_flat.reshape(grid, grid, grid)
@@ -128,11 +176,12 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
     conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
     if deconvolve:
-        # the CIC (triangle) window is sinc^2 per axis — one factor each
-        # for deposit and gather makes sinc^4 per axis total. Measured on
-        # the P3M split: none 1.2% / half 0.65% / full 0.36% median force
-        # error (r2 review caught the original half-correction).
-        wx = jnp.sinc(f1 * h) ** 2  # W_CIC(k) per axis
+        # the order-p B-spline window is sinc^p per axis (p=2 CIC triangle,
+        # p=3 TSC quadratic) — one factor each for deposit and gather makes
+        # sinc^(2p) per axis total. Measured on the P3M split (CIC): none
+        # 1.2% / half 0.65% / full 0.36% median force error (r2 review
+        # caught the original half-correction).
+        wx = jnp.sinc(f1 * h) ** window_exp  # W(k) per axis
         win = wx[:, None, None] * wx[None, :, None] * wx[None, None, :]
         conv_k = conv_k / (win * win)
     k1 = (2.0 * jnp.pi) * f1
@@ -151,20 +200,27 @@ def _gather(force_grids, idx, w):
                      axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def pm_accel(pos, *, grid: int = 64):
-    """(N, 4) [x,y,z,m] -> (N, 3) far-field accelerations (single device)."""
+@functools.partial(jax.jit, static_argnames=("grid", "assignment"))
+def pm_accel(pos, *, grid: int = 64, assignment: str = "cic"):
+    """(N, 4) [x,y,z,m] -> (N, 3) far-field accelerations (single device).
+
+    assignment: "cic" (8-point trilinear) or "tsc" (27-point quadratic —
+    one order smoother, ~2x lower force error on the same mesh for ~2x
+    the deposit/gather work; the FFT solve cost is unchanged).
+    """
     if pos.shape[-1] != 4:
         raise ValueError("pm_accel expects (N, 4) [x,y,z,m]")
+    assign, _ = ASSIGNMENTS[assignment]
     pos3 = pos[:, :3].astype(jnp.float32)
     mass = pos[:, 3].astype(jnp.float32)
     lo, h = _fit_box(pos3, grid)
-    idx, w = _cic_indices_weights(pos3, lo, h, grid)
+    idx, w = assign(pos3, lo, h, grid)
     rho = _deposit(idx, w, mass, grid)
     return _gather(_solve_force_grids(rho, h, grid), idx, w)
 
 
-def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
+def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64,
+                  assignment: str = "cic"):
     """PM step with the reference's damped semi-implicit Euler update.
 
     `softening` is accepted for interface parity but PM's effective
@@ -174,12 +230,13 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64):
     from nbody_tpu.ops.reference import integrate
 
     del softening
-    a = pm_accel(pos, grid=grid)
+    a = pm_accel(pos, grid=grid, assignment=assignment)
     return integrate(pos, vel, a, dt, damping)
 
 
 def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
-                         integrator: str = "euler"):
+                         integrator: str = "euler",
+                         assignment: str = "cic"):
     """Body-sharded PM step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
 
@@ -194,11 +251,13 @@ def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
 
+    assign, _ = ASSIGNMENTS[assignment]
+
     def accel_local(pos_sh):
         pos3 = pos_sh[:, :3].astype(jnp.float32)
         mass = pos_sh[:, 3].astype(jnp.float32)
         lo, h = _fit_box(pos3, grid, axis=axis)
-        idx, w = _cic_indices_weights(pos3, lo, h, grid)
+        idx, w = assign(pos3, lo, h, grid)
         rho = jax.lax.psum(_deposit(idx, w, mass, grid), axis)
         return _gather(_solve_force_grids(rho, h, grid), idx, w)
 

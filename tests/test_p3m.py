@@ -241,3 +241,51 @@ def test_sharded_p3m_body_system():
         s.update_many(3, 0.001)
         np.testing.assert_array_equal(s.positions[:, 3], m0)
         assert np.isfinite(s.positions).all()
+
+
+def test_p3m_tsc_beats_cic(cloud):
+    """TSC assignment + sinc^3 deconvolution roughly halves the mesh force
+    error on the same grid (measured: median 0.36% -> 0.16%, p90 0.94% ->
+    0.28% on this cloud)."""
+    pos, _ = cloud
+    a_ref = np.asarray(compute_accel_xla(pos, SOFT))
+    a_cic, _ = p3m_accel(pos, SOFT, grid=64, capacity=64, assignment="cic")
+    a_tsc, ovf = p3m_accel(pos, SOFT, grid=64, capacity=64, assignment="tsc")
+    assert int(ovf) == 0
+    rel_cic = _rel_err(a_cic, a_ref)
+    rel_tsc = _rel_err(a_tsc, a_ref)
+    assert np.median(rel_tsc) < np.median(rel_cic) / 1.5
+    assert np.percentile(rel_tsc, 90) < np.percentile(rel_cic, 90) / 2
+    assert np.median(rel_tsc) < 0.004
+
+
+def test_sharded_p3m_tsc_matches_single_device(cloud):
+    from nbody_tpu.ops.p3m import make_sharded_p3m_step
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    ref_p, ref_v, _ = nbody_step_p3m(pos, vel, 0.001, SOFT, 1.0,
+                                     grid=32, capacity=64, assignment="tsc")
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    step = make_sharded_p3m_step(mesh, grid=32, capacity=64,
+                                 assignment="tsc")
+    p1, v1 = step(ps, vs, 0.001, SOFT, 1.0)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_p3m_tsc_via_body_system_and_cli_flag():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    s = BodySystem(512, NBodyParams(), backend="p3m", pm_grid=32,
+                   p3m_capacity=64, pm_assignment="tsc", seed=0)
+    s.update_many(2, 0.001)
+    assert np.isfinite(s.positions).all()
+    with pytest.raises(ValueError, match="pm_assignment"):
+        BodySystem(64, NBodyParams(), backend="pm", pm_assignment="ngp")

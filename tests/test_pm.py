@@ -123,3 +123,56 @@ def test_cli_pm_kernel_demo(capsys):
     rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "pm",
                "--pm-grid", "32", "--no-cycle"])
     assert rc == 0
+
+
+def test_tsc_weights_partition_of_unity():
+    """TSC 27-point weights must sum to 1 per particle (mass conservation)
+    and deposit the exact total mass."""
+    from nbody_tpu.ops.pm import _deposit, _fit_box, _tsc_indices_weights
+
+    rng = np.random.default_rng(0)
+    pos3 = jnp.asarray(rng.uniform(-3, 3, (512, 3)), jnp.float32)
+    mass = jnp.ones(512, jnp.float32)
+    lo, h = _fit_box(pos3, 32)
+    idx, w = _tsc_indices_weights(pos3, lo, h, 32)
+    assert idx.shape == (27, 512) and w.shape == (27, 512)
+    np.testing.assert_allclose(np.asarray(w.sum(0)), 1.0, atol=1e-5)
+    rho = _deposit(idx, w, mass, 32)
+    np.testing.assert_allclose(float(rho.sum()), 512.0, rtol=1e-5)
+
+
+def test_tsc_pm_not_worse_than_cic(cloud):
+    """TSC's smoother assignment must not degrade PM accuracy (it is one
+    B-spline order above CIC)."""
+    from nbody_tpu.ops.reference import compute_accel_xla
+
+    pos, _ = cloud
+    a_ref = np.asarray(compute_accel_xla(pos, 0.1))
+
+    def med_rel(a):
+        num = np.sqrt(((np.asarray(a) - a_ref) ** 2).sum(1))
+        den = np.maximum(np.sqrt((a_ref ** 2).sum(1)), 1e-12)
+        return np.median(num / den)
+
+    err_cic = med_rel(pm_accel(pos, grid=64, assignment="cic"))
+    err_tsc = med_rel(pm_accel(pos, grid=64, assignment="tsc"))
+    assert err_tsc <= err_cic * 1.05, (err_tsc, err_cic)
+
+
+def test_sharded_pm_tsc_matches_single_device(cloud):
+    from nbody_tpu.ops.pm import make_sharded_pm_step, nbody_step_pm
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    ref_p, ref_v = nbody_step_pm(pos, vel, 0.001, 0.1, 1.0, grid=32,
+                                 assignment="tsc")
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    step = make_sharded_pm_step(mesh, grid=32, assignment="tsc")
+    p1, v1 = step(ps, vs, 0.001, 0.1, 1.0)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
