@@ -39,14 +39,17 @@ class DisplayMode(enum.Enum):
     POINTS = "points"
     SPRITES = "sprites"
     SPRITES_COLOR = "sprites_color"
+    # beyond the reference (additive-only): depth-ordered alpha compositing
+    # for dense cores — see _raster's slab path
+    SPRITES_ALPHA = "sprites_alpha"
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "splat", "mode", "chunk"),
+    static_argnames=("width", "height", "splat", "mode", "chunk", "buckets"),
 )
 def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
-            width, height, splat, mode, chunk):
+            width, height, splat, mode, chunk, buckets=16):
     n = pos.shape[0]
     k = splat
     p3 = pos[:, :3].astype(jnp.float32)
@@ -57,8 +60,16 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
     # pre-flattened 1-D indices into per-color-class planes — 3x less
     # payload and a scatter shape XLA lowers far better on TPU (measured
     # 16.5 s -> see PARITY.md for the r2 number at 1M bodies).
+    #
+    # "sprites_alpha" reuses the same machinery for DEPTH-ORDERED "over"
+    # compositing without any per-pixel sort (sorting fragments is
+    # TPU-hostile): bodies bucket into `buckets` eye-depth slabs, the
+    # scatter targets (slab, class) planes, and the slabs composite
+    # back-to-front after the scatter. Within a slab blending stays
+    # additive — the classic volume-rendering slice approximation.
+    nslab = buckets if mode == "sprites_alpha" else 1
     idx = jnp.arange(n)
-    if mode == "sprites_color":
+    if mode in ("sprites_color", "sprites_alpha"):
         nclass = 3
         cls = (idx % 3).astype(jnp.int32)
         # class c colors body i%3==c: B, G, R, modulated like the fragment
@@ -73,7 +84,7 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
         nclass = 1
         cls = jnp.zeros((n,), jnp.int32)
         class_rgb = tint[None, :]
-    planes_len = nclass * height * width
+    planes_len = nslab * nclass * height * width
 
     eye = p3 @ mv[:3, :3].T + mv[:3, 3]
     clip = eye @ proj[:3, :3].T + proj[:3, 3]
@@ -82,6 +93,16 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
     ndc = clip / jnp.where(valid, wc, 1.0)[:, None]
     sx = (ndc[:, 0] + 1.0) * 0.5 * width
     sy = (1.0 - ndc[:, 1]) * 0.5 * height
+
+    if mode == "sprites_alpha":
+        # slab index from eye depth, normalized over the VISIBLE bodies so
+        # the slab resolution adapts to the cluster's extent
+        wmin = jnp.min(jnp.where(valid, wc, jnp.inf))
+        wmax = jnp.max(jnp.where(valid, wc, -jnp.inf))
+        span = jnp.maximum(wmax - wmin, 1e-6)
+        slab = jnp.clip(((wc - wmin) / span * nslab).astype(jnp.int32),
+                        0, nslab - 1)
+        cls = slab * nclass + cls  # scatter class becomes (slab, color)
 
     if mode == "points":
         size = jnp.ones_like(wc)
@@ -138,8 +159,19 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
         )
         acc = jax.lax.map(splat_chunk, chunks).sum(axis=0)
 
-    planes = acc[:planes_len].reshape(nclass, height, width)
-    img = jnp.einsum("chw,ck->hwk", planes, class_rgb)
+    if mode == "sprites_alpha":
+        planes = acc[:planes_len].reshape(nslab, nclass, height, width)
+        wsum = planes.sum(axis=1)                           # (B, H, W)
+        rgb = jnp.einsum("bchw,ck->bhwk", planes, class_rgb)
+        avg = rgb / jnp.maximum(wsum, 1e-12)[..., None]     # slab mean color
+        alpha = 1.0 - jnp.exp(-wsum)                        # soft saturation
+        img = jnp.zeros((height, width, 3), jnp.float32)
+        for b in range(nslab - 1, -1, -1):                  # far -> near
+            a = alpha[b][..., None]
+            img = img * (1.0 - a) + avg[b] * a              # "over" operator
+    else:
+        planes = acc[:planes_len].reshape(nclass, height, width)
+        img = jnp.einsum("chw,ck->hwk", planes, class_rgb)
     return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
@@ -147,11 +179,12 @@ class FrameRenderer:
     def __init__(self, width: int = 1024, height: int = 768, *,
                  splat: int = 16, fov_deg: float = 60.0,
                  znear: float = 0.1, zfar: float = 1000.0,
-                 chunk: int = 65536):
+                 chunk: int = 65536, depth_buckets: int = 16):
         self.width = width
         self.height = height
         self.splat = splat
         self.chunk = chunk
+        self.depth_buckets = depth_buckets  # SPRITES_ALPHA slab count
         self.proj = perspective(fov_deg, width / height, znear, zfar)
 
     def render(
@@ -182,6 +215,7 @@ class FrameRenderer:
             splat=self.splat,
             mode=mode.value,
             chunk=self.chunk,
+            buckets=self.depth_buckets,
         )
         # writable copy: zero-copy views of device buffers are read-only and
         # the HUD overlay stamps pixels in place

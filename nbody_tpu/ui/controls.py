@@ -22,7 +22,10 @@ import sys
 from nbody_tpu.config import NBodyConfig
 from nbody_tpu.render.rasterizer import DisplayMode
 
-_DISPLAY_ORDER = [DisplayMode.POINTS, DisplayMode.SPRITES, DisplayMode.SPRITES_COLOR]
+# the reference cycles its 3 GL modes; SPRITES_ALPHA (depth-ordered
+# compositing) is the TPU build's extension to the cycle
+_DISPLAY_ORDER = [DisplayMode.POINTS, DisplayMode.SPRITES,
+                  DisplayMode.SPRITES_COLOR, DisplayMode.SPRITES_ALPHA]
 
 
 class Controls:

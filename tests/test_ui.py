@@ -56,10 +56,11 @@ def test_p_cycles_display_mode():
     ctl = Controls(c, log=lambda *a: None)
     start = ctl.display_mode
     seen = {start}
-    for _ in range(3):
+    for _ in range(len(DisplayMode) - 1):
         ctl.handle("p")
         seen.add(ctl.display_mode)
     assert seen == set(DisplayMode)
+    ctl.handle("p")
     assert ctl.display_mode == start
 
 
