@@ -289,3 +289,33 @@ def test_p3m_tsc_via_body_system_and_cli_flag():
     assert np.isfinite(s.positions).all()
     with pytest.raises(ValueError, match="pm_assignment"):
         BodySystem(64, NBodyParams(), backend="pm", pm_assignment="ngp")
+
+
+def test_p3m_i_tile_invariance(cloud):
+    """The i-subtile worklist is a pure layout change: any i_tile must give
+    the same forces as one-tile-per-cell (i_tile >= capacity), because each
+    i-row reduces the same 27 capacity-padded j-slices in the same order."""
+    from nbody_tpu.ops.p3m import (
+        RCUT_SIGMAS, SIGMA_CELLS, _cell_grid_size, _fit_box,
+        _short_range_cells, _sorted_cell_tables,
+    )
+
+    pos, _ = cloud
+    f32 = jnp.float32
+    grid, cap = 32, 64
+    pos3 = pos[:, :3].astype(f32)
+    mass = pos[:, 3].astype(f32)
+    n = pos3.shape[0]
+    lo, h = _fit_box(pos3, grid)
+    sigma = f32(SIGMA_CELLS) * h
+    rcut = f32(RCUT_SIGMAS) * sigma
+    gc = _cell_grid_size(grid)
+    _, sp4, st, ct, nst, nct, _ = _sorted_cell_tables(
+        pos3, mass, lo, rcut, gc, cap)
+    kw = dict(eps2=jnp.float32(SOFT) ** 2, sigma=sigma, rcut=rcut,
+              cap=cap, chunk=2048, n=n)
+    ref = _short_range_cells(sp4, st, ct, nst, nct, i_tile=cap, **kw)
+    for i_tile in (8, 16, 128):
+        got = _short_range_cells(sp4, st, ct, nst, nct, i_tile=i_tile, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7, err_msg=str(i_tile))
