@@ -198,22 +198,32 @@ def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
     everything). Returns accelerations scattered into the SORTED frame,
     shape (n, 3) — rows of cells outside the given tables are zero.
 
-    Work is organized as an I-SUBTILE WORKLIST rather than one
-    (cap, 27*cap) tile per cell: each cell's (up to cap) i-rows split into
-    ceil/``i_tile``-row subtiles, so a clustered state where one core cell
-    forces cap=1000 no longer pays 1000 i-rows in every sparse cell — the
-    per-eval cost drops from ncell*cap*27cap to ~(ncell + N/i_tile)*
-    i_tile*27cap (measured 3.4x at N=1M on a collapsed shell). The
-    worklist length is statically bounded by ncell + ceil(n/i_tile)
-    (sum of ceils), entries beyond the LIVE count T are inert, and a
-    ``fori_loop`` with a DYNAMIC trip count processes only live batches —
-    uniform states pay nothing for the bound. Per i-row the j-reduction
-    (27 capacity-padded neighbor slices, dense (i_tile, 27*cap) VPU
-    tiles) is unchanged, so results are identical to the per-cell layout.
+    Work is organized for occupancy SKEW (real states have collapsed
+    cores: one cell forcing cap=1000 while the median holds ~100 bodies)
+    instead of one (cap, 27*cap) tile per cell:
+
+    * **i-subtile worklist** — each cell's (up to cap) i-rows split into
+      ceil/``i_tile``-row subtiles; the worklist length is statically
+      bounded by ncell + ceil(n/i_tile) (sum of ceils) and entries beyond
+      the live count are inert, so sparse cells stop paying the core's
+      i-row count.
+    * **j-capacity classes** — each entry is classed by the largest of its
+      27 neighbor occupancies (powers of two up to cap); entries sort by
+      class and one ``fori_loop`` with a DYNAMIC trip count runs per class
+      with that class's STATIC j-slice width, so sparse neighborhoods stop
+      paying the core's j-columns too.
+
+    Cost scales with occupancy sums instead of ncell·cap·27·cap
+    (measured 10.06 s → 1.90 s, 5.3×, at N=1M on a collapsed shell with
+    cap=1000: 4.4× from i-subtiles, 1.2× from j-classes — the state is
+    dense enough that most entries neighbor a big cell); uniform states
+    resolve to one class and the original batching. Per i-row the
+    j-reduction runs the same 27 neighbor slices in the same order
+    (padding columns contribute exact zeros), so forces match the
+    per-cell layout to reduction-order rounding.
     """
     f32 = jnp.float32
     cap_s = min(i_tile, cap)
-    lane_j = jnp.arange(cap, dtype=jnp.int32)
     lane_i = jnp.arange(cap_s, dtype=jnp.int32)
     ncl = starts.shape[0]
 
@@ -236,56 +246,93 @@ def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
     e_nst = jnp.where(live[:, None], n_starts[cell], n)
     e_nct = jnp.where(live[:, None], n_counts[cell], 0)
 
-    def one_tile(i_start, i_count, nst, nct):
-        zero = jnp.int32(0)
-        rows = jax.lax.dynamic_slice(sorted_pos4, (i_start, zero), (cap_s, 4))
-        ivalid = lane_i < jnp.minimum(i_count, cap_s)
+    # ---- class each entry by its largest neighbor occupancy ----
+    classes = []
+    jc = min(128, cap)
+    while jc < cap:
+        classes.append(jc)
+        jc *= 2
+    classes.append(cap)                            # last class = full cap
+    jmax = jnp.max(jnp.minimum(e_nct, cap), axis=1).astype(jnp.int32)
+    ecls = jnp.searchsorted(
+        jnp.asarray(classes, jnp.int32), jmax, side="left").astype(jnp.int32)
+    ecls = jnp.where(live, ecls, len(classes))     # inert entries last
+    eorder = jnp.argsort(ecls)
+    e_start, e_count = e_start[eorder], e_count[eorder]
+    e_nst, e_nct = e_nst[eorder], e_nct[eorder]
+    bounds = jnp.searchsorted(
+        ecls[eorder], jnp.arange(len(classes) + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
-        def neighbor(st, ct):
-            blk = jax.lax.dynamic_slice(sorted_pos4, (st, zero), (cap, 4))
-            mj = jnp.where(lane_j < jnp.minimum(ct, cap), blk[:, 3], 0.0)
-            return blk[:, :3], mj
+    def make_one_tile(jcap):
+        lane_j = jnp.arange(jcap, dtype=jnp.int32)
 
-        pj, mj = jax.vmap(neighbor)(nst, nct)           # (27, cap, 3/..)
-        pj = pj.reshape(27 * cap, 3)
-        mj = mj.reshape(27 * cap)
-        d = pj[None, :, :] - rows[:, None, :3]          # (cap_s, 27cap, 3)
-        r2 = jnp.sum(d * d, axis=-1)
-        inv_full = jax.lax.rsqrt(r2 + eps2)
-        s_full = inv_full * inv_full * inv_full
-        s = jnp.where(r2 < rcut * rcut, s_full - _s_lr(r2, sigma), 0.0)
-        acc = jnp.einsum("mk,mkj->mj", mj[None, :] * s, d)
-        return jnp.where(ivalid[:, None], acc, 0.0)
+        def one_tile(i_start, i_count, nst, nct):
+            zero = jnp.int32(0)
+            rows = jax.lax.dynamic_slice(
+                sorted_pos4, (i_start, zero), (cap_s, 4))
+            ivalid = lane_i < jnp.minimum(i_count, cap_s)
 
-    # batch subtiles so each (b, cap_s, 27*cap) tile bounds memory at
-    # ~chunk i-rows per batch, like the old per-cell batching
-    b = max(1, min(L, chunk // cap_s))
-    nbatch = (L + b - 1) // b
-    l_pad = nbatch * b
+            def neighbor(st, ct):
+                blk = jax.lax.dynamic_slice(
+                    sorted_pos4, (st, zero), (jcap, 4))
+                mj = jnp.where(lane_j < jnp.minimum(ct, jcap), blk[:, 3], 0.0)
+                return blk[:, :3], mj
 
-    def pade(x, fill):
+            pj, mj = jax.vmap(neighbor)(nst, nct)        # (27, jcap, 3/..)
+            pj = pj.reshape(27 * jcap, 3)
+            mj = mj.reshape(27 * jcap)
+            d = pj[None, :, :] - rows[:, None, :3]       # (cap_s, 27jcap, 3)
+            r2 = jnp.sum(d * d, axis=-1)
+            inv_full = jax.lax.rsqrt(r2 + eps2)
+            s_full = inv_full * inv_full * inv_full
+            s = jnp.where(r2 < rcut * rcut, s_full - _s_lr(r2, sigma), 0.0)
+            acc = jnp.einsum("mk,mkj->mj", mj[None, :] * s, d)
+            return jnp.where(ivalid[:, None], acc, 0.0)
+
+        return one_tile
+
+    # per-class batch sizes keep the dense-tile footprint ~constant
+    # (b*cap_s*27*jcap ≈ chunk*27*cap, the old per-cell batching bound)
+    b_of = {jc: max(1, min(L, (chunk * cap) // (cap_s * jc)))
+            for jc in classes}
+    b_max = max(b_of.values())
+
+    def pade(x):
+        # pad so any in-segment dynamic_slice stays in bounds; padded values
+        # never survive (the ok-mask in batch_body overrides them)
         return jnp.concatenate(
-            [x, jnp.full((l_pad - L,) + x.shape[1:], fill, x.dtype)])
+            [x, jnp.zeros((b_max,) + x.shape[1:], x.dtype)])
 
-    w_start, w_count = pade(e_start, n), pade(e_count, 0)
-    w_nst, w_nct = pade(e_nst, n), pade(e_nct, 0)
-
-    def batch_body(i, buf):
-        o = i * b
-        bs = jax.lax.dynamic_slice_in_dim(w_start, o, b)
-        bc = jax.lax.dynamic_slice_in_dim(w_count, o, b)
-        bnst = jax.lax.dynamic_slice_in_dim(w_nst, o, b)
-        bnct = jax.lax.dynamic_slice_in_dim(w_nct, o, b)
-        acc = jax.vmap(one_tile)(bs, bc, bnst, bnct)    # (b, cap_s, 3)
-        dest = bs[:, None] + lane_i[None, :]
-        within = lane_i[None, :] < jnp.minimum(bc, cap_s)[:, None]
-        dest = jnp.where(within, dest, n)               # sacrificial row
-        return buf.at[dest.reshape(-1)].add(acc.reshape(-1, 3))
-
+    w_start, w_count = pade(e_start), pade(e_count)
+    w_nst, w_nct = pade(e_nst), pade(e_nct)
     buf = jnp.zeros((n + 1, 3), f32)
-    nb_live = (T + b - 1) // b                          # dynamic trip count
-    acc_sorted = jax.lax.fori_loop(0, nb_live, batch_body, buf)
-    return acc_sorted[:n]
+
+    for k, jcap in enumerate(classes):
+        one_tile = make_one_tile(jcap)
+        b = b_of[jcap]
+        seg_lo, seg_hi = bounds[k], bounds[k + 1]
+
+        def batch_body(i, acc_buf, *, b=b, one_tile=one_tile,
+                       seg_lo=seg_lo, seg_hi=seg_hi):
+            o = seg_lo + i * b
+            ok = (o + jnp.arange(b, dtype=jnp.int32)) < seg_hi
+            bs = jnp.where(ok, jax.lax.dynamic_slice_in_dim(w_start, o, b), n)
+            bc = jnp.where(ok, jax.lax.dynamic_slice_in_dim(w_count, o, b), 0)
+            bnst = jnp.where(ok[:, None],
+                             jax.lax.dynamic_slice_in_dim(w_nst, o, b), n)
+            bnct = jnp.where(ok[:, None],
+                             jax.lax.dynamic_slice_in_dim(w_nct, o, b), 0)
+            acc = jax.vmap(one_tile)(bs, bc, bnst, bnct)  # (b, cap_s, 3)
+            dest = bs[:, None] + lane_i[None, :]
+            within = lane_i[None, :] < jnp.minimum(bc, cap_s)[:, None]
+            dest = jnp.where(within, dest, n)             # sacrificial row
+            return acc_buf.at[dest.reshape(-1)].add(acc.reshape(-1, 3))
+
+        nb = (seg_hi - seg_lo + b - 1) // b               # dynamic trip count
+        buf = jax.lax.fori_loop(0, nb, batch_body, buf)
+
+    return buf[:n]
 
 
 @functools.partial(
