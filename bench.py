@@ -71,7 +71,14 @@ def main() -> int:
         (p, v), _ = jax.lax.scan(body, (p, v), None, length=ITERS)
         return p, v
 
-    ms, _ = time_steps(lambda p, v: roll(p, v), (p, v), iters=1, warmup=1)
+    # best of 3 timed rolls: timing noise through the remote relay is
+    # one-sided (interruptions only ever slow a roll down), so min-time is
+    # the sustained-throughput estimator
+    ms = min(
+        time_steps(lambda p, v: roll(p, v), (p, v), iters=1,
+                   warmup=1 if i == 0 else 0)[0]
+        for i in range(3)
+    )
     steps_per_s = ITERS * 1000.0 / ms
     interactions = N * N * 1e-9 * steps_per_s
     gflops = interactions * 20.0
