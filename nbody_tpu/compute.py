@@ -228,6 +228,14 @@ class Compute:
             f"= {self.g_flops:.3f} {precision}-precision GFLOP/s at "
             f"{flops_per_interaction(self.fp64_enabled)} flops per interaction"
         )
+        if self.system.backend in ("pm", "p3m"):
+            # the reference formula assumes O(N^2) work; for the mesh
+            # solvers it is the pairwise-EQUIVALENT rate (what an all-pairs
+            # kernel would need to match this wall clock), not ALU flops
+            self.log(
+                f"  (pairwise-equivalent rate: the {self.system.backend} "
+                f"solver does O(N) work per step)"
+            )
 
     def drift_check(self, steps: int) -> dict:
         """Energy-drift comparison: run `steps` at the active dt on the
