@@ -187,10 +187,7 @@ class BodySystem:
 
                 self._sharded_step = make_sharded_step(
                     mesh,
-                    # hermite's accel+jerk has no Pallas kernel; its sharded
-                    # step runs the XLA evaluation regardless of backend
-                    # (matching the single-device hermite path)
-                    kernel="xla" if integrator == "hermite" else backend,
+                    kernel=backend,
                     strategy=strategy,
                     tile_i=tile_i,
                     tile_j=tile_j,
@@ -322,13 +319,29 @@ class BodySystem:
         if self._sharded_step is not None:
             return self._sharded_step
         if self.integrator == "hermite":
-            # 4th-order predictor-corrector; the acc+jerk evaluation runs on
-            # the XLA path for every backend (a fused Pallas acc+jerk kernel
-            # is future work — 2 force passes/step make it the accuracy
-            # mode, not the speed mode)
+            # 4th-order predictor-corrector; the pallas backend plugs the
+            # fused acc+jerk kernel into the force evaluations, other
+            # backends run the chunked XLA pass
             from nbody_tpu.ops.reference import nbody_step_hermite
 
             chunk = self.chunk_size
+            if self.backend == "pallas":
+                from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+
+                tile_i, tile_j = self.tile_i, self.tile_j
+                interpret = self.interpret
+
+                def step(pos, vel, dt, soft, damp):
+                    def aj(p4, v4):
+                        return compute_accel_jerk_pallas(
+                            p4, v4, p4, v4, soft,
+                            tile_i=tile_i, tile_j=tile_j,
+                            interpret=interpret)
+
+                    return nbody_step_hermite(pos, vel, dt, soft, damp,
+                                              accel_jerk_fn=aj)
+
+                return step
 
             def step(pos, vel, dt, soft, damp):
                 return nbody_step_hermite(pos, vel, dt, soft, damp,

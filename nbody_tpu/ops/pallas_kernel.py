@@ -404,6 +404,117 @@ def nbody_step_pallas(
     )
 
 
+def _accel_jerk_kernel(scal_ref, posi_ref, veli_ref, post_ref, velt_ref,
+                       acc_ref, jerk_ref,
+                       ax_ref, ay_ref, az_ref, jx_ref, jy_ref, jz_ref,
+                       *, tile_j: int):
+    """Fused acceleration + jerk for the Hermite integrator:
+
+        a_i = sum_j m_j d / r^3
+        j_i = sum_j m_j [ dv / r^3 - 3 (d . dv) d / r^5 ]
+
+    with d = p_j - p_i, dv = v_j - v_i, softened r^2 (the self pair's d and
+    dv both vanish, so it contributes zero). Same i-resident/j-streamed
+    tiling as the force kernels, with six (TILE_I, 128) VMEM accumulators.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(ax_ref)
+        for ref in (ax_ref, ay_ref, az_ref, jx_ref, jy_ref, jz_ref):
+            ref[:] = zeros
+
+    eps2 = scal_ref[0, 1]
+    xi = posi_ref[:, 0:1]
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    vxi = veli_ref[:, 0:1]
+    vyi = veli_ref[:, 1:2]
+    vzi = veli_ref[:, 2:3]
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        dx = post_ref[0:1, sl] - xi  # (TILE_I, 128)
+        dy = post_ref[1:2, sl] - yi
+        dz = post_ref[2:3, sl] - zi
+        mj = post_ref[3:4, sl]
+        dvx = velt_ref[0:1, sl] - vxi
+        dvy = velt_ref[1:2, sl] - vyi
+        dvz = velt_ref[2:3, sl] - vzi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        inv2 = inv * inv
+        s = mj * (inv * inv2)                      # m_j / r^3
+        rv3 = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv2
+        ax_ref[:] += s * dx
+        ay_ref[:] += s * dy
+        az_ref[:] += s * dz
+        jx_ref[:] += s * (dvx - rv3 * dx)
+        jy_ref[:] += s * (dvy - rv3 * dy)
+        jz_ref[:] += s * (dvz - rv3 * dz)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        acc_ref[:, 0:1] = jnp.sum(ax_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 1:2] = jnp.sum(ay_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 2:3] = jnp.sum(az_ref[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+        jerk_ref[:, 0:1] = jnp.sum(jx_ref[:], axis=1, keepdims=True)
+        jerk_ref[:, 1:2] = jnp.sum(jy_ref[:], axis=1, keepdims=True)
+        jerk_ref[:, 2:3] = jnp.sum(jz_ref[:], axis=1, keepdims=True)
+        jerk_ref[:, 3:4] = jnp.zeros_like(jerk_ref[:, 3:4])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_jerk_pallas(
+    pos_i, vel_i, pos_j, vel_j, softening,
+    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """(acc, jerk), each (M, 3), on the i-set due to the j-set — the fused
+    Pallas force evaluation for the Hermite predictor-corrector (the XLA
+    analogue is ops.reference.compute_accel_jerk_xla). i-vs-j form, so the
+    sharded Hermite step can pass the gathered/ring-streamed j-state."""
+    if pos_i.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    tile_i = min(tile_i, _round_up(pos_i.shape[0], 8))
+    tile_j = min(tile_j, _round_up(pos_j.shape[0], LANES))
+    _check_tiles(tile_i, tile_j)
+
+    pos_p, m = _pad_i(pos_i, tile_i)
+    vel_p, _ = _pad_i(vel_i, tile_i)
+    post = _pad_j_t(pos_j, tile_j)
+    velt = _pad_j_t(vel_j, tile_j)
+    m_pad, n_pad = pos_p.shape[0], post.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+    specs = _common_specs(tile_i, tile_j)
+
+    acc, jerk = pl.pallas_call(
+        functools.partial(_accel_jerk_kernel, tile_j=tile_j),
+        grid=grid,
+        in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"],
+                  specs["j_tile"], specs["j_tile"]],
+        out_specs=[specs["i_tile"], specs["i_tile"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 4), jnp.float32),
+        ],
+        scratch_shapes=_scratch(tile_i) + _scratch(tile_i),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=48 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 3) * n_pad * 32,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(_scal(0.0, softening, 1.0), pos_p, vel_p, post, velt)
+
+    return acc[:m, :3], jerk[:m, :3]
+
+
 def _potential_kernel(scal_ref, posi_ref, iidx_ref, post_ref, out_ref,
                       acc_ref, *, tile_j: int):
     """Per-i-row softened pair potential sums (diagonal pair masked via

@@ -93,8 +93,8 @@ def make_sharded_step(
       the local shard drifts dt/2 first, the gathered/ring-streamed j-side is
       the half-step positions, then kick + second half-drift), or "hermite"
       (4th-order predictor-corrector — two accel+jerk evaluations per step,
-      each gathering/ring-streaming BOTH positions and velocities; XLA
-      kernel only, as the fused Pallas kernels compute no jerk).
+      each gathering/ring-streaming BOTH positions and velocities; the
+      pallas kernel runs the fused compute_accel_jerk_pallas).
     """
     if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(f"unknown integrator {integrator!r}")
@@ -104,16 +104,11 @@ def make_sharded_step(
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "ring_fused" and kernel != "pallas":
         raise ValueError("strategy='ring_fused' is a Pallas kernel; use kernel='pallas'")
-    if integrator == "hermite":
-        if kernel != "xla":
-            raise ValueError(
-                "integrator='hermite' needs the XLA accel+jerk evaluation; "
-                "use kernel='xla' (the Pallas kernels compute no jerk)")
-        if strategy == "ring_fused":
-            raise ValueError(
-                "integrator='hermite' supports strategies "
-                "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
-                "update into its kernel)")
+    if integrator == "hermite" and strategy == "ring_fused":
+        raise ValueError(
+            "integrator='hermite' supports strategies "
+            "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
+            "update into its kernel)")
     ndev = mesh.shape[axis]
 
     def step_vs(pos_sh, vel_sh, pos_j, dt, soft, damp):
@@ -168,6 +163,12 @@ def make_sharded_step(
         eps2 = jnp.asarray(soft, pos_sh.dtype) ** 2
 
         def aj_vs(p_sh, v_sh, p_j, v_j):
+            if kernel == "pallas":
+                from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+
+                return compute_accel_jerk_pallas(
+                    p_sh, v_sh, p_j, v_j, soft,
+                    tile_i=tile_i, tile_j=tile_j, interpret=interpret)
             return _accel_jerk_rows(p_sh[:, :3], v_sh[:, :3],
                                     p_j[:, :3], v_j[:, :3], p_j[:, 3], eps2)
 

@@ -155,15 +155,68 @@ def test_sharded_hermite_via_body_system():
     assert np.isfinite(s.positions).all()
 
 
-def test_sharded_hermite_rejects_pallas_and_ring_fused():
+def test_sharded_hermite_rejects_ring_fused():
     from nbody_tpu.parallel import make_mesh
     from nbody_tpu.parallel.sharded import make_sharded_step
 
     if len(jax.devices()) < 2:
         pytest.skip("needs >1 device")
     mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="jerk"):
-        make_sharded_step(mesh, kernel="pallas", integrator="hermite")
     with pytest.raises(ValueError, match="ring_fused"):
         make_sharded_step(mesh, kernel="xla", strategy="ring_fused",
                           integrator="hermite")
+
+
+def test_pallas_accel_jerk_matches_xla(state):
+    """The fused Pallas acc+jerk kernel must reproduce the XLA evaluation
+    (interpret mode on CPU; the verify drive covers compiled-on-TPU)."""
+    from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+
+    pos, vel = state
+    a_ref, j_ref = compute_accel_jerk_xla(pos, vel, SOFT)
+    a, j = compute_accel_jerk_pallas(pos, vel, pos, vel, SOFT,
+                                     tile_i=16, tile_j=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_hermite_step_via_body_system(state):
+    """backend='pallas' + integrator='hermite' routes force evaluations
+    through the fused kernel and must match the XLA hermite step."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    pos, vel = state
+    ref_p, ref_v = nbody_step_hermite(pos, vel, DT, SOFT, 0.999)
+    s = BodySystem(pos.shape[0], NBodyParams(softening=SOFT, damping=0.999),
+                   backend="pallas", integrator="hermite", interpret=True,
+                   tile_i=16, tile_j=128,
+                   state=(np.asarray(pos), np.asarray(vel)))
+    s.update(DT)
+    np.testing.assert_allclose(s.positions, np.asarray(ref_p),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(s.velocities, np.asarray(ref_v),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_hermite_pallas_matches_single_device(state):
+    from nbody_tpu.parallel import make_mesh, shard_state
+    from nbody_tpu.parallel.sharded import make_sharded_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = state
+    ref_p, ref_v = nbody_step_hermite(pos, vel, DT, SOFT, 0.999)
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    for strategy in ("allgather", "ring"):
+        step = make_sharded_step(mesh, kernel="pallas", strategy=strategy,
+                                 integrator="hermite", tile_i=16,
+                                 tile_j=128, interpret=True)
+        p1, v1 = step(ps, vs, DT, SOFT, 0.999)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                                   rtol=2e-5, atol=2e-6, err_msg=strategy)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                                   rtol=2e-5, atol=2e-6, err_msg=strategy)
