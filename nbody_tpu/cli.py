@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mass-assignment scheme for pm/p3m: cic = 8-point "
                         "trilinear, tsc = 27-point quadratic (~2x lower "
                         "mesh force error, same FFT cost)")
+    p.add_argument("--pm-fft", choices=["replicated", "slab"],
+                   default="replicated",
+                   help="multi-chip FFT decomposition for pm/p3m: "
+                        "replicated = per-chip (2G)^3 solve (fastest while "
+                        "it fits HBM); slab = distributed FFT over the "
+                        "mesh (use when G >= 256)")
     p.add_argument("--p3m-capacity", type=int, default=None,
                    help="p3m neighbor-cell capacity (bodies per cell); "
                         "default auto-sizes from the initial state's max "
@@ -240,6 +246,7 @@ def _main(argv=None) -> int:
         integrator=args.integrator,
         pm_grid=args.pm_grid,
         pm_assignment=args.pm_assignment,
+        pm_fft=args.pm_fft,
         p3m_capacity=args.p3m_capacity,
         seed=args.seed,
         tipsy_state=tipsy_state,

@@ -74,6 +74,7 @@ class Compute:
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
         pm_assignment: str = "cic",
+        pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
@@ -123,6 +124,7 @@ class Compute:
             chunk_size=chunk_size,
             pm_grid=pm_grid,
             pm_assignment=pm_assignment,
+            pm_fft=pm_fft,
             p3m_capacity=p3m_capacity,
             seed=seed,
             state=tipsy_state,

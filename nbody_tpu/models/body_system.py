@@ -77,6 +77,7 @@ class BodySystem:
         chunk_size: Optional[int] = None,
         pm_grid: int = 64,
         pm_assignment: str = "cic",
+        pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
@@ -130,6 +131,12 @@ class BodySystem:
         if pm_assignment not in ("cic", "tsc"):
             raise ValueError(f"unknown pm_assignment {pm_assignment!r}")
         self.pm_assignment = pm_assignment
+        # "replicated" (per-chip FFT, right while (2G)^3 fits one chip) or
+        # "slab" (distributed FFT over the mesh; needs ndev | 2*grid).
+        # Single-device stepping ignores it.
+        if pm_fft not in ("replicated", "slab"):
+            raise ValueError(f"unknown pm_fft {pm_fft!r}")
+        self.pm_fft = pm_fft
         # None = auto-size from the initial state's cell occupancy (+50%
         # headroom) at first placement; resolved before any step compiles
         self.p3m_capacity = None if p3m_capacity is None else int(p3m_capacity)
@@ -175,7 +182,7 @@ class BodySystem:
 
                 self._sharded_step = make_sharded_pm_step(
                     mesh, grid=self.pm_grid, integrator=integrator,
-                    assignment=pm_assignment,
+                    assignment=pm_assignment, fft=pm_fft,
                 )
             elif backend == "p3m":
                 # built lazily in _step_fn: p3m_capacity=None auto-sizes
@@ -315,6 +322,7 @@ class BodySystem:
             self._sharded_step = make_sharded_p3m_step(
                 self.mesh, grid=self.pm_grid, capacity=self.p3m_capacity,
                 integrator=self.integrator, assignment=self.pm_assignment,
+                fft=self.pm_fft,
             )
         if self._sharded_step is not None:
             return self._sharded_step
@@ -567,6 +575,7 @@ class BodySystem:
             chunk_size=self.chunk_size,
             pm_grid=self.pm_grid,
             pm_assignment=self.pm_assignment,
+            pm_fft=self.pm_fft,
             p3m_capacity=self.p3m_capacity,
             config=self.config,
             seed=self.seed,

@@ -41,11 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from nbody_tpu.ops.pm import (
+    ASSIGNMENT_COMPONENTS,
     ASSIGNMENTS,
     _deposit,
+    _deposit_slab,
     _fit_box,
     _gather,
+    _gather_slab,
     _solve_force_grids,
+    _solve_force_grids_slab,
 )
 
 # Gaussian split scale, in PM-mesh cells. Measured tradeoff (PARITY.md):
@@ -402,7 +406,8 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
 def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                           chunk: int = 2048, axis: str = "bodies",
                           integrator: str = "euler",
-                          assignment: str = "cic"):
+                          assignment: str = "cic",
+                          fft: str = "replicated"):
     """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
 
@@ -426,6 +431,11 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
     Per-step ICI traffic: N·16 B gather + N·12 B psum + G^3·4 B psum
     (~29 MB at N=1M, G=64) — comparable to the exact allgather strategy.
 
+    ``fft="slab"`` switches the long-range solve to the distributed-FFT
+    x-slab pipeline (see make_sharded_pm_step / _solve_force_grids_slab):
+    the padded (2G)^3 grid is never materialized on any single chip, so
+    the mesh resolution scales past one chip's HBM (needs ndev | 2*grid).
+
     Overflow is NOT returned (shard_map outputs are the stepped state);
     callers must validate `capacity` against their initial state with
     ``p3m_overflow_count`` / ``p3m_max_occupancy`` — BodySystem does this
@@ -437,8 +447,15 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
 
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
+    if fft not in ("replicated", "slab"):
+        raise ValueError(f"unknown fft {fft!r}")
     ndev = mesh.shape[axis]
+    if fft == "slab" and (2 * grid) % ndev:
+        raise ValueError(
+            f"fft='slab' needs the device count ({ndev}) to divide the "
+            f"padded grid 2*{grid}")
     assign, wexp = ASSIGNMENTS[assignment]
+    comp, _ = ASSIGNMENT_COMPONENTS[assignment]
     gc = _cell_grid_size(grid)
     ncell = gc * gc * gc
     ncell_loc = -(-ncell // ndev)       # cells per chip (static)
@@ -455,19 +472,37 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
         sigma = f32(SIGMA_CELLS) * h
         rcut = f32(RCUT_SIGMAS) * sigma
 
-        # long-range: local deposit, grid psum, redundant solve, local gather
-        idx, w = assign(pos3_sh, lo, h, grid)
-        rho = jax.lax.psum(_deposit(idx, w, mass_sh, grid), axis)
-        acc_lr = _gather(
-            _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True,
-                               window_exp=wexp),
-            idx, w,
-        )
-
-        # short-range: gather bodies, redundant sort, slice of cells, psum
         pos_all = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
         pos3 = pos_all[:, :3].astype(f32)
         mass = pos_all[:, 3].astype(f32)
+        d = jax.lax.axis_index(axis)
+
+        if fft == "slab":
+            # long-range on the distributed-FFT x-slab pipeline: gathered
+            # bodies deposit into this chip's slab (masked), the solve
+            # never materializes the padded grid, and the partial gather
+            # joins the short-range partials in ONE (N, 3) psum below
+            ixc, iyc, izc, wc = comp(pos3, lo, h, grid)
+            gl = 2 * grid // ndev
+            x0 = (d * gl).astype(jnp.int32)
+            rho_slab = _deposit_slab(ixc, iyc, izc, wc, mass, grid, x0, gl)
+            grids = _solve_force_grids_slab(
+                rho_slab, h, grid, axis=axis, ndev=ndev, sigma=sigma,
+                deconvolve=True, window_exp=wexp)
+            acc_lr_partial = _gather_slab(grids, ixc, iyc, izc, wc, x0, gl,
+                                          grid)
+        else:
+            # long-range: local deposit, grid psum, redundant solve,
+            # local gather
+            idx, w = assign(pos3_sh, lo, h, grid)
+            rho = jax.lax.psum(_deposit(idx, w, mass_sh, grid), axis)
+            acc_lr = _gather(
+                _solve_force_grids(rho, h, grid, sigma=sigma,
+                                   deconvolve=True, window_exp=wexp),
+                idx, w,
+            )
+
+        # short-range: redundant sort of the gathered set, slice of cells
         (order, sorted_pos4, starts, counts,
          n_starts, n_counts, _) = _sorted_cell_tables(
             pos3, mass, lo, rcut, gc, capacity)
@@ -487,9 +522,16 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
             sl(padc(n_starts, n)), sl(padc(n_counts, 0)),
             eps2=eps2, sigma=sigma, rcut=rcut, cap=capacity, chunk=chunk,
             n=n)
+        if fft == "slab":
+            # unsorting is a permutation, valid per partial; one combined
+            # psum covers both force halves
+            acc_partial = (jnp.zeros((n, 3), f32).at[order].set(acc_sorted)
+                           + acc_lr_partial)
+            acc_full = jax.lax.psum(acc_partial, axis)
+            return jax.lax.dynamic_slice_in_dim(
+                acc_full, (d * nloc).astype(jnp.int32), nloc, axis=0)
         acc_sorted = jax.lax.psum(acc_sorted, axis)
         acc_sr = jnp.zeros((n, 3), f32).at[order].set(acc_sorted)
-        d = jax.lax.axis_index(axis)
         acc_sr_local = jax.lax.dynamic_slice_in_dim(
             acc_sr, (d * nloc).astype(jnp.int32), nloc, axis=0)
         return acc_lr + acc_sr_local

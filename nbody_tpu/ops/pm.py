@@ -55,18 +55,18 @@ def _fit_box(pos3, grid: int, *, axis: str | None = None):
     return lo, h
 
 
-def _cic_indices_weights(pos3, lo, h, grid: int):
-    """CIC: 8 (flat index, weight) pairs per particle on a grid^3 lattice.
+def _cic_components(pos3, lo, h, grid: int):
+    """CIC: 8 stencil points per particle on a grid^3 lattice.
 
-    Returns (idx, w): each (8, N) — trilinear weights summing to 1.
+    Returns (ix, iy, iz, w): each (8, N) — per-axis node indices (clipped)
+    and trilinear weights summing to 1.
     """
     rel = (pos3 - lo[None, :]) / h  # in cell units
     base = jnp.floor(rel)
     frac = rel - base
     base = base.astype(jnp.int32)
 
-    idxs = []
-    weights = []
+    ixs, iys, izs, weights = [], [], [], []
     for dx in (0, 1):
         wx = (1.0 - frac[:, 0]) if dx == 0 else frac[:, 0]
         ix = jnp.clip(base[:, 0] + dx, 0, grid - 1)
@@ -76,14 +76,23 @@ def _cic_indices_weights(pos3, lo, h, grid: int):
             for dz in (0, 1):
                 wz = (1.0 - frac[:, 2]) if dz == 0 else frac[:, 2]
                 iz = jnp.clip(base[:, 2] + dz, 0, grid - 1)
-                idxs.append((ix * grid + iy) * grid + iz)
+                ixs.append(ix)
+                iys.append(iy)
+                izs.append(iz)
                 weights.append(wx * wy * wz)
-    return jnp.stack(idxs), jnp.stack(weights)
+    return (jnp.stack(ixs), jnp.stack(iys), jnp.stack(izs),
+            jnp.stack(weights))
 
 
-def _tsc_indices_weights(pos3, lo, h, grid: int):
+def _cic_indices_weights(pos3, lo, h, grid: int):
+    """CIC: 8 (flat index, weight) pairs per particle on a grid^3 lattice."""
+    ix, iy, iz, w = _cic_components(pos3, lo, h, grid)
+    return (ix * grid + iy) * grid + iz, w
+
+
+def _tsc_components(pos3, lo, h, grid: int):
     """TSC (triangular-shaped cloud, Hockney & Eastwood order-3): 27
-    (flat index, weight) pairs per particle.
+    stencil points per particle; returns (ix, iy, iz, w), each (27, N).
 
     Per axis, around the NEAREST node with frac ∈ [-0.5, 0.5):
         w(-1) = (1/2)(1/2 − frac)²,  w(0) = 3/4 − frac²,
@@ -104,8 +113,7 @@ def _tsc_indices_weights(pos3, lo, h, grid: int):
             return 0.75 - fr * fr
         return 0.5 * (0.5 + fr) ** 2
 
-    idxs = []
-    weights = []
+    ixs, iys, izs, weights = [], [], [], []
     for dx in (-1, 0, 1):
         wx = w1(frac[:, 0], dx)
         ix = jnp.clip(base[:, 0] + dx, 0, grid - 1)
@@ -115,9 +123,18 @@ def _tsc_indices_weights(pos3, lo, h, grid: int):
             for dz in (-1, 0, 1):
                 wz = w1(frac[:, 2], dz)
                 iz = jnp.clip(base[:, 2] + dz, 0, grid - 1)
-                idxs.append((ix * grid + iy) * grid + iz)
+                ixs.append(ix)
+                iys.append(iy)
+                izs.append(iz)
                 weights.append(wx * wy * wz)
-    return jnp.stack(idxs), jnp.stack(weights)
+    return (jnp.stack(ixs), jnp.stack(iys), jnp.stack(izs),
+            jnp.stack(weights))
+
+
+def _tsc_indices_weights(pos3, lo, h, grid: int):
+    """TSC: 27 (flat index, weight) pairs per particle."""
+    ix, iy, iz, w = _tsc_components(pos3, lo, h, grid)
+    return (ix * grid + iy) * grid + iz, w
 
 
 # assignment scheme name -> ((idx, w) builder, per-axis Fourier-window
@@ -127,11 +144,31 @@ ASSIGNMENTS = {
     "tsc": (_tsc_indices_weights, 3),
 }
 
+# assignment scheme name -> per-axis-component builder (slab decomposition)
+ASSIGNMENT_COMPONENTS = {
+    "cic": (_cic_components, 2),
+    "tsc": (_tsc_components, 3),
+}
+
 
 def _deposit(idx, w, mass, grid: int):
     """CIC scatter-add -> flat (grid^3,) density grid."""
     rho = jnp.zeros(grid * grid * grid, jnp.float32)
     return rho.at[idx.reshape(-1)].add((w * mass[None, :]).reshape(-1))
+
+
+def _greens_kernel(r2, sigma=None):
+    """Open-space Green's-function values on a grid of squared distances:
+    1/r with K(0)=0 (plain PM), or the Gaussian-smoothed
+    erf(r/(sqrt2 sigma))/r with K(0)=sqrt(2/pi)/sigma (the P3M split)."""
+    f32 = jnp.float32
+    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+    if sigma is None:
+        return jnp.where(r2 > 0, 1.0 / r, 0.0)
+    sigma = jnp.asarray(sigma, f32)
+    k0 = jnp.sqrt(2.0 / jnp.pi) / sigma
+    u = r / (jnp.sqrt(2.0).astype(f32) * sigma)
+    return jnp.where(r2 > 0, jax.scipy.special.erf(u) / r, k0)
 
 
 def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
@@ -164,14 +201,7 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
     d = jnp.minimum(n, gp - n).astype(f32) * h
     r2 = (d[:, None, None] ** 2 + d[None, :, None] ** 2
           + d[None, None, :] ** 2)
-    r = jnp.sqrt(jnp.maximum(r2, 1e-30))
-    if sigma is None:
-        kernel = jnp.where(r2 > 0, 1.0 / r, 0.0)
-    else:
-        sigma = jnp.asarray(sigma, f32)
-        k0 = jnp.sqrt(2.0 / jnp.pi) / sigma
-        u = r / (jnp.sqrt(2.0).astype(f32) * sigma)
-        kernel = jnp.where(r2 > 0, jax.scipy.special.erf(u) / r, k0)
+    kernel = _greens_kernel(r2, sigma)
 
     conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
@@ -198,6 +228,106 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
 def _gather(force_grids, idx, w):
     return jnp.stack([jnp.sum(g[idx] * w, axis=0) for g in force_grids],
                      axis=1)
+
+
+# ---- slab-decomposed (distributed-FFT) pipeline ----
+#
+# The replicated solve holds the full zero-padded (2G)^3 grid on every chip
+# (~1 GB of complex64 temporaries at G=256), which caps the mesh resolution
+# at what ONE chip's HBM fits. The slab pipeline shards the padded grid
+# over the mesh as x-plane slabs and never materializes it anywhere:
+#
+#   FFT(y,z) on the local (2G/D, 2G, 2G) slab      — local batched FFTs
+#   all_to_all transpose (split y, concat x)       — ONE ICI collective
+#   FFT(x) on the (2G, 2G/D, 2G) y-pencil          — local
+#
+# and the inverse runs the mirror. The Green's-function grid goes through
+# the same transform (its values are analytic per slab), the spectral
+# multiply and i*k gradients act on aligned y-pencils, and deposit/gather
+# run against the local slab with off-slab stencil points masked (a
+# particle straddling a slab boundary is completed by the final psum).
+
+
+def _slab_fft3(slab, axis: str):
+    """(2G/D, 2G, 2G) real/complex x-slab -> (2G, 2G/D, 2G) y-pencil
+    spectrum (full 3-D FFT of the distributed array)."""
+    f = jnp.fft.fftn(slab, axes=(1, 2))
+    f = jax.lax.all_to_all(f, axis, split_axis=1, concat_axis=0, tiled=True)
+    return jnp.fft.fft(f, axis=0)
+
+
+def _slab_ifft3_real(spec, axis: str):
+    """Inverse of _slab_fft3, returning the real part as an x-slab."""
+    f = jnp.fft.ifft(spec, axis=0)
+    f = jax.lax.all_to_all(f, axis, split_axis=0, concat_axis=1, tiled=True)
+    return jnp.real(jnp.fft.ifftn(f, axes=(1, 2))).astype(jnp.float32)
+
+
+def _solve_force_grids_slab(rho_slab, h, grid: int, *, axis: str, ndev: int,
+                            sigma=None, deconvolve: bool = False,
+                            window_exp: int = 2):
+    """Distributed-FFT Poisson solve on x-slabs of the padded 2G grid.
+
+    rho_slab: (2G/ndev, 2G, 2G) — this chip's x-planes of the zero-padded
+    density (planes >= G hold the padding zeros by construction). Returns
+    three (2G/ndev, 2G, 2G) real acceleration slabs. Mirrors
+    _solve_force_grids exactly (same kernel, deconvolution, i*k gradient);
+    only the data decomposition differs.
+    """
+    f32 = jnp.float32
+    gp = 2 * grid
+    gl = gp // ndev
+    d = jax.lax.axis_index(axis)
+
+    # Green's-function slab in real space (analytic per plane)
+    gx = (d * gl + jnp.arange(gl)).astype(jnp.int32)
+    n_full = jnp.arange(gp)
+    dx1 = jnp.minimum(gx, gp - gx).astype(f32) * h      # (gl,)
+    d1 = jnp.minimum(n_full, gp - n_full).astype(f32) * h  # (gp,)
+    r2 = (dx1[:, None, None] ** 2 + d1[None, :, None] ** 2
+          + d1[None, None, :] ** 2)
+    kernel = _greens_kernel(r2, sigma)
+
+    conv_k = _slab_fft3(rho_slab, axis) * _slab_fft3(kernel, axis)
+
+    # spectral coordinates of the y-pencil: x and z full, y chunked
+    f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
+    fy = jax.lax.dynamic_slice_in_dim(f1, (d * gl).astype(jnp.int32), gl)
+    if deconvolve:
+        wx = jnp.sinc(f1 * h) ** window_exp
+        wyc = jnp.sinc(fy * h) ** window_exp
+        win = wx[:, None, None] * wyc[None, :, None] * wx[None, None, :]
+        conv_k = conv_k / (win * win)
+    k1 = (2.0 * jnp.pi) * f1
+    ky = (2.0 * jnp.pi) * fy
+    kvs = [k1[:, None, None], ky[None, :, None], k1[None, None, :]]
+    return [_slab_ifft3_real(conv_k * (1j * kv), axis) for kv in kvs]
+
+
+def _deposit_slab(ix, iy, iz, w, mass, grid: int, x0, gl: int):
+    """Masked scatter-add of the stencil points owned by this x-slab into
+    a (gl, 2G, 2G) padded-density slab."""
+    gp = 2 * grid
+    lx = ix - x0
+    ok = (lx >= 0) & (lx < gl)
+    flat = jnp.where(ok, (lx * gp + iy) * gp + iz, gl * gp * gp)
+    rho = jnp.zeros(gl * gp * gp + 1, jnp.float32).at[flat.reshape(-1)].add(
+        (w * mass[None, :]).reshape(-1))
+    return rho[:-1].reshape(gl, gp, gp)
+
+
+def _gather_slab(grids, ix, iy, iz, w, x0, gl: int, grid: int):
+    """Masked CIC/TSC gather from this chip's slab grids; off-slab stencil
+    points contribute zero (the psum across slabs completes them)."""
+    gp = 2 * grid
+    lx = ix - x0
+    ok = (lx >= 0) & (lx < gl)
+    flat = jnp.where(ok, (lx * gp + iy) * gp + iz, 0)
+    out = []
+    for g in grids:
+        vals = jnp.where(ok, g.reshape(-1)[flat], 0.0)
+        out.append(jnp.sum(vals * w, axis=0))
+    return jnp.stack(out, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "assignment"))
@@ -236,13 +366,22 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64,
 
 def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
                          integrator: str = "euler",
-                         assignment: str = "cic"):
+                         assignment: str = "cic",
+                         fft: str = "replicated"):
     """Body-sharded PM step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
 
-    Per chip: local CIC deposit of its body shard, one psum of the G^3
-    density grid over ICI, a (redundant, cheap) per-chip FFT solve, local
-    gather — the multi-chip structure where only O(G^3) bytes move.
+    fft="replicated" (default): local deposit of the body shard, one psum
+    of the G^3 density grid over ICI, a redundant per-chip FFT solve,
+    local gather — the right structure while the padded (2G)^3 FFT fits
+    one chip's HBM (G ≲ 128).
+
+    fft="slab": the DISTRIBUTED-FFT pipeline — the padded grid lives as
+    x-plane slabs (never materialized whole anywhere): gathered positions
+    deposit into each chip's slab (masked stencil), the Poisson solve runs
+    local FFTs + one all_to_all transpose each way, and a masked slab
+    gather + one (N,3) psum returns the forces. Use when G^3 outgrows a
+    chip (G ≥ 256). Needs ndev | 2*grid.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -250,16 +389,45 @@ def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
 
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator {integrator!r}")
+    if fft not in ("replicated", "slab"):
+        raise ValueError(f"unknown fft {fft!r}")
+    ndev = mesh.shape[axis]
+    if fft == "slab" and (2 * grid) % ndev:
+        raise ValueError(
+            f"fft='slab' needs the device count ({ndev}) to divide the "
+            f"padded grid 2*{grid}")
 
     assign, _ = ASSIGNMENTS[assignment]
+    comp, _ = ASSIGNMENT_COMPONENTS[assignment]
 
-    def accel_local(pos_sh):
+    def accel_local_replicated(pos_sh):
         pos3 = pos_sh[:, :3].astype(jnp.float32)
         mass = pos_sh[:, 3].astype(jnp.float32)
         lo, h = _fit_box(pos3, grid, axis=axis)
         idx, w = assign(pos3, lo, h, grid)
         rho = jax.lax.psum(_deposit(idx, w, mass, grid), axis)
         return _gather(_solve_force_grids(rho, h, grid), idx, w)
+
+    def accel_local_slab(pos_sh):
+        f32 = jnp.float32
+        nloc = pos_sh.shape[0]
+        pos_all = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
+        pos3 = pos_all[:, :3].astype(f32)
+        mass = pos_all[:, 3].astype(f32)
+        lo, h = _fit_box(pos3, grid)     # gathered -> identical per chip
+        ix, iy, iz, w = comp(pos3, lo, h, grid)
+        gl = 2 * grid // ndev
+        d = jax.lax.axis_index(axis)
+        x0 = (d * gl).astype(jnp.int32)
+        rho = _deposit_slab(ix, iy, iz, w, mass, grid, x0, gl)
+        grids = _solve_force_grids_slab(rho, h, grid, axis=axis, ndev=ndev)
+        acc = jax.lax.psum(
+            _gather_slab(grids, ix, iy, iz, w, x0, gl, grid), axis)
+        return jax.lax.dynamic_slice_in_dim(
+            acc, (d * nloc).astype(jnp.int32), nloc)
+
+    accel_local = (accel_local_slab if fft == "slab"
+                   else accel_local_replicated)
 
     def local(pos_sh, vel_sh, dt, soft, damp):
         del soft  # PM's effective softening is the cell scale

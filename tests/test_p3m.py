@@ -319,3 +319,25 @@ def test_p3m_i_tile_invariance(cloud):
         got = _short_range_cells(sp4, st, ct, nst, nct, i_tile=i_tile, **kw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6, atol=1e-7, err_msg=str(i_tile))
+
+
+def test_sharded_p3m_slab_fft_matches_single_device(cloud):
+    """Sharded P3M with the distributed-FFT long range must reproduce the
+    single-device solve (the combined one-psum path)."""
+    from nbody_tpu.ops.p3m import make_sharded_p3m_step
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    ref_p, ref_v, ovf = nbody_step_p3m(pos, vel, 0.001, SOFT, 1.0,
+                                       grid=32, capacity=64)
+    assert int(ovf) == 0
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    step = make_sharded_p3m_step(mesh, grid=32, capacity=64, fft="slab")
+    p1, v1 = step(ps, vs, 0.001, SOFT, 1.0)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                               rtol=1e-4, atol=1e-4)

@@ -176,3 +176,38 @@ def test_sharded_pm_tsc_matches_single_device(cloud):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_slab_fft_pm_matches_single_device(cloud):
+    """The distributed-FFT (x-slab) PM pipeline must reproduce the
+    single-device solve: same padded grid, same kernel, same gradient —
+    only the data decomposition differs."""
+    from nbody_tpu.ops.pm import make_sharded_pm_step, nbody_step_pm
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    for assignment in ("cic", "tsc"):
+        ref_p, ref_v = nbody_step_pm(pos, vel, 0.001, 0.1, 1.0, grid=16,
+                                     assignment=assignment)
+        step = make_sharded_pm_step(mesh, grid=16, fft="slab",
+                                    assignment=assignment)
+        p1, v1 = step(ps, vs, 0.001, 0.1, 1.0)
+        assert p1.sharding == ps.sharding
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                                   rtol=1e-4, atol=1e-4, err_msg=assignment)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                                   rtol=1e-4, atol=1e-4, err_msg=assignment)
+
+
+def test_slab_fft_rejects_bad_device_count():
+    from nbody_tpu.ops.pm import make_sharded_pm_step
+    from nbody_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_pm_step(make_mesh(8), grid=2, fft="slab")  # 2*2 % 8 != 0
