@@ -110,6 +110,9 @@ class BodySystem:
         # override them; an explicit value always wins (reference --blockSize)
         explicit_tile_i = tile_i is not None
         explicit_tile_j = tile_j is not None
+        # the hermite acc+jerk kernel has its own tuned defaults; only an
+        # explicit user tile overrides them
+        self._explicit_tiles = (explicit_tile_i, explicit_tile_j)
         self.tile_i = tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
         self.tile_j = tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
         self.placement = placement
@@ -334,9 +337,14 @@ class BodySystem:
 
             chunk = self.chunk_size
             if self.backend == "pallas":
-                from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+                from nbody_tpu.ops.pallas_kernel import (
+                    AJ_TILE_I,
+                    AJ_TILE_J,
+                    compute_accel_jerk_pallas,
+                )
 
-                tile_i, tile_j = self.tile_i, self.tile_j
+                tile_i = self.tile_i if self._explicit_tiles[0] else AJ_TILE_I
+                tile_j = self.tile_j if self._explicit_tiles[1] else AJ_TILE_J
                 interpret = self.interpret
 
                 def step(pos, vel, dt, soft, damp):

@@ -466,10 +466,17 @@ def _accel_jerk_kernel(scal_ref, posi_ref, veli_ref, post_ref, velt_ref,
         jerk_ref[:, 3:4] = jnp.zeros_like(jerk_ref[:, 3:4])
 
 
+# the acc+jerk kernel prefers SMALLER i-tiles than the force kernel: six
+# accumulators double the per-grid-step dependency chain, so shortening it
+# wins (measured r2 sweep at N=65536: (32, 16384) 56 ms vs (64, 8192) 64 ms)
+AJ_TILE_I = 32
+AJ_TILE_J = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def compute_accel_jerk_pallas(
     pos_i, vel_i, pos_j, vel_j, softening,
-    *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    *, tile_i: int = AJ_TILE_I, tile_j: int = AJ_TILE_J,
     interpret: bool = False,
 ):
     """(acc, jerk), each (M, 3), on the i-set due to the j-set — the fused
