@@ -6,15 +6,21 @@ its designed TPU replacement: positions/velocities sharded over a 1-D
 ``jax.sharding.Mesh`` axis, with XLA collectives over ICI per step.
 """
 
-from nbody_tpu.parallel.mesh import make_mesh, shard_state
-from nbody_tpu.parallel.sharded import choose_strategy, make_sharded_step
+from nbody_tpu.parallel.mesh import make_mesh, make_mesh_2d, shard_state
+from nbody_tpu.parallel.sharded import (
+    choose_strategy,
+    make_sharded_step,
+    make_sharded_step_2d,
+)
 from nbody_tpu.parallel.multihost import initialize_multihost, is_multihost
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "shard_state",
     "choose_strategy",
     "make_sharded_step",
+    "make_sharded_step_2d",
     "initialize_multihost",
     "is_multihost",
 ]

@@ -23,17 +23,35 @@ def make_mesh(num_devices: int | None = None, *, axis: str = BODY_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_state(mesh: Mesh, pos, vel, *, axis: str = BODY_AXIS):
+def shard_state(mesh: Mesh, pos, vel, *, axis=BODY_AXIS):
     """Place (pos, vel) sharded along bodies over the mesh.
 
-    N must divide evenly by the device count (use pad_to_multiple first;
+    `axis` may be one mesh axis name or a tuple of names (the 2-D force
+    decomposition shards bodies over ("rows", "cols") jointly). N must
+    divide evenly by the device count (use pad_to_multiple first;
     zero-mass padding bodies exert no force)."""
     n = pos.shape[0]
-    ndev = mesh.shape[axis]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    ndev = 1
+    for a in axes:
+        ndev *= mesh.shape[a]
     if n % ndev:
         raise ValueError(f"N={n} not divisible by {ndev} devices; pad first")
     sh = NamedSharding(mesh, P(axis, None))
     return jax.device_put(jnp.asarray(pos), sh), jax.device_put(jnp.asarray(vel), sh)
+
+
+def make_mesh_2d(rows: int, cols: int, *, axes=("rows", "cols")) -> Mesh:
+    """2-D (rows x cols) mesh over the first rows*cols devices — the i-block
+    x j-block force decomposition (make_sharded_step_2d)."""
+    import numpy as np
+
+    devices = jax.devices()
+    if rows * cols > len(devices):
+        raise ValueError(
+            f"requested {rows}x{cols} devices but only {len(devices)} available"
+        )
+    return Mesh(np.asarray(devices[: rows * cols]).reshape(rows, cols), axes)
 
 
 def pad_to_multiple(pos, vel, multiple: int):

@@ -268,6 +268,125 @@ def make_sharded_step(
     return step
 
 
+def make_sharded_step_2d(
+    mesh: Mesh,
+    *,
+    axes: tuple = ("rows", "cols"),
+    kernel: str = "pallas",
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+    chunk_size: int | None = None,
+    variant: str = "vpu",
+    integrator: str = "euler",
+):
+    """2-D force decomposition over a (rows × cols) mesh — the pod-scale
+    strategy for all-pairs N-body (the parallel-matmul analogue of the
+    1-D body shard).
+
+    Bodies shard into R·C equal chunks, P(("rows", "cols"), None). Device
+    (r, c) gathers its **i-set** (the N/R bodies of row-block r) with an
+    all_gather over the "cols" axis and its **j-set** (the N/C bodies of
+    column-block c) with an all_gather over "rows", computes the
+    (N/R × N/C) interaction block on the fused kernel, and a psum over
+    "cols" completes each row-block's forces. Per-device ICI traffic is
+    O(N/R + N/C) instead of the 1-D strategies' O(N): at 256 chips
+    (16×16), an N=16M step moves ~2·16 MB per chip instead of 256 MB —
+    and no chip ever materializes more than max(N/R, N/C) foreign bodies.
+
+    Works with every integrator (euler / leapfrog / hermite) by plugging
+    the decomposed force evaluation into the chunk-local update; hermite
+    additionally gathers velocities along both axes for the jerk.
+    Single-chip-equality-tested on a virtual 2×4 mesh.
+    """
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    row_ax, col_ax = axes
+
+    def accel_vs(pos_i, pos_j, soft):
+        if kernel == "pallas":
+            return compute_accel_pallas(
+                pos_i, pos_j, soft,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        return compute_accel_xla_vs(pos_i, pos_j, soft,
+                                    chunk_size=chunk_size)
+
+    def _chunk_slice(block, nloc):
+        # this chunk's rows within its row-block (replicated post-psum)
+        c = jax.lax.axis_index(col_ax)
+        return jax.lax.dynamic_slice_in_dim(
+            block, (c * nloc).astype(jnp.int32), nloc, axis=0)
+
+    def local(pos_ch, vel_ch, dt, soft, damp):
+        from nbody_tpu.ops.reference import (
+            _accel_jerk_rows,
+            integrate,
+            nbody_step_hermite,
+            nbody_step_leapfrog,
+        )
+
+        nloc = pos_ch.shape[0]
+
+        def accel_fn(p_ch):
+            i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0, tiled=True)
+            j_pos = jax.lax.all_gather(p_ch, row_ax, axis=0, tiled=True)
+            acc = jax.lax.psum(accel_vs(i_pos, j_pos, soft), col_ax)
+            return _chunk_slice(acc, nloc)
+
+        if integrator == "hermite":
+            eps2 = jnp.asarray(soft, pos_ch.dtype) ** 2
+
+            def aj_fn(p_ch, v_ch):
+                i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0, tiled=True)
+                i_vel = jax.lax.all_gather(v_ch, col_ax, axis=0, tiled=True)
+                j_pos = jax.lax.all_gather(p_ch, row_ax, axis=0, tiled=True)
+                j_vel = jax.lax.all_gather(v_ch, row_ax, axis=0, tiled=True)
+                if kernel == "pallas":
+                    from nbody_tpu.ops.pallas_kernel import (
+                        compute_accel_jerk_pallas,
+                    )
+
+                    a, jk = compute_accel_jerk_pallas(
+                        i_pos, i_vel, j_pos, j_vel, soft,
+                        interpret=interpret)
+                else:
+                    a, jk = _accel_jerk_rows(
+                        i_pos[:, :3], i_vel[:, :3], j_pos[:, :3],
+                        j_vel[:, :3], j_pos[:, 3], eps2)
+                a = jax.lax.psum(a, col_ax)
+                jk = jax.lax.psum(jk, col_ax)
+                return _chunk_slice(a, nloc), _chunk_slice(jk, nloc)
+
+            return nbody_step_hermite(pos_ch, vel_ch, dt, soft, damp,
+                                      accel_jerk_fn=aj_fn)
+        if integrator == "leapfrog":
+            return nbody_step_leapfrog(pos_ch, vel_ch, dt, 0.0, damp,
+                                       accel_fn=accel_fn)
+        return integrate(pos_ch, vel_ch, accel_fn(pos_ch), dt, damp)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes, None), P(), P(), P()),
+        out_specs=(P(axes, None), P(axes, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(pos, vel, dt, softening, damping):
+        return sharded(
+            pos, vel,
+            jnp.asarray(dt, pos.dtype),
+            jnp.asarray(softening, pos.dtype),
+            jnp.asarray(damping, pos.dtype),
+        )
+
+    return step
+
+
 def make_sharded_rollout(step_fn, steps: int):
     """Wrap a sharded step into a single-jit multi-step rollout (lax.scan)."""
 

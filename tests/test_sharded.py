@@ -96,3 +96,60 @@ def test_sharded_auto_matches_single_device(mesh8, random_state_tiny):
     np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
     np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)
     assert p1.sharding == ps.sharding
+
+
+def test_2d_decomposition_matches_single_device():
+    """The (rows x cols) i-block x j-block decomposition must reproduce the
+    single-device step for every integrator (gathers along both mesh axes,
+    psum over cols)."""
+    import jax
+
+    from nbody_tpu import NBodyConfig, ic
+    from nbody_tpu.ops.reference import (
+        nbody_step_hermite,
+        nbody_step_leapfrog,
+        nbody_step_xla,
+    )
+    from nbody_tpu.parallel import make_mesh_2d, make_sharded_step_2d, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = ic.generate(NBodyConfig.SHELL, 256, 1.5, 2.0, seed=4)
+    pj, vj = jnp.asarray(pos), jnp.asarray(vel)
+    mesh = make_mesh_2d(2, 4)
+    ps, vs = shard_state(mesh, pos, vel, axis=("rows", "cols"))
+    refs = {
+        "euler": nbody_step_xla(pj, vj, 0.001, 0.1, 0.999),
+        "leapfrog": nbody_step_leapfrog(pj, vj, 0.001, 0.1, 0.999),
+        "hermite": nbody_step_hermite(pj, vj, 0.001, 0.1, 0.999),
+    }
+    for integrator, (ref_p, ref_v) in refs.items():
+        step = make_sharded_step_2d(mesh, kernel="xla",
+                                    integrator=integrator)
+        p1, v1 = step(ps, vs, 0.001, 0.1, 0.999)
+        assert p1.sharding == ps.sharding, integrator
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                                   rtol=2e-5, atol=1e-6, err_msg=integrator)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                                   rtol=2e-5, atol=1e-6, err_msg=integrator)
+
+
+def test_2d_decomposition_pallas_interpret():
+    import jax
+
+    from nbody_tpu import NBodyConfig, ic
+    from nbody_tpu.ops.reference import nbody_step_xla
+    from nbody_tpu.parallel import make_mesh_2d, make_sharded_step_2d, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.5, 2.0, seed=5)
+    ref_p, ref_v = nbody_step_xla(jnp.asarray(pos), jnp.asarray(vel),
+                                  0.001, 0.1, 1.0)
+    mesh = make_mesh_2d(4, 2)
+    ps, vs = shard_state(mesh, pos, vel, axis=("rows", "cols"))
+    step = make_sharded_step_2d(mesh, kernel="pallas", tile_i=8,
+                                tile_j=128, interpret=True)
+    p1, v1 = step(ps, vs, 0.001, 0.1, 1.0)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                               rtol=2e-5, atol=1e-6)
