@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "drift-unfaithful past ~1k steps — see PARITY.md; "
                         "auto = drift-gated autotuner cache when present, "
                         "else vpu)")
+    p.add_argument("--mesh-rows", type=int, default=None,
+                   help="with --devices D: use the 2-D (rows x D/rows) "
+                        "force decomposition instead of the 1-D body "
+                        "shard (O(N/R + N/C) comm per chip — the pod-"
+                        "scale strategy)")
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy",
@@ -194,9 +199,19 @@ def _main(argv=None) -> int:
 
     mesh = None
     if args.devices is not None and args.devices > 1:
-        from nbody_tpu.parallel import make_mesh
+        if args.mesh_rows is not None:
+            from nbody_tpu.parallel import make_mesh_2d
 
-        mesh = make_mesh(args.devices)
+            if args.devices % args.mesh_rows:
+                print(f"error: --mesh-rows {args.mesh_rows} does not divide "
+                      f"--devices {args.devices}", file=sys.stderr)
+                return 1
+            mesh = make_mesh_2d(args.mesh_rows,
+                                args.devices // args.mesh_rows)
+        else:
+            from nbody_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.devices)
 
     tipsy_state = None
     if args.config == "galaxy" and not (args.tipsy or args.checkpoint_load):
@@ -259,7 +274,10 @@ def _main(argv=None) -> int:
     dev = jax.devices()[0]
     print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
           f"[{compute.system.backend} kernel"
-          + (f", {args.devices}-device {args.strategy} mesh" if mesh else "")
+          + ((f", {args.mesh_rows}x{args.devices // args.mesh_rows} 2-D mesh"
+              if args.mesh_rows is not None
+              else f", {args.devices}-device {args.strategy} mesh")
+             if mesh else "")
           + (", host memory" if args.hostmem else "")
           + f", {'fp64' if args.fp64 else 'fp32'}]")
 

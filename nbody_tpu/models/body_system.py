@@ -179,7 +179,30 @@ class BodySystem:
 
         self._rollout_cache: dict = {}
         self._sharded_step = None
-        if mesh is not None:
+        self._mesh_axes = (None if mesh is None
+                           else tuple(mesh.axis_names))
+        if mesh is not None and len(self._mesh_axes) == 2:
+            # 2-D (rows x cols) force decomposition — the pod-scale
+            # strategy (make_sharded_step_2d); exact kernels only
+            if backend in ("pm", "p3m"):
+                raise ValueError(
+                    "the mesh solvers shard over a 1-D body mesh; use a "
+                    "1-D mesh with backend='pm'/'p3m'"
+                )
+            from nbody_tpu.parallel import make_sharded_step_2d
+
+            self._sharded_step = make_sharded_step_2d(
+                mesh,
+                axes=self._mesh_axes,
+                kernel=backend,
+                tile_i=tile_i,
+                tile_j=tile_j,
+                interpret=self.interpret,
+                chunk_size=chunk_size,
+                variant=variant,
+                integrator=integrator,
+            )
+        elif mesh is not None:
             if backend == "pm":
                 from nbody_tpu.ops.pm import make_sharded_pm_step
 
@@ -230,7 +253,10 @@ class BodySystem:
         elif self.mesh is not None:
             from nbody_tpu.parallel import shard_state
 
-            self._pos, self._vel = shard_state(self.mesh, pos, vel)
+            axis = (self._mesh_axes if len(self._mesh_axes) > 1
+                    else self._mesh_axes[0])
+            self._pos, self._vel = shard_state(self.mesh, pos, vel,
+                                               axis=axis)
         else:
             self._pos = jnp.asarray(pos)
             self._vel = jnp.asarray(vel)

@@ -153,3 +153,24 @@ def test_2d_decomposition_pallas_interpret():
     p1, v1 = step(ps, vs, 0.001, 0.1, 1.0)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_2d_mesh_via_body_system():
+    """BodySystem routes a 2-axis mesh to the 2-D decomposition."""
+    import jax
+
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+    from nbody_tpu.parallel import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = BodySystem(256, NBodyParams(), backend="xla",
+                   mesh=make_mesh_2d(2, 4), seed=0)
+    m0 = s.positions[:, 3].copy()
+    s.update_many(3, 0.001)
+    np.testing.assert_array_equal(s.positions[:, 3], m0)
+    assert np.isfinite(s.positions).all()
+    with pytest.raises(ValueError, match="1-D"):
+        BodySystem(256, NBodyParams(), backend="pm",
+                   mesh=make_mesh_2d(2, 4))
