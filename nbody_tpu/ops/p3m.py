@@ -421,12 +421,13 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
       same collective the exact allgather strategy pays), every chip sorts
       the full set into cells REDUNDANTLY (one O(N log N) XLA sort, a few
       ms — far cheaper than exchanging halo cells and rebalancing), then
-      computes only ITS static 1/D slice of the cells. Capacity-padded
-      dense tiles make per-cell cost uniform regardless of occupancy, so
-      the static cell split is perfectly load-balanced by construction.
-      One ``psum`` of the (N, 3) short-range accelerations (each sorted
-      row is written by exactly one chip) completes the field, and each
-      chip keeps its body rows.
+      computes only ITS 1/D subset of the cells — assigned round-robin
+      (cells d, d+D, d+2D, …), so the occupancy-adaptive worklist's
+      per-cell cost variation (i-subtiles + j-classes scale with LOCAL
+      occupancy) spreads statistically instead of concentrating a dense
+      core's cells on one chip. One ``psum`` of the (N, 3) short-range
+      accelerations (each sorted row is written by exactly one chip)
+      completes the field, and each chip keeps its body rows.
 
     Per-step ICI traffic: N·16 B gather + N·12 B psum + G^3·4 B psum
     (~29 MB at N=1M, G=64) — comparable to the exact allgather strategy.
@@ -512,10 +513,13 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                 [x, jnp.full((ncell_pad - ncell,) + x.shape[1:], fill,
                              x.dtype)])
 
-        off = (jax.lax.axis_index(axis) * ncell_loc).astype(jnp.int32)
+        # round-robin cell assignment: chip d takes cells d, d+D, d+2D, …
+        # (a strided gather of the per-cell tables) — spreads heavy cells
+        # across chips so dynamic per-cell cost balances in expectation
+        cell_ids = (d + ndev * jnp.arange(ncell_loc, dtype=jnp.int32))
 
         def sl(x):
-            return jax.lax.dynamic_slice_in_dim(x, off, ncell_loc, axis=0)
+            return x[cell_ids]
 
         acc_sorted = _short_range_cells(
             sorted_pos4, sl(padc(starts, n)), sl(padc(counts, 0)),
