@@ -191,6 +191,11 @@ class BodySystem:
                 )
             from nbody_tpu.parallel import make_sharded_step_2d
 
+            if variant not in ("vpu", "auto"):
+                raise ValueError(
+                    "the 2-D decomposition uses the accel-only kernels "
+                    "(no mxu variants); leave variant at 'vpu'/'auto'"
+                )
             self._sharded_step = make_sharded_step_2d(
                 mesh,
                 axes=self._mesh_axes,
@@ -199,7 +204,6 @@ class BodySystem:
                 tile_j=tile_j,
                 interpret=self.interpret,
                 chunk_size=chunk_size,
-                variant=variant,
                 integrator=integrator,
             )
         elif mesh is not None:

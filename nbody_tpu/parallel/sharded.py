@@ -162,13 +162,21 @@ def make_sharded_step(
 
         eps2 = jnp.asarray(soft, pos_sh.dtype) ** 2
 
+        # the acc+jerk kernel has its own tuned tile defaults; only
+        # caller-overridden tiles take precedence
+        aj_ti, aj_tj = tile_i, tile_j
+        if (tile_i, tile_j) == (DEFAULT_TILE_I, DEFAULT_TILE_J):
+            from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+
+            aj_ti, aj_tj = AJ_TILE_I, AJ_TILE_J
+
         def aj_vs(p_sh, v_sh, p_j, v_j):
             if kernel == "pallas":
                 from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
 
                 return compute_accel_jerk_pallas(
                     p_sh, v_sh, p_j, v_j, soft,
-                    tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+                    tile_i=aj_ti, tile_j=aj_tj, interpret=interpret)
             return _accel_jerk_rows(p_sh[:, :3], v_sh[:, :3],
                                     p_j[:, :3], v_j[:, :3], p_j[:, 3], eps2)
 
@@ -277,7 +285,6 @@ def make_sharded_step_2d(
     tile_j: int = DEFAULT_TILE_J,
     interpret: bool = False,
     chunk_size: int | None = None,
-    variant: str = "vpu",
     integrator: str = "euler",
 ):
     """2-D force decomposition over a (rows × cols) mesh — the pod-scale
@@ -339,6 +346,12 @@ def make_sharded_step_2d(
         if integrator == "hermite":
             eps2 = jnp.asarray(soft, pos_ch.dtype) ** 2
 
+            aj_ti, aj_tj = tile_i, tile_j
+            if (tile_i, tile_j) == (DEFAULT_TILE_I, DEFAULT_TILE_J):
+                from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+
+                aj_ti, aj_tj = AJ_TILE_I, AJ_TILE_J
+
             def aj_fn(p_ch, v_ch):
                 i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0, tiled=True)
                 i_vel = jax.lax.all_gather(v_ch, col_ax, axis=0, tiled=True)
@@ -351,7 +364,7 @@ def make_sharded_step_2d(
 
                     a, jk = compute_accel_jerk_pallas(
                         i_pos, i_vel, j_pos, j_vel, soft,
-                        interpret=interpret)
+                        tile_i=aj_ti, tile_j=aj_tj, interpret=interpret)
                 else:
                     a, jk = _accel_jerk_rows(
                         i_pos[:, :3], i_vel[:, :3], j_pos[:, :3],
