@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "replicated = per-chip (2G)^3 solve (fastest while "
                         "it fits HBM); slab = distributed FFT over the "
                         "mesh (use when G >= 256)")
+    p.add_argument("--p3m-short-range", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="p3m short-range engine: pallas = block-sparse "
+                        "pair-tile kernel (2.3x on TPU), xla = portable "
+                        "worklist; auto picks pallas on single-chip TPU")
     p.add_argument("--p3m-capacity", type=int, default=None,
                    help="p3m neighbor-cell capacity (bodies per cell); "
                         "default auto-sizes from the initial state's max "
@@ -263,6 +268,7 @@ def _main(argv=None) -> int:
         pm_assignment=args.pm_assignment,
         pm_fft=args.pm_fft,
         p3m_capacity=args.p3m_capacity,
+        p3m_short_range=args.p3m_short_range,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

@@ -76,6 +76,7 @@ class Compute:
         pm_assignment: str = "cic",
         pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
+        p3m_short_range: str = "auto",
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
         log=print,
@@ -126,6 +127,7 @@ class Compute:
             pm_assignment=pm_assignment,
             pm_fft=pm_fft,
             p3m_capacity=p3m_capacity,
+            p3m_short_range=p3m_short_range,
             seed=seed,
             state=tipsy_state,
         )

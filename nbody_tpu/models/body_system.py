@@ -79,6 +79,7 @@ class BodySystem:
         pm_assignment: str = "cic",
         pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
+        p3m_short_range: str = "auto",
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
@@ -143,6 +144,17 @@ class BodySystem:
         # None = auto-size from the initial state's cell occupancy (+50%
         # headroom) at first placement; resolved before any step compiles
         self.p3m_capacity = None if p3m_capacity is None else int(p3m_capacity)
+        # "auto" = block-sparse Pallas pair kernel on TPU (2.3x the XLA
+        # short-range at N=1M), XLA elsewhere and for sharded p3m (the
+        # pair worklist is single-device-shaped)
+        if p3m_short_range not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown p3m_short_range {p3m_short_range!r}")
+        if p3m_short_range == "auto":
+            p3m_short_range = (
+                "pallas" if (_default_backend_is_tpu() and mesh is None)
+                else "xla")
+        self.p3m_short_range = p3m_short_range
+        self._p3m_pair_budget: Optional[int] = None
         self.seed = seed
         self.config = config
 
@@ -292,6 +304,26 @@ class BodySystem:
                 f"{overflow} bodies of this state; raise p3m_capacity "
                 f"(--p3m-capacity) or the mesh resolution (--pm-grid)"
             )
+        if self.p3m_short_range == "pallas" and self.mesh is None:
+            # same contract as capacity, for the Pallas pair worklist:
+            # auto-size the budget from the first state (+50% headroom),
+            # then fail fast if a later state outgrows it
+            from nbody_tpu.ops.p3m import p3m_kernel_blk
+            from nbody_tpu.ops.p3m_kernel import PAIR_CHUNK, p3m_pair_count
+
+            blk = p3m_kernel_blk(self.p3m_capacity)
+            pairs = int(p3m_pair_count(pos32, grid=self.pm_grid,
+                                       capacity=self.p3m_capacity, blk=blk))
+            if self._p3m_pair_budget is None:
+                budget = -(-int(pairs * 1.5 + 1) // PAIR_CHUNK) * PAIR_CHUNK
+                self._p3m_pair_budget = max(PAIR_CHUNK, budget)
+            elif pairs > self._p3m_pair_budget:
+                raise ValueError(
+                    f"p3m pair budget {self._p3m_pair_budget} exceeded "
+                    f"({pairs} pair tiles for this state); re-create the "
+                    f"system (budget auto-sizes from the first state) or "
+                    f"use p3m_short_range='xla'"
+                )
 
     def set_state(self, pos, vel) -> None:
         self._place(np.asarray(pos), np.asarray(vel))
@@ -411,13 +443,15 @@ class BodySystem:
 
             grid, cap = self.pm_grid, self.p3m_capacity
             assignment = self.pm_assignment
+            sr, budget = self.p3m_short_range, self._p3m_pair_budget
 
             def step(pos, vel, dt, soft, damp):
                 # overflow was probed against the initial state (_place);
                 # steps assume the capacity contract keeps holding
                 p, v, _ = nbody_step_p3m(pos, vel, dt, soft, damp,
                                          grid=grid, capacity=cap,
-                                         assignment=assignment)
+                                         assignment=assignment,
+                                         short_range=sr, pair_budget=budget)
                 return p, v
 
             return step
@@ -464,11 +498,13 @@ class BodySystem:
 
             grid, cap = self.pm_grid, self.p3m_capacity
             assignment = self.pm_assignment
+            sr, budget = self.p3m_short_range, self._p3m_pair_budget
 
             def step(pos, vel, dt, soft, damp):
                 def accel_fn(p4):
                     return p3m_accel(p4, soft, grid=grid, capacity=cap,
-                                     assignment=assignment)[0]
+                                     assignment=assignment, short_range=sr,
+                                     pair_budget=budget)[0]
 
                 return nbody_step_leapfrog(pos, vel, dt, soft, damp,
                                            accel_fn=accel_fn)
@@ -615,6 +651,7 @@ class BodySystem:
             pm_assignment=self.pm_assignment,
             pm_fft=self.pm_fft,
             p3m_capacity=self.p3m_capacity,
+            p3m_short_range=self.p3m_short_range,
             config=self.config,
             seed=self.seed,
             state=(

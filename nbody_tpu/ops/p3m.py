@@ -339,17 +339,35 @@ def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
     return buf[:n]
 
 
+def p3m_kernel_blk(capacity: int) -> int:
+    """Pair-tile edge for the Pallas short-range: 256 amortizes DMA issue
+    overhead once cells span multiple blocks (measured at N=1M/cap=1000:
+    888/661/769 ms for blk 128/256/512); 128 avoids padding waste for
+    small-capacity states."""
+    return 256 if capacity > 192 else 128
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid", "capacity", "chunk", "assignment")
+    jax.jit,
+    static_argnames=("grid", "capacity", "chunk", "assignment",
+                     "short_range", "pair_budget", "interpret"),
 )
 def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
-              chunk: int = 2048, assignment: str = "cic"):
+              chunk: int = 2048, assignment: str = "cic",
+              short_range: str = "xla", pair_budget: int | None = None,
+              interpret: bool = False):
     """(N, 4) [x,y,z,m] -> ((N, 3) accelerations, overflow count).
 
     Equals the softened all-pairs Plummer force up to mesh error of the
     SMOOTH field (sub-percent). `overflow` counts bodies that did not fit
     their cell's `capacity` slots; nonzero overflow means some short-range
     pairs were dropped — callers should treat it like a failed assertion.
+
+    short_range="pallas" runs the block-sparse Pallas pair kernel
+    (ops/p3m_kernel.py — 2.3x the XLA pass at N=1M on-chip); it requires
+    `pair_budget` >= the state's p3m_kernel_blk-tile pair count (probe
+    with p3m_pair_count; BodySystem does this at state-set — pairs beyond
+    the budget are silently dropped, the same contract as capacity).
     """
     if pos.shape[-1] != 4:
         raise ValueError("p3m_accel expects (N, 4) [x,y,z,m]")
@@ -373,6 +391,21 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
         idx, w,
     )
 
+    if short_range == "pallas":
+        from nbody_tpu.ops.p3m_kernel import p3m_short_range_pallas
+
+        if pair_budget is None:
+            raise ValueError(
+                "short_range='pallas' needs pair_budget (probe with "
+                "p3m_pair_count)")
+        acc_sr, overflow, _ = p3m_short_range_pallas(
+            pos, softening, grid=grid, capacity=capacity,
+            pair_budget=pair_budget, blk=p3m_kernel_blk(capacity),
+            interpret=interpret)
+        return acc_lr + acc_sr, overflow
+    if short_range != "xla":
+        raise ValueError(f"unknown short_range {short_range!r}")
+
     # ---- short-range: sorted cell list, processed as dense tiles ----
     gc = _cell_grid_size(grid)
     (order, sorted_pos4, starts, counts,
@@ -388,7 +421,9 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
 
 def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
                    capacity: int = 128, chunk: int = 2048,
-                   assignment: str = "cic"):
+                   assignment: str = "cic", short_range: str = "xla",
+                   pair_budget: int | None = None,
+                   interpret: bool = False):
     """P3M step with the reference's damped semi-implicit Euler update.
 
     Returns (pos, vel, overflow); callers doing long rollouts should probe
@@ -398,7 +433,9 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
     from nbody_tpu.ops.reference import integrate
 
     a, overflow = p3m_accel(pos, softening, grid=grid, capacity=capacity,
-                            chunk=chunk, assignment=assignment)
+                            chunk=chunk, assignment=assignment,
+                            short_range=short_range, pair_budget=pair_budget,
+                            interpret=interpret)
     new_pos, new_vel = integrate(pos, vel, a, dt, damping)
     return new_pos, new_vel, overflow
 

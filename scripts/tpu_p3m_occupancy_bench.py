@@ -33,6 +33,14 @@ def bench(pos, cap, **kw):
     return (time.perf_counter() - t0) / 3 * 1e3
 
 
+def pallas_budget(pos, cap):
+    from nbody_tpu.ops.p3m import p3m_kernel_blk
+    from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+
+    blk = p3m_kernel_blk(cap)
+    return int(int(p3m_pair_count(pos, grid=G, capacity=cap, blk=blk)) * 1.25)
+
+
 def main() -> int:
     for label, scales in (("collapsed shell", (4.0, 5.0)),
                           ("random ball", (6.0, 8.0))):
@@ -43,8 +51,11 @@ def main() -> int:
         cap = max(8, -(-int(occ * 1.5 + 1) // 8) * 8)
         ms_cic = bench(pos, cap)
         ms_tsc = bench(pos, cap, assignment="tsc")
+        ms_pl = bench(pos, cap, short_range="pallas",
+                      pair_budget=pallas_budget(pos, cap))
         print(f"{label}: N={N} G={G} max_occ={occ} cap={cap} -> "
-              f"cic {ms_cic:.0f} ms, tsc {ms_tsc:.0f} ms per force eval")
+              f"cic {ms_cic:.0f} ms, tsc {ms_tsc:.0f} ms, "
+              f"pallas-sr {ms_pl:.0f} ms per force eval")
     return 0
 
 
