@@ -203,8 +203,12 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
           + d[None, None, :] ** 2)
     kernel = _greens_kernel(r2, sigma)
 
-    conv_k = jnp.fft.fftn(rho_p) * jnp.fft.fftn(kernel)
+    # rho and the kernel are both REAL, so the whole solve runs on
+    # half-spectrum transforms (rfftn/irfftn over the last axis) — half
+    # the FFT work and memory of the complex pipeline
+    conv_k = jnp.fft.rfftn(rho_p) * jnp.fft.rfftn(kernel)
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
+    fz = jnp.fft.rfftfreq(gp, d=h).astype(f32)
     if deconvolve:
         # the order-p B-spline window is sinc^p per axis (p=2 CIC triangle,
         # p=3 TSC quadratic) — one factor each for deposit and gather makes
@@ -212,15 +216,24 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
         # 1.2% / half 0.65% / full 0.36% median force error (r2 review
         # caught the original half-correction).
         wx = jnp.sinc(f1 * h) ** window_exp  # W(k) per axis
-        win = wx[:, None, None] * wx[None, :, None] * wx[None, None, :]
+        wz = jnp.sinc(fz * h) ** window_exp
+        win = wx[:, None, None] * wx[None, :, None] * wz[None, None, :]
         conv_k = conv_k / (win * win)
-    k1 = (2.0 * jnp.pi) * f1
+    # spectral derivative: zero the Nyquist bin of the differentiation
+    # operator (its sign is ambiguous; the complex pipeline's real() cast
+    # discarded the asymmetric part implicitly — this is the explicit,
+    # symmetric convention for the half-spectrum transform)
+    k1 = ((2.0 * jnp.pi) * f1).at[gp // 2].set(0.0)
+    kz = ((2.0 * jnp.pi) * fz).at[gp // 2].set(0.0)
     grids = []
     for axis in range(3):
-        shape = [1, 1, 1]
-        shape[axis] = gp
-        kv = k1.reshape(shape)
-        grad = jnp.real(jnp.fft.ifftn(conv_k * (1j * kv))).astype(f32)
+        if axis == 2:
+            kv = kz[None, None, :]
+        else:
+            shape = [1, 1, 1]
+            shape[axis] = gp
+            kv = k1.reshape(shape)
+        grad = jnp.fft.irfftn(conv_k * (1j * kv), s=(gp, gp, gp)).astype(f32)
         grids.append(grad[:grid, :grid, :grid].reshape(-1))
     return grids
 
