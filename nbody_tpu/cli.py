@@ -69,8 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p3m-short-range", choices=["auto", "xla", "pallas"],
                    default="auto",
                    help="p3m short-range engine: pallas = block-sparse "
-                        "pair-tile kernel (2.3x on TPU), xla = portable "
-                        "worklist; auto picks pallas on single-chip TPU")
+                        "pair-tile kernel (2.3x on TPU; sharded runs "
+                        "per-device chunk ranges), xla = portable "
+                        "worklist; auto picks pallas on TPU")
     p.add_argument("--p3m-capacity", type=int, default=None,
                    help="p3m neighbor-cell capacity (bodies per cell); "
                         "default auto-sizes from the initial state's max "

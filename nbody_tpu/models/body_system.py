@@ -145,14 +145,13 @@ class BodySystem:
         # headroom) at first placement; resolved before any step compiles
         self.p3m_capacity = None if p3m_capacity is None else int(p3m_capacity)
         # "auto" = block-sparse Pallas pair kernel on TPU (2.3x the XLA
-        # short-range at N=1M), XLA elsewhere and for sharded p3m (the
-        # pair worklist is single-device-shaped)
+        # short-range at N=1M; sharded steps run per-device chunk ranges
+        # of the same worklist), XLA elsewhere
         if p3m_short_range not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown p3m_short_range {p3m_short_range!r}")
         if p3m_short_range == "auto":
-            p3m_short_range = (
-                "pallas" if (_default_backend_is_tpu() and mesh is None)
-                else "xla")
+            p3m_short_range = ("pallas" if _default_backend_is_tpu()
+                               else "xla")
         self.p3m_short_range = p3m_short_range
         self._p3m_pair_budget: Optional[int] = None
         self.seed = seed
@@ -304,7 +303,7 @@ class BodySystem:
                 f"{overflow} bodies of this state; raise p3m_capacity "
                 f"(--p3m-capacity) or the mesh resolution (--pm-grid)"
             )
-        if self.p3m_short_range == "pallas" and self.mesh is None:
+        if self.p3m_short_range == "pallas":
             # same contract as capacity, for the Pallas pair worklist:
             # auto-size the budget from the first state (+50% headroom),
             # then fail fast if a later state outgrows it
@@ -387,7 +386,8 @@ class BodySystem:
             self._sharded_step = make_sharded_p3m_step(
                 self.mesh, grid=self.pm_grid, capacity=self.p3m_capacity,
                 integrator=self.integrator, assignment=self.pm_assignment,
-                fft=self.pm_fft,
+                fft=self.pm_fft, short_range=self.p3m_short_range,
+                pair_budget=self._p3m_pair_budget,
             )
         if self._sharded_step is not None:
             return self._sharded_step

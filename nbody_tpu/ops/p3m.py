@@ -444,7 +444,10 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                           chunk: int = 2048, axis: str = "bodies",
                           integrator: str = "euler",
                           assignment: str = "cic",
-                          fft: str = "replicated"):
+                          fft: str = "replicated",
+                          short_range: str = "xla",
+                          pair_budget: int | None = None,
+                          interpret: bool = False):
     """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
 
@@ -487,7 +490,20 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
         raise ValueError(f"unknown integrator {integrator!r}")
     if fft not in ("replicated", "slab"):
         raise ValueError(f"unknown fft {fft!r}")
+    if short_range not in ("xla", "pallas"):
+        raise ValueError(f"unknown short_range {short_range!r}")
     ndev = mesh.shape[axis]
+    if short_range == "pallas":
+        if pair_budget is None:
+            raise ValueError(
+                "short_range='pallas' needs pair_budget (probe with "
+                "p3m_pair_count at blk=p3m_kernel_blk(capacity))")
+        from nbody_tpu.ops.p3m_kernel import PAIR_CHUNK
+
+        # pad so every device runs the same static chunk count
+        pair_budget = -(-pair_budget // (PAIR_CHUNK * ndev)) * (
+            PAIR_CHUNK * ndev)
+        nchunk_dev = pair_budget // PAIR_CHUNK // ndev
     if fft == "slab" and (2 * grid) % ndev:
         raise ValueError(
             f"fft='slab' needs the device count ({ndev}) to divide the "
@@ -539,6 +555,26 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                                    deconvolve=True, window_exp=wexp),
                 idx, w,
             )
+
+        if short_range == "pallas":
+            # block-sparse pair kernel over THIS chip's chunk range of the
+            # (redundantly built) pair worklist; range-straddling i-blocks
+            # start from zero here and complete in the psum below
+            from nbody_tpu.ops.p3m_kernel import _short_range_pallas_impl
+
+            acc_sr_part, _, _, _ = _short_range_pallas_impl(
+                pos_all, soft, grid=grid, capacity=capacity,
+                pair_budget=pair_budget, interpret=interpret,
+                blk=p3m_kernel_blk(capacity),
+                chunk_lo=(d * nchunk_dev).astype(jnp.int32),
+                nchunk_local=nchunk_dev)
+            if fft == "slab":
+                acc_full = jax.lax.psum(acc_sr_part + acc_lr_partial, axis)
+                return jax.lax.dynamic_slice_in_dim(
+                    acc_full, (d * nloc).astype(jnp.int32), nloc, axis=0)
+            acc_sr_full = jax.lax.psum(acc_sr_part, axis)
+            return acc_lr + jax.lax.dynamic_slice_in_dim(
+                acc_sr_full, (d * nloc).astype(jnp.int32), nloc, axis=0)
 
         # short-range: redundant sort of the gathered set, slice of cells
         (order, sorted_pos4, starts, counts,

@@ -255,6 +255,24 @@ def p3m_short_range_pallas(pos, softening, *, grid: int = 64,
     dropped (probe with p3m_pair_count; BodySystem re-probes per
     state-set).
     """
+    acc, overflow, pair_count, _ = _short_range_pallas_impl(
+        pos, softening, grid=grid, capacity=capacity,
+        pair_budget=pair_budget, interpret=interpret, blk=blk)
+    return acc, overflow, pair_count
+
+
+def _short_range_pallas_impl(pos, softening, *, grid, capacity, pair_budget,
+                             interpret, blk, chunk_lo=None,
+                             nchunk_local=None):
+    """Shared core: builds the pair tables and runs the chunk scan over
+    [chunk_lo, chunk_lo + nchunk_local) (defaults: the whole worklist).
+
+    The sharded step passes each device's chunk range: an i-block whose
+    pair run straddles a range boundary starts from ZERO on the next
+    device (the chunk-boundary init==2 load reads the zero-initialized
+    carry), so the per-device results are PARTIAL sums that the caller's
+    (N, 3) psum completes — no cross-device carry needed.
+    """
     f32 = jnp.float32
     n = pos.shape[0]
     pos3 = pos[:, :3].astype(f32)
@@ -311,21 +329,25 @@ def p3m_short_range_pallas(pos, softening, *, grid: int = 64,
         interpret=interpret,
     )
 
+    ib2 = ib.reshape(nchunk, PAIR_CHUNK)
+    jb2 = jb.reshape(nchunk, PAIR_CHUNK)
+    init2 = init.reshape(nchunk, PAIR_CHUNK)
+    if chunk_lo is not None:
+        sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                               start_index=chunk_lo, slice_size=nchunk_local,
+                               axis=0)
+        ib2, jb2, init2 = sl(ib2), sl(jb2), sl(init2)
+
     def chunk_body(acc, args):
         ibc, jbc, initc = args
         return call(meta, ibc, jbc, initc, padded, padded_t, acc), None
 
     acc0 = jnp.zeros((mb1 * blk, 4), f32)
-    acc_pad, _ = jax.lax.scan(
-        chunk_body, acc0,
-        (ib.reshape(nchunk, PAIR_CHUNK),
-         jb.reshape(nchunk, PAIR_CHUNK),
-         init.reshape(nchunk, PAIR_CHUNK)),
-    )
+    acc_pad, _ = jax.lax.scan(chunk_body, acc0, (ib2, jb2, init2))
 
     # padded rows -> sorted bodies -> original order
     acc_sorted = jnp.where(
         (body_row < mb1 * blk)[:, None],
         acc_pad[jnp.minimum(body_row, mb1 * blk - 1), :3], 0.0)
     acc = jnp.zeros((n, 3), f32).at[order].set(acc_sorted)
-    return acc, overflow, pair_count
+    return acc, overflow, pair_count, pair_budget

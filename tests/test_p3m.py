@@ -377,3 +377,33 @@ def test_pallas_short_range_budget_required(cloud):
     with pytest.raises(ValueError, match="pair_budget"):
         p3m_accel(pos, SOFT, grid=32, capacity=64, short_range="pallas",
                   interpret=True)
+
+
+def test_sharded_p3m_pallas_short_range_matches(cloud):
+    """Sharded P3M with the Pallas pair kernel (per-device chunk ranges,
+    interpret mode) must reproduce the single-device solve — including
+    i-block runs that straddle device range boundaries (they complete in
+    the psum)."""
+    from nbody_tpu.ops.p3m import make_sharded_p3m_step, p3m_kernel_blk
+    from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+    from nbody_tpu.parallel import make_mesh, shard_state
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    pos, vel = cloud
+    ref_p, ref_v, _ = nbody_step_p3m(pos, vel, 0.001, SOFT, 1.0,
+                                     grid=32, capacity=64)
+    blk = p3m_kernel_blk(64)
+    budget = int(p3m_pair_count(pos, grid=32, capacity=64, blk=blk)) + 8
+    mesh = make_mesh(8)
+    ps, vs = shard_state(mesh, np.asarray(pos), np.asarray(vel))
+    for fft in ("replicated", "slab"):
+        step = make_sharded_p3m_step(mesh, grid=32, capacity=64,
+                                     short_range="pallas",
+                                     pair_budget=budget, fft=fft,
+                                     interpret=True)
+        p1, v1 = step(ps, vs, 0.001, SOFT, 1.0)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p),
+                                   rtol=1e-4, atol=2e-4, err_msg=fft)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
+                                   rtol=1e-4, atol=2e-4, err_msg=fft)
