@@ -262,18 +262,22 @@ def _gather(force_grids, idx, w):
 
 
 def _slab_fft3(slab, axis: str):
-    """(2G/D, 2G, 2G) real/complex x-slab -> (2G, 2G/D, 2G) y-pencil
-    spectrum (full 3-D FFT of the distributed array)."""
-    f = jnp.fft.fftn(slab, axes=(1, 2))
+    """(2G/D, 2G, 2G) real x-slab -> (2G, 2G/D, G+1) y-pencil half
+    spectrum: rfft on z (the input is real — halves both the local FFT
+    work and the all_to_all bytes), fft on y, transpose, fft on x."""
+    f = jnp.fft.rfft(slab, axis=2)
+    f = jnp.fft.fft(f, axis=1)
     f = jax.lax.all_to_all(f, axis, split_axis=1, concat_axis=0, tiled=True)
     return jnp.fft.fft(f, axis=0)
 
 
 def _slab_ifft3_real(spec, axis: str):
-    """Inverse of _slab_fft3, returning the real part as an x-slab."""
+    """Inverse of _slab_fft3, returning the real x-slab."""
+    gp = spec.shape[0]
     f = jnp.fft.ifft(spec, axis=0)
     f = jax.lax.all_to_all(f, axis, split_axis=0, concat_axis=1, tiled=True)
-    return jnp.real(jnp.fft.ifftn(f, axes=(1, 2))).astype(jnp.float32)
+    f = jnp.fft.ifft(f, axis=1)
+    return jnp.fft.irfft(f, n=gp, axis=2).astype(jnp.float32)
 
 
 def _solve_force_grids_slab(rho_slab, h, grid: int, *, axis: str, ndev: int,
@@ -303,17 +307,22 @@ def _solve_force_grids_slab(rho_slab, h, grid: int, *, axis: str, ndev: int,
 
     conv_k = _slab_fft3(rho_slab, axis) * _slab_fft3(kernel, axis)
 
-    # spectral coordinates of the y-pencil: x and z full, y chunked
+    # spectral coordinates of the y-pencil: x full, y chunked, z half
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
+    fz = jnp.fft.rfftfreq(gp, d=h).astype(f32)
     fy = jax.lax.dynamic_slice_in_dim(f1, (d * gl).astype(jnp.int32), gl)
     if deconvolve:
         wx = jnp.sinc(f1 * h) ** window_exp
         wyc = jnp.sinc(fy * h) ** window_exp
-        win = wx[:, None, None] * wyc[None, :, None] * wx[None, None, :]
+        wz = jnp.sinc(fz * h) ** window_exp
+        win = wx[:, None, None] * wyc[None, :, None] * wz[None, None, :]
         conv_k = conv_k / (win * win)
-    k1 = (2.0 * jnp.pi) * f1
-    ky = (2.0 * jnp.pi) * fy
-    kvs = [k1[:, None, None], ky[None, :, None], k1[None, None, :]]
+    # derivative Nyquist bins zeroed — the same explicit convention as the
+    # replicated half-spectrum solve (_solve_force_grids)
+    k1 = ((2.0 * jnp.pi) * f1).at[gp // 2].set(0.0)
+    kz = ((2.0 * jnp.pi) * fz).at[gp // 2].set(0.0)
+    ky = (2.0 * jnp.pi) * jnp.where(jnp.abs(fy * h) >= 0.5 - 1e-7, 0.0, fy)
+    kvs = [k1[:, None, None], ky[None, :, None], kz[None, None, :]]
     return [_slab_ifft3_real(conv_k * (1j * kv), axis) for kv in kvs]
 
 
