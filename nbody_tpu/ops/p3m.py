@@ -94,7 +94,7 @@ def p3m_max_occupancy(pos, *, grid: int = 64):
     pos3 = pos[:, :3].astype(f32)
     mass = pos[:, 3].astype(f32)
     lo, h = _fit_box(pos3, grid)
-    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)  # ulp-exact vs engine
     gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
     ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
                   0, gc - 1)
@@ -113,7 +113,7 @@ def p3m_overflow_count(pos, *, grid: int = 64, capacity: int = 128):
     pos3 = pos[:, :3].astype(f32)
     mass = pos[:, 3].astype(f32)
     lo, h = _fit_box(pos3, grid)
-    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)  # ulp-exact vs engine
     gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
     ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
                   0, gc - 1)

@@ -113,12 +113,20 @@ def _cells_and_neighbors(pos3, lo, rcut, gc: int):
 @functools.partial(jax.jit, static_argnames=("grid", "capacity", "blk"))
 def p3m_pair_count(pos, *, grid: int = 64, capacity: int = 128,
                    blk: int = BLK):
-    """Exact (blk, blk) pair-tile count for the current state — the probe
-    that sizes ``pair_budget`` (one bincount + cumsums, no pair math)."""
+    """(blk, blk) pair-tile count for the current state — the probe that
+    sizes ``pair_budget`` (one bincount + cumsums, no pair math).
+
+    Approximate at cell boundaries: the box fit's min/max reductions can
+    reassociate differently under different jit contexts, shifting h by
+    an ulp and reassigning ~1%% of bodies — size budgets with headroom
+    (BodySystem uses 1.5x), never exactly."""
     f32 = jnp.float32
     pos3 = pos[:, :3].astype(f32)
     lo, h = _fit_box(pos3, grid)
-    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    # EXACTLY the engine's formula — 6*h differs from 4*(1.5*h) in the
+    # last ulp and can reassign boundary bodies, making the probe disagree
+    # with the engine's counts
+    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)
     gc = _cell_grid_size(grid)
     cell, nid, nvalid = _cells_and_neighbors(pos3, lo, rcut, gc)
     counts = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(1)

@@ -407,3 +407,58 @@ def test_sharded_p3m_pallas_short_range_matches(cloud):
                                    rtol=1e-4, atol=2e-4, err_msg=fft)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v),
                                    rtol=1e-4, atol=2e-4, err_msg=fft)
+
+
+def test_pallas_pair_tables_properties(cloud):
+    """Builder invariants: every kept body lands in a unique padded row of
+    its cell's aligned range; live pair block ids stay in range; the pair
+    count matches the probe."""
+    from nbody_tpu.ops.p3m import RCUT_SIGMAS, SIGMA_CELLS, _cell_grid_size
+    from nbody_tpu.ops.p3m_kernel import (
+        _build_pair_tables,
+        p3m_pair_count,
+    )
+    from nbody_tpu.ops.pm import _fit_box
+
+    pos, _ = cloud
+    f32 = jnp.float32
+    grid, cap, blk = 32, 64, 128
+    pos3 = pos[:, :3].astype(f32)
+    mass = pos[:, 3].astype(f32)
+    lo, h = _fit_box(pos3, grid)
+    rcut = f32(RCUT_SIGMAS * SIGMA_CELLS) * h
+    gc = _cell_grid_size(grid)
+    budget = int(p3m_pair_count(pos, grid=grid, capacity=cap, blk=blk)) + 16
+    (padded, padded_t, ib, jb, newi, body_row, order,
+     pair_count, overflow) = _build_pair_tables(
+        pos3, mass, lo, rcut, gc, cap, budget, blk)
+    n = pos.shape[0]
+    pc = int(pair_count)
+    # probe and builder may disagree by ~1% at cell boundaries: the box
+    # fit's reductions reassociate differently under different jit
+    # contexts, shifting h by an ulp — the reason budgets carry headroom
+    assert abs(pc - (budget - 16)) <= max(32, (budget - 16) // 20)
+    assert int(overflow) == 0
+    rows = np.asarray(body_row)
+    live_rows = rows[rows < padded.shape[0] - blk]
+    assert len(np.unique(live_rows)) == len(live_rows)  # no collisions
+    # padded holds exactly the kept bodies (mass-weighted count)
+    np.testing.assert_allclose(float(padded[:, 3].sum()),
+                               float(mass.sum()), rtol=1e-6)
+    ibs, jbs = np.asarray(ib), np.asarray(jb)
+    mb = padded.shape[0] // blk - 1
+    assert (ibs[:pc] < mb).all() and (jbs[:pc] < mb).all()
+    assert (ibs[pc:] == mb).all()                        # inert tail
+    assert (np.diff(ibs[:pc].astype(np.int64)) >= 0).all()  # grouped by i
+
+
+def test_pallas_short_range_reports_overflow(cloud):
+    """capacity too small for the cloud -> the pallas engine reports the
+    same body-overflow contract as the XLA engine."""
+    from nbody_tpu.ops.p3m_kernel import p3m_pair_count, p3m_short_range_pallas
+
+    pos, _ = cloud
+    budget = int(p3m_pair_count(pos, grid=32, capacity=2)) + 8
+    _, ovf, _ = p3m_short_range_pallas(pos, SOFT, grid=32, capacity=2,
+                                       pair_budget=budget, interpret=True)
+    assert int(ovf) > 0
