@@ -462,3 +462,25 @@ def test_pallas_short_range_reports_overflow(cloud):
     _, ovf, _ = p3m_short_range_pallas(pos, SOFT, grid=32, capacity=2,
                                        pair_budget=budget, interpret=True)
     assert int(ovf) > 0
+
+
+def test_p3m_contract_breach_warns():
+    """A collapsing run that outgrows the state-set capacity contract must
+    WARN (forces silently degrade otherwise). Exercised by shrinking the
+    capacity under the system after placement."""
+    import warnings
+
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    s = BodySystem(512, NBodyParams(), backend="p3m", pm_grid=32, seed=0)
+    s.p3m_capacity = 1   # simulate occupancy outgrowing the contract
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s.update(0.001)
+    assert any("contract broken" in str(x.message) for x in w)
+    # warn-once per episode: a second step stays quiet
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        s.update(0.001)
+    assert not any("contract broken" in str(x.message) for x in w2)
