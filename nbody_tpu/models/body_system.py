@@ -587,14 +587,29 @@ class BodySystem:
             warnings.warn(
                 f"p3m capacity contract broken mid-run: {overflow} bodies "
                 f"now exceed capacity {self.p3m_capacity} — short-range "
-                f"pairs are being dropped. Recreate the system (capacity "
-                f"auto-resizes from the current state) or raise "
+                f"pairs are being dropped. Call refresh_p3m_contract() to "
+                f"re-size from the current state (recompiles), or raise "
                 f"--p3m-capacity / --pm-grid.",
                 stacklevel=3,
             )
             self._p3m_contract_warned = True
         elif not overflow:
             self._p3m_contract_warned = False
+
+    def refresh_p3m_contract(self) -> None:
+        """Re-size the p3m capacity (and the Pallas pair budget) from the
+        CURRENT state and rebuild the cached steps — the actionable
+        response to the mid-run contract warning. Recompiles on the next
+        step."""
+        if self.backend != "p3m":
+            raise ValueError("refresh_p3m_contract applies to backend='p3m'")
+        self.p3m_capacity = None
+        self._p3m_pair_budget = None
+        self._rollout_cache.clear()
+        if self.mesh is not None:
+            self._sharded_step = None   # rebuilt lazily with the new sizes
+        self._p3m_contract_warned = False
+        self._probe_p3m_capacity(jnp.asarray(self._pos, jnp.float32))
 
     def _update_inner(self, dt: float) -> None:
         if self.placement == "host":

@@ -484,3 +484,16 @@ def test_p3m_contract_breach_warns():
         warnings.simplefilter("always")
         s.update(0.001)
     assert not any("contract broken" in str(x.message) for x in w2)
+
+
+def test_refresh_p3m_contract_resizes():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    s = BodySystem(512, NBodyParams(), backend="p3m", pm_grid=32, seed=0)
+    cap0 = s.p3m_capacity
+    s.p3m_capacity = 1   # simulate breach
+    s.refresh_p3m_contract()
+    assert s.p3m_capacity >= cap0   # re-sized from the current state
+    s.update_many(2, 0.001)         # steps rebuild and run
+    assert np.isfinite(s.positions).all()
