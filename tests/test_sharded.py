@@ -174,3 +174,18 @@ def test_2d_mesh_via_body_system():
     with pytest.raises(ValueError, match="1-D"):
         BodySystem(256, NBodyParams(), backend="pm",
                    mesh=make_mesh_2d(2, 4))
+
+
+def test_2d_mesh_hermite_via_body_system():
+    import jax
+
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+    from nbody_tpu.parallel import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = BodySystem(256, NBodyParams(), backend="xla", integrator="hermite",
+                   mesh=make_mesh_2d(4, 2), seed=2)
+    s.update_many(2, 0.001)
+    assert np.isfinite(s.positions).all()
