@@ -204,6 +204,10 @@ def _main(argv=None) -> int:
     from nbody_tpu.params import DEMO_PARAMS
 
     mesh = None
+    if args.mesh_rows is not None and (args.devices is None
+                                       or args.devices <= 1):
+        print("error: --mesh-rows needs --devices > 1", file=sys.stderr)
+        return 1
     if args.devices is not None and args.devices > 1:
         if args.mesh_rows is not None:
             from nbody_tpu.parallel import make_mesh_2d
@@ -322,12 +326,19 @@ def _main(argv=None) -> int:
             status = _run_selftest(compute)
         elif args.drift_check is not None:
             drift = compute.drift_check(args.drift_check)
-            # same pass criterion as --selftest, so scripted/CI invocations
-            # can catch drift regressions through the exit-code ladder
-            scale = max(abs(drift["drift_oracle"]), 1e-12)
-            if drift["delta"] > max(5e-4, 0.05 * scale):
-                print("drift check FAILED", file=sys.stderr)
-                status = 1
+            if args.kernel in ("pm", "p3m"):
+                # the mesh solvers differ from the exact oracle BY DESIGN
+                # (cell-scale effective softening) — report, don't gate
+                print("(mesh-solver drift differs from the all-pairs "
+                      "oracle by design; exit-code gate applies to exact "
+                      "kernels only)")
+            else:
+                # same pass criterion as --selftest, so scripted/CI
+                # invocations catch drift regressions via the exit ladder
+                scale = max(abs(drift["drift_oracle"]), 1e-12)
+                if drift["delta"] > max(5e-4, 0.05 * scale):
+                    print("drift check FAILED", file=sys.stderr)
+                    status = 1
         elif args.benchmark:
             result = compute.run_benchmark(args.iterations)
             mem = format_memory_line()

@@ -102,7 +102,8 @@ class BodySystem:
                 "jax.config.update('jax_enable_x64', True) before creating arrays"
             )
         if interpret is None:
-            interpret = backend == "pallas" and not _default_backend_is_tpu()
+            interpret = (backend in ("pallas", "p3m")
+                         and not _default_backend_is_tpu())
 
         self.params = params
         self.dtype = dtype
@@ -120,6 +121,7 @@ class BodySystem:
         self.mesh = mesh
         self.strategy = strategy
         self.variant = variant
+        self._requested_variant = variant  # pre-tune-cache-resolution
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(f"unknown integrator {integrator!r}")
         if integrator == "hermite" and backend in ("pm", "p3m"):
@@ -202,7 +204,9 @@ class BodySystem:
                 )
             from nbody_tpu.parallel import make_sharded_step_2d
 
-            if variant not in ("vpu", "auto"):
+            # judge the USER's request, not the tune cache's resolution
+            # (variant='auto' may have resolved to mxu* from the cache)
+            if self._requested_variant not in ("vpu", "auto"):
                 raise ValueError(
                     "the 2-D decomposition uses the accel-only kernels "
                     "(no mxu variants); leave variant at 'vpu'/'auto'"
@@ -388,6 +392,7 @@ class BodySystem:
                 integrator=self.integrator, assignment=self.pm_assignment,
                 fft=self.pm_fft, short_range=self.p3m_short_range,
                 pair_budget=self._p3m_pair_budget,
+                interpret=self.interpret,
             )
         if self._sharded_step is not None:
             return self._sharded_step
@@ -444,6 +449,7 @@ class BodySystem:
             grid, cap = self.pm_grid, self.p3m_capacity
             assignment = self.pm_assignment
             sr, budget = self.p3m_short_range, self._p3m_pair_budget
+            interp = self.interpret
 
             def step(pos, vel, dt, soft, damp):
                 # overflow was probed against the initial state (_place);
@@ -451,7 +457,8 @@ class BodySystem:
                 p, v, _ = nbody_step_p3m(pos, vel, dt, soft, damp,
                                          grid=grid, capacity=cap,
                                          assignment=assignment,
-                                         short_range=sr, pair_budget=budget)
+                                         short_range=sr, pair_budget=budget,
+                                         interpret=interp)
                 return p, v
 
             return step
@@ -499,12 +506,14 @@ class BodySystem:
             grid, cap = self.pm_grid, self.p3m_capacity
             assignment = self.pm_assignment
             sr, budget = self.p3m_short_range, self._p3m_pair_budget
+            interp = self.interpret
 
             def step(pos, vel, dt, soft, damp):
                 def accel_fn(p4):
                     return p3m_accel(p4, soft, grid=grid, capacity=cap,
                                      assignment=assignment, short_range=sr,
-                                     pair_budget=budget)[0]
+                                     pair_budget=budget,
+                                     interpret=interp)[0]
 
                 return nbody_step_leapfrog(pos, vel, dt, soft, damp,
                                            accel_fn=accel_fn)
@@ -565,35 +574,61 @@ class BodySystem:
         dt = self.params.time_step if dt is None else dt
         with annotate("nbody.step"):
             self._update_inner(dt)
-        self._warn_if_p3m_contract_broken()
+        self._warn_if_p3m_contract_broken(throttled=True)
 
-    def _warn_if_p3m_contract_broken(self) -> None:
-        """Post-step p3m contract check (one bincount): the capacity/budget
-        contracts are probed at state-SET, but a collapsing system can
-        outgrow them mid-run (measured: a 65k shell run overflows 25% of
-        bodies by 1000 leapfrog steps), silently degrading short-range
-        forces. Warn with guidance instead of staying silent; warn once
-        per breach episode."""
+    # per-step updates probe the contract every K steps (each probe costs a
+    # blocking device round-trip — ~8 ms on the remote relay); update_many
+    # probes once per rollout, which is the cheap path
+    _P3M_PROBE_EVERY = 16
+
+    def _warn_if_p3m_contract_broken(self, *, throttled: bool = False) -> None:
+        """Post-step p3m contract check (bincount probes): the capacity AND
+        pair-budget contracts are probed at state-SET, but a collapsing
+        system can outgrow them mid-run (measured: a 65k shell run
+        overflows 25% of bodies by 1000 leapfrog steps), silently
+        degrading short-range forces. Warn with guidance instead of
+        staying silent; warn once per breach episode."""
         if self.backend != "p3m":
             return
+        if throttled:
+            self._p3m_probe_tick = getattr(self, "_p3m_probe_tick", 0) + 1
+            if self._p3m_probe_tick % self._P3M_PROBE_EVERY:
+                return
         from nbody_tpu.ops.p3m import p3m_overflow_count
 
         pos = jnp.asarray(self._pos, jnp.float32)
         overflow = int(p3m_overflow_count(pos, grid=self.pm_grid,
                                           capacity=self.p3m_capacity))
-        if overflow and not getattr(self, "_p3m_contract_warned", False):
+        broken = []
+        if overflow:
+            broken.append(
+                f"{overflow} bodies exceed cell capacity {self.p3m_capacity}")
+        if self.p3m_short_range == "pallas":
+            # the Pallas engine also drops PAIR TILES beyond its budget —
+            # a collapse can grow pair counts with zero capacity overflow
+            # (core cells crossing block boundaries multiply tiles)
+            from nbody_tpu.ops.p3m import p3m_kernel_blk
+            from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+
+            pairs = int(p3m_pair_count(
+                pos, grid=self.pm_grid, capacity=self.p3m_capacity,
+                blk=p3m_kernel_blk(self.p3m_capacity)))
+            if pairs > (self._p3m_pair_budget or 0):
+                broken.append(
+                    f"{pairs} pair tiles exceed budget "
+                    f"{self._p3m_pair_budget}")
+        if broken and not getattr(self, "_p3m_contract_warned", False):
             import warnings
 
             warnings.warn(
-                f"p3m capacity contract broken mid-run: {overflow} bodies "
-                f"now exceed capacity {self.p3m_capacity} — short-range "
-                f"pairs are being dropped. Call refresh_p3m_contract() to "
-                f"re-size from the current state (recompiles), or raise "
-                f"--p3m-capacity / --pm-grid.",
+                "p3m contract broken mid-run: " + "; ".join(broken)
+                + " — short-range terms are being dropped. Call "
+                "refresh_p3m_contract() to re-size from the current state "
+                "(recompiles), or raise --p3m-capacity / --pm-grid.",
                 stacklevel=3,
             )
             self._p3m_contract_warned = True
-        elif not overflow:
+        elif not broken:
             self._p3m_contract_warned = False
 
     def refresh_p3m_contract(self) -> None:
@@ -684,8 +719,10 @@ class BodySystem:
             # fp64 needs the XLA path; fp32 re-resolves the ORIGINALLY
             # requested backend so a round trip restores the Pallas kernel
             backend="xla" if new_dtype == jnp.float64 else self._requested_backend,
-            tile_i=self.tile_i,
-            tile_j=self.tile_j,
+            # None = "not user-specified": keeps tune-cache eligibility and
+            # per-kernel tile defaults across the precision hop
+            tile_i=self.tile_i if self._explicit_tiles[0] else None,
+            tile_j=self.tile_j if self._explicit_tiles[1] else None,
             placement=self.placement,
             mesh=self.mesh,
             strategy=self.strategy,

@@ -86,22 +86,54 @@ def _s_lr(r2, sigma):
     return jnp.where(u2 < 0.0625, series, closed)
 
 
-@functools.partial(jax.jit, static_argnames=("grid",))
-def p3m_max_occupancy(pos, *, grid: int = 64):
-    """Largest number of MASSIVE bodies in any short-range cell — the
-    occupancy statistic capacity auto-sizing needs (one bincount)."""
+def _cell_rcut(h):
+    """Short-range cell edge — ONE formula everywhere (probes and engines
+    must bin identically; 6*h vs 4*(1.5*h) differ in the last ulp)."""
+    f32 = jnp.float32
+    return f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)
+
+
+def _bin_cells(pos3, lo, rcut, gc: int):
+    """Per-body short-range cell ids on the gc^3 lattice (clipped)."""
+    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
+                  0, gc - 1)
+    return (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+
+
+def _neighbor_stencil(gc: int):
+    """The static 27-stencil over the cell grid: (nid, nvalid), each
+    (ncell, 27) — out-of-lattice neighbors flagged invalid."""
+    ncell = gc * gc * gc
+    cc = jnp.arange(ncell, dtype=jnp.int32)
+    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
+    nx = cx[:, None] + offs[None, :, 0]
+    ny = cy[:, None] + offs[None, :, 1]
+    nz = cz[:, None] + offs[None, :, 2]
+    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
+              & (nz >= 0) & (nz < gc))
+    return jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0), nvalid
+
+
+def _massive_occupancy(pos, grid: int):
+    """Per-cell count of MASSIVE bodies (zero-mass padding is inert)."""
     f32 = jnp.float32
     pos3 = pos[:, :3].astype(f32)
     mass = pos[:, 3].astype(f32)
     lo, h = _fit_box(pos3, grid)
-    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)  # ulp-exact vs engine
-    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
-    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
-                  0, gc - 1)
-    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
-    occ = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(
+    gc = _cell_grid_size(grid)
+    cell = _bin_cells(pos3, lo, _cell_rcut(h), gc)
+    return jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(
         (mass > 0).astype(jnp.int32))
-    return jnp.max(occ)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def p3m_max_occupancy(pos, *, grid: int = 64):
+    """Largest number of MASSIVE bodies in any short-range cell — the
+    occupancy statistic capacity auto-sizing needs (one bincount)."""
+    return jnp.max(_massive_occupancy(pos, grid))
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "capacity"))
@@ -109,18 +141,7 @@ def p3m_overflow_count(pos, *, grid: int = 64, capacity: int = 128):
     """Occupancy-only overflow check — how many MASSIVE bodies exceed their
     cell's capacity. No FFT, no pair math: one bincount, so callers (e.g.
     BodySystem's state-set probe) can validate sizing in milliseconds."""
-    f32 = jnp.float32
-    pos3 = pos[:, :3].astype(f32)
-    mass = pos[:, 3].astype(f32)
-    lo, h = _fit_box(pos3, grid)
-    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)  # ulp-exact vs engine
-    gc = max(1, math.ceil(grid / (RCUT_SIGMAS * SIGMA_CELLS)))
-    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
-                  0, gc - 1)
-    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
-    occ = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(
-        (mass > 0).astype(jnp.int32))
-    return jnp.sum(jnp.maximum(occ - capacity, 0))
+    return jnp.sum(jnp.maximum(_massive_occupancy(pos, grid) - capacity, 0))
 
 
 def _cell_grid_size(grid: int) -> int:
@@ -148,9 +169,7 @@ def _sorted_cell_tables(pos3, mass, lo, rcut, gc: int, cap: int):
     f32 = jnp.float32
     n = pos3.shape[0]
     ncell = gc * gc * gc
-    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
-                  0, gc - 1)
-    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
+    cell = _bin_cells(pos3, lo, rcut, gc)
 
     # sort key puts MASSIVE bodies first within each cell, so zero-mass
     # padding (tipsy/BodySystem pads pile up at the origin cell) fills the
@@ -175,17 +194,7 @@ def _sorted_cell_tables(pos3, mass, lo, rcut, gc: int, cap: int):
     sorted_pos4 = jnp.concatenate([sorted_pos4, pad_rows], axis=0)
 
     # per-cell neighbor cell ids (static 27-stencil over the cell grid)
-    cc = jnp.arange(ncell, dtype=jnp.int32)
-    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
-    offs = jnp.asarray(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
-    nx = cx[:, None] + offs[None, :, 0]
-    ny = cy[:, None] + offs[None, :, 1]
-    nz = cz[:, None] + offs[None, :, 2]
-    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
-              & (nz >= 0) & (nz < gc))
-    nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
+    nid, nvalid = _neighbor_stencil(gc)
     n_starts = jnp.where(nvalid, starts[nid], n).astype(jnp.int32)
     n_counts = jnp.where(nvalid, counts[nid], 0).astype(jnp.int32)
     return order, sorted_pos4, starts, counts, n_starts, n_counts, overflow

@@ -91,22 +91,13 @@ def _s_lr_kernel(r2, sigma):
 
 
 def _cells_and_neighbors(pos3, lo, rcut, gc: int):
-    """Per-body cell ids + per-cell 27-stencil neighbor ids (nid, nvalid)."""
-    ci = jnp.clip(jnp.floor((pos3 - lo[None, :]) / rcut).astype(jnp.int32),
-                  0, gc - 1)
-    cell = (ci[:, 0] * gc + ci[:, 1]) * gc + ci[:, 2]
-    ncell = gc * gc * gc
-    cc = jnp.arange(ncell, dtype=jnp.int32)
-    cx, cy, cz = cc // (gc * gc), (cc // gc) % gc, cc % gc
-    offs = jnp.asarray(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)], jnp.int32)
-    nx = cx[:, None] + offs[None, :, 0]
-    ny = cy[:, None] + offs[None, :, 1]
-    nz = cz[:, None] + offs[None, :, 2]
-    nvalid = ((nx >= 0) & (nx < gc) & (ny >= 0) & (ny < gc)
-              & (nz >= 0) & (nz < gc))
-    nid = jnp.where(nvalid, (nx * gc + ny) * gc + nz, 0)
+    """Per-body cell ids + per-cell 27-stencil neighbor ids (nid, nvalid)
+    — the SHARED binning/stencil helpers, so probes and engines cannot
+    drift apart."""
+    from nbody_tpu.ops.p3m import _bin_cells, _neighbor_stencil
+
+    cell = _bin_cells(pos3, lo, rcut, gc)
+    nid, nvalid = _neighbor_stencil(gc)
     return cell, nid, nvalid
 
 
@@ -121,12 +112,11 @@ def p3m_pair_count(pos, *, grid: int = 64, capacity: int = 128,
     an ulp and reassigning ~1%% of bodies — size budgets with headroom
     (BodySystem uses 1.5x), never exactly."""
     f32 = jnp.float32
+    from nbody_tpu.ops.p3m import _cell_rcut
+
     pos3 = pos[:, :3].astype(f32)
     lo, h = _fit_box(pos3, grid)
-    # EXACTLY the engine's formula — 6*h differs from 4*(1.5*h) in the
-    # last ulp and can reassign boundary bodies, making the probe disagree
-    # with the engine's counts
-    rcut = f32(RCUT_SIGMAS) * (f32(SIGMA_CELLS) * h)
+    rcut = _cell_rcut(h)
     gc = _cell_grid_size(grid)
     cell, nid, nvalid = _cells_and_neighbors(pos3, lo, rcut, gc)
     counts = jnp.zeros(gc * gc * gc, jnp.int32).at[cell].add(1)

@@ -475,14 +475,16 @@ def test_p3m_contract_breach_warns():
 
     s = BodySystem(512, NBodyParams(), backend="p3m", pm_grid=32, seed=0)
     s.p3m_capacity = 1   # simulate occupancy outgrowing the contract
+    # update_many probes once per rollout (per-step update() throttles the
+    # blocking probe to every 16th call)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        s.update(0.001)
+        s.update_many(2, 0.001)
     assert any("contract broken" in str(x.message) for x in w)
-    # warn-once per episode: a second step stays quiet
+    # warn-once per episode: a second rollout stays quiet
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
-        s.update(0.001)
+        s.update_many(2, 0.001)
     assert not any("contract broken" in str(x.message) for x in w2)
 
 
