@@ -69,7 +69,9 @@ def main():
     pos, vel = ic.galaxy_collision(1048576, seed=7)
     p = jnp.asarray(pos)
     cam = Camera(origin=(0.0, -2.0, -100.0))
-    r = FrameRenderer(width=1024, height=768)
+    # the CLI's large-N splat default (splat=8 above 262k bodies,
+    # cli.py) — the documented 735 ms/frame configuration
+    r = FrameRenderer(width=1024, height=768, splat=8)
     frame = r.render(p, cam)  # compile + first frame
     t0 = time.perf_counter()
     frame = r.render(p, cam)
