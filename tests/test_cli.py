@@ -175,3 +175,16 @@ def test_selftest(capsys):
                "--no-cycle"])
     assert rc == 0
     assert "selftest PASSED" in capsys.readouterr().out
+
+
+def test_drift_check_mesh_solver_not_gated(capsys):
+    """--drift-check with pm/p3m reports but must NOT fail the exit-code
+    ladder: the mesh solvers differ from the all-pairs oracle by design
+    (cell-scale effective softening)."""
+    from nbody_tpu.cli import main
+
+    rc = main(["--cpu", "--kernel", "pm", "--numbodies", "512",
+               "--pm-grid", "16", "--drift-check", "2", "--seed", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "by design" in out
