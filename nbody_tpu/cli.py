@@ -420,7 +420,9 @@ def _run_demo(compute, args) -> int:
         dev = jax.devices()[0]
         device_name = f"{dev.platform}:{dev.device_kind}"
 
-    e0 = compute.system.total_energy() if args.energy else None
+    # precise (fp64-functional) energy: the printed relative drift is
+    # meaningless in f32 summation noise at N >= 65k (VERDICT r2 item 4)
+    e0 = compute.system.total_energy(precise=True) if args.energy else None
 
     frames_done = 0
     last_report = time.monotonic()
@@ -481,7 +483,7 @@ def _run_demo(compute, args) -> int:
 
     compute.system.block_until_ready()
     if args.energy:
-        e1 = compute.system.total_energy()
+        e1 = compute.system.total_energy(precise=True)
         drift = (e1 - e0) / abs(e0) if e0 else 0.0
         print(f"energy: E0={e0:.6g} E1={e1:.6g} relative drift={drift:.3e}")
     if args.render:

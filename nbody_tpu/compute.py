@@ -246,28 +246,30 @@ class Compute:
         device AND on the CPU oracle from identical state; report both
         relative drifts and their difference (BASELINE config[2] criterion:
         device drift matches the CPU reference's drift)."""
-        import jax.numpy as jnp
-
-        from nbody_tpu.ops.energy import total_energy
+        # fp64 energy functional regardless of state dtype: fp32 summation
+        # noise at N >= 65k is the same order as the drifts reported, so an
+        # fp32 functional would measure its own rounding, not the physics
+        # (VERDICT r2 item 4; scripts/tpu_drift_table.py uses the same
+        # functional for the published drift table)
+        from nbody_tpu.ops.energy import total_energy_precise
 
         p = self.active_params
         pos0 = self.system.positions
         vel0 = self.system.velocities
         soft = p.softening
-        e0 = float(total_energy(jnp.asarray(pos0), jnp.asarray(vel0), soft))
+        e0 = total_energy_precise(pos0, vel0, soft)
 
         self.system.update_many(steps, p.time_step)
         self.system.hard_sync()
-        e_dev = float(total_energy(
-            jnp.asarray(self.system.positions),
-            jnp.asarray(self.system.velocities), soft,
-        ))
+        e_dev = total_energy_precise(
+            self.system.positions, self.system.velocities, soft,
+        )
 
         op, ov = pos0, vel0
         for _ in range(steps):
             op, ov = step_best(op, ov, p.time_step, soft, p.damping,
                                integrator=self.system.integrator)
-        e_ora = float(total_energy(jnp.asarray(op), jnp.asarray(ov), soft))
+        e_ora = total_energy_precise(op, ov, soft)
 
         drift_dev = (e_dev - e0) / abs(e0) if e0 else 0.0
         drift_ora = (e_ora - e0) / abs(e0) if e0 else 0.0

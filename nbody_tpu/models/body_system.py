@@ -750,9 +750,21 @@ class BodySystem:
 
     # ---- diagnostics ----
 
-    def total_energy(self) -> float:
+    def total_energy(self, *, precise: bool = False) -> float:
+        """Total energy diagnostic.
+
+        precise=True evaluates the fp64 functional (host f64 up to ~131k
+        bodies, f32 pair terms + host-f64 accumulation above) — use it for
+        drift comparisons, where fp32 summation noise at N >= 65k is the
+        same order as the drifts themselves. The default stays the fast
+        state-dtype path (Pallas-tiled at large N)."""
         pos = jnp.asarray(self._pos)
         vel = jnp.asarray(self._vel)
+        if precise:
+            from nbody_tpu.ops.energy import total_energy_precise
+
+            return total_energy_precise(pos, vel, self.params.softening,
+                                        chunk_size=self.chunk_size)
         if self.backend == "pallas" and self.dtype == jnp.float32:
             # tiled Pallas potential: fast diagnostics at large N
             from nbody_tpu.ops.energy import kinetic_energy

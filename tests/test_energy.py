@@ -132,3 +132,40 @@ def test_fp32_drift_close_to_fp64():
         assert abs(d32 - d64) < 5e-4
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_precise_functional_hybrid_matches_full_f64(shell_state_small):
+    """The hybrid path (device f32 pair terms + host f64 accumulation) must
+    agree with the full host-f64 functional to ~1e-7 relative — the claim
+    that makes drift numbers state-dtype invariant (VERDICT r2 item 4)."""
+    from nbody_tpu.ops.energy import total_energy_f64, total_energy_precise
+
+    pos, vel = shell_state_small  # fp32 state
+    full = total_energy_f64(pos, vel, SOFT)
+    hybrid = total_energy_precise(pos, vel, SOFT, host_threshold=0)
+    assert abs(hybrid - full) / abs(full) < 1e-6
+
+
+def test_precise_functional_state_dtype_invariant(shell_state_small):
+    """Same state in fp32 and fp64 containers -> same precise energy."""
+    from nbody_tpu.ops.energy import total_energy_precise
+
+    pos, vel = shell_state_small
+    e32 = total_energy_precise(pos.astype(np.float32), vel.astype(np.float32), SOFT)
+    e64 = total_energy_precise(pos.astype(np.float64), vel.astype(np.float64), SOFT)
+    assert abs(e32 - e64) / abs(e64) < 1e-6
+
+
+def test_body_system_precise_energy():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops.energy import total_energy_f64
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=SOFT)
+    sys_ = BodySystem(512, params, backend="xla", seed=3)
+    precise = sys_.total_energy(precise=True)
+    ref = total_energy_f64(sys_.positions, sys_.velocities, SOFT)
+    assert abs(precise - ref) / abs(ref) < 1e-9
+    # the fast f32 path agrees to f32 grade (sanity, not precision, bound)
+    fast = sys_.total_energy()
+    assert abs(fast - precise) / abs(precise) < 1e-4
