@@ -86,22 +86,36 @@ def main() -> int:
 
     # k steps in ONE device dispatch (lax.scan) so remote dispatch latency
     # doesn't pollute the kernel throughput measurement
-    @jax.jit
-    def roll(p, v):
-        def body(state, _):
-            return step(*state), None
-        (p, v), _ = jax.lax.scan(body, (p, v), None, length=iters)
-        return p, v
+    def make_roll(length):
+        @jax.jit
+        def roll(p, v):
+            def body(state, _):
+                return step(*state), None
+            (p, v), _ = jax.lax.scan(body, (p, v), None, length=length)
+            return p, v
+        return roll
 
-    # best of k timed rolls: timing noise through the remote relay is
-    # one-sided (interruptions only ever slow a roll down), so min-time is
-    # the sustained-throughput estimator
-    ms = min(
-        time_steps(lambda p, v: roll(p, v), (p, v), iters=1,
+    # DELTA timing: the remote relay adds a FIXED ~55-60 ms per dispatched
+    # roll (dispatch + sync + transfer through the tunnel) — an artifact of
+    # this attachment, not of the TPU; on a local host it is microseconds.
+    # Timing rolls of `iters` and `5*iters` steps and dividing the
+    # difference by 4*iters cancels it exactly (the same technique
+    # scripts/tpu_roofline.py uses for op timing). Best-of-k because relay
+    # noise is one-sided — interruptions only ever slow a roll down.
+    roll_a = make_roll(iters)
+    roll_b = make_roll(5 * iters)
+    ms_a = min(
+        time_steps(lambda p, v: roll_a(p, v), (p, v), iters=1,
                    warmup=1 if i == 0 else 0)[0]
         for i in range(rolls)
     )
-    steps_per_s = iters * 1000.0 / ms
+    ms_b = min(
+        time_steps(lambda p, v: roll_b(p, v), (p, v), iters=1,
+                   warmup=1 if i == 0 else 0)[0]
+        for i in range(rolls)
+    )
+    ms = ms_b - ms_a  # time of (5*iters - iters) = 4*iters marginal steps
+    steps_per_s = 4 * iters * 1000.0 / ms
     interactions = n * n * 1e-9 * steps_per_s
     gflops = interactions * 20.0
 

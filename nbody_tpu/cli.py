@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="p3m neighbor-cell capacity (bodies per cell); "
                         "default auto-sizes from the initial state's max "
                         "occupancy +50%% headroom; overflow at init raises")
+    p.add_argument("--p3m-auto-refresh", action="store_true",
+                   help="when a rollout's in-scan probe detects a p3m "
+                        "contract breach (collapsing states outgrow the "
+                        "cell capacity / pair budget), rewind to the "
+                        "breach step, re-size from that state, and resume "
+                        "automatically (recompiles) instead of warning")
     p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
                    default="auto",
                    help="pallas kernel variant (mxu* offload the force "
@@ -274,6 +280,7 @@ def _main(argv=None) -> int:
         pm_fft=args.pm_fft,
         p3m_capacity=args.p3m_capacity,
         p3m_short_range=args.p3m_short_range,
+        p3m_auto_refresh=args.p3m_auto_refresh,
         seed=args.seed,
         tipsy_state=tipsy_state,
     )

@@ -77,6 +77,7 @@ class Compute:
         pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
         p3m_short_range: str = "auto",
+        p3m_auto_refresh: bool = False,
         seed: int = 42,
         tipsy_state: Optional[tuple] = None,
         log=print,
@@ -128,6 +129,7 @@ class Compute:
             pm_fft=pm_fft,
             p3m_capacity=p3m_capacity,
             p3m_short_range=p3m_short_range,
+            p3m_auto_refresh=p3m_auto_refresh,
             seed=seed,
             state=tipsy_state,
         )

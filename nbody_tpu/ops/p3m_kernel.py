@@ -101,16 +101,31 @@ def _cells_and_neighbors(pos3, lo, rcut, gc: int):
     return cell, nid, nvalid
 
 
+def p3m_kernel_blk(capacity: int) -> int:
+    """Pair-tile edge for the Pallas short-range: 256 amortizes DMA issue
+    overhead once cells span multiple blocks (measured at N=1M/cap=1000:
+    888/661/769 ms for blk 128/256/512); 128 avoids padding waste for
+    small-capacity states. Probe (p3m_pair_count) and engine
+    (p3m_short_range_pallas / p3m_accel) both default blk through this, so
+    a budget sized by the probe can never be measured against a different
+    tile count than the engine runs."""
+    return 256 if capacity > 192 else 128
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "capacity", "blk"))
 def p3m_pair_count(pos, *, grid: int = 64, capacity: int = 128,
-                   blk: int = BLK):
+                   blk: int | None = None):
     """(blk, blk) pair-tile count for the current state — the probe that
     sizes ``pair_budget`` (one bincount + cumsums, no pair math).
+    blk=None derives the tile edge from capacity via p3m_kernel_blk —
+    identical to the engine's default, by construction.
 
     Approximate at cell boundaries: the box fit's min/max reductions can
     reassociate differently under different jit contexts, shifting h by
     an ulp and reassigning ~1%% of bodies — size budgets with headroom
     (BodySystem uses 1.5x), never exactly."""
+    if blk is None:
+        blk = p3m_kernel_blk(capacity)
     f32 = jnp.float32
     from nbody_tpu.ops.p3m import _cell_rcut
 
@@ -243,16 +258,19 @@ def _sr_pair_kernel(meta_ref, ib_ref, jb_ref, init_ref,
 )
 def p3m_short_range_pallas(pos, softening, *, grid: int = 64,
                            capacity: int = 128, pair_budget: int,
-                           interpret: bool = False, blk: int = BLK):
+                           interpret: bool = False, blk: int | None = None):
     """(N, 4) -> ((N, 3) short-range accelerations, overflow, pair_count).
 
     Same physics as the XLA short-range pass (erf split at sigma =
     SIGMA_CELLS mesh cells, truncation at RCUT_SIGMAS sigmas), laid out as
-    block-sparse (128, 128) Pallas pair tiles. ``pair_count`` must be
-    checked <= pair_budget by the caller — excess pairs are silently
-    dropped (probe with p3m_pair_count; BodySystem re-probes per
-    state-set).
+    block-sparse (blk, blk) Pallas pair tiles (blk=None -> derived from
+    capacity via p3m_kernel_blk, matching the p3m_pair_count probe).
+    ``pair_count`` must be checked <= pair_budget by the caller — excess
+    pairs are silently dropped (probe with p3m_pair_count; BodySystem
+    re-probes per state-set).
     """
+    if blk is None:
+        blk = p3m_kernel_blk(capacity)
     acc, overflow, pair_count, _ = _short_range_pallas_impl(
         pos, softening, grid=grid, capacity=capacity,
         pair_budget=pair_budget, interpret=interpret, blk=blk)

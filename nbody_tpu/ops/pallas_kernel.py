@@ -55,18 +55,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _accumulate_tile(posi_ref, post_ref, eps2, ax_ref, ay_ref, az_ref, tile_j):
-    """Accumulate partial forces for one (TILE_I, TILE_J) block of pairs."""
+def _accumulate_tile(posi_ref, post_ref, eps2, ax_ref, ay_ref, az_ref, tile_j,
+                     lane_chunk=LANES):
+    """Accumulate partial forces for one (TILE_I, TILE_J) block of pairs.
+
+    lane_chunk sets how many j-lanes one unrolled iteration consumes (the
+    accumulators are (TILE_I, lane_chunk)); wider chunks mean fewer slice
+    ops and a shorter unrolled program for the same tile_j."""
     xi = posi_ref[:, 0:1]  # (TILE_I, 1)
     yi = posi_ref[:, 1:2]
     zi = posi_ref[:, 2:3]
-    for k in range(tile_j // LANES):
-        sl = slice(k * LANES, (k + 1) * LANES)
-        xj = post_ref[0:1, sl]  # (1, 128)
+    for k in range(tile_j // lane_chunk):
+        sl = slice(k * lane_chunk, (k + 1) * lane_chunk)
+        xj = post_ref[0:1, sl]  # (1, lane_chunk)
         yj = post_ref[1:2, sl]
         zj = post_ref[2:3, sl]
         mj = post_ref[3:4, sl]
-        dx = xj - xi  # (TILE_I, 128)
+        dx = xj - xi  # (TILE_I, lane_chunk)
         dy = yj - yi
         dz = zj - zi
         r2 = dx * dx + dy * dy + dz * dz + eps2
@@ -78,7 +83,7 @@ def _accumulate_tile(posi_ref, post_ref, eps2, ax_ref, ay_ref, az_ref, tile_j):
 
 
 def _step_kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
-                 ax_ref, ay_ref, az_ref, *, tile_j: int):
+                 ax_ref, ay_ref, az_ref, *, tile_j: int, lane_chunk: int = LANES):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -89,7 +94,8 @@ def _step_kernel(scal_ref, posi_ref, veli_ref, post_ref, npos_ref, nvel_ref,
         ay_ref[:] = zeros
         az_ref[:] = zeros
 
-    _accumulate_tile(posi_ref, post_ref, scal_ref[0, 1], ax_ref, ay_ref, az_ref, tile_j)
+    _accumulate_tile(posi_ref, post_ref, scal_ref[0, 1], ax_ref, ay_ref, az_ref,
+                     tile_j, lane_chunk)
 
     @pl.when(j == nj - 1)
     def _finalize():
@@ -186,6 +192,76 @@ def _mxu_step_kernel(scal_ref, posi_ref, veli_ref, post_ref,
         npos_ref[:, 3:4] = posi_ref[:, 3:4]
 
 
+def _step_kernel_t(scal_ref, posi_ref, veli_ref, post_ref,
+                   npos_ref, nvel_ref, npost_ref,
+                   ax_ref, ay_ref, az_ref, *, tile_j: int, tile_i: int,
+                   t_blk: int):
+    """`_step_kernel` plus a TRANSPOSED new-position output block.
+
+    Rationale: the j-side input layout is (4, N), so a scan-of-steps
+    otherwise pays an XLA (N,4)->(4,N) transpose per step (measured 0.61 ms
+    at N=65536 — ~3% of the step). Emitting the transposed rows from the
+    finalize step (three (TILE_I,1)->(1,TILE_I) in-register transposes per
+    i-block) lets the rollout carry the transposed array instead.
+
+    Mosaic requires output lane dims >= 128, so the transposed block spans
+    t_blk = max(128, tile_i) lanes and is shared by t_blk/tile_i
+    consecutive i-blocks; each writes its tile_i-lane slice under a
+    parity predicate (consecutive same-index visits keep the block
+    resident, so all lanes are filled before copy-out)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    sub = t_blk // tile_i
+    sub_r = i % sub if sub > 1 else None
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(ax_ref)
+        ax_ref[:] = zeros
+        ay_ref[:] = zeros
+        az_ref[:] = zeros
+
+    _accumulate_tile(posi_ref, post_ref, scal_ref[0, 1], ax_ref, ay_ref, az_ref,
+                     tile_j)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dt = scal_ref[0, 0]
+        damping = scal_ref[0, 2]
+        acc_x = jnp.sum(ax_ref[:], axis=1, keepdims=True)  # (TILE_I, 1)
+        acc_y = jnp.sum(ay_ref[:], axis=1, keepdims=True)
+        acc_z = jnp.sum(az_ref[:], axis=1, keepdims=True)
+        vx = (veli_ref[:, 0:1] + acc_x * dt) * damping
+        vy = (veli_ref[:, 1:2] + acc_y * dt) * damping
+        vz = (veli_ref[:, 2:3] + acc_z * dt) * damping
+        nvel_ref[:, 0:1] = vx
+        nvel_ref[:, 1:2] = vy
+        nvel_ref[:, 2:3] = vz
+        nvel_ref[:, 3:4] = veli_ref[:, 3:4]
+        px = posi_ref[:, 0:1] + vx * dt
+        py = posi_ref[:, 1:2] + vy * dt
+        pz = posi_ref[:, 2:3] + vz * dt
+        npos_ref[:, 0:1] = px
+        npos_ref[:, 1:2] = py
+        npos_ref[:, 2:3] = pz
+        npos_ref[:, 3:4] = posi_ref[:, 3:4]
+
+        def _write(r):
+            off = r * tile_i
+            sl = slice(off, off + tile_i)
+            npost_ref[0:1, sl] = px.T
+            npost_ref[1:2, sl] = py.T
+            npost_ref[2:3, sl] = pz.T
+            npost_ref[3:4, sl] = posi_ref[:, 3:4].T
+
+        if sub == 1:
+            _write(0)
+        else:
+            for r in range(sub):
+                pl.when(sub_r == r)(lambda r=r: _write(r))
+
+
 def _accel_kernel(scal_ref, posi_ref, post_ref, acc_ref,
                   ax_ref, ay_ref, az_ref, *, tile_j: int):
     j = pl.program_id(1)
@@ -260,21 +336,22 @@ def _common_specs(tile_i, tile_j):
     )
 
 
-def _scratch(tile_i):
+def _scratch(tile_i, lane_chunk: int = LANES):
     return [
-        pltpu.VMEM((tile_i, LANES), jnp.float32),
-        pltpu.VMEM((tile_i, LANES), jnp.float32),
-        pltpu.VMEM((tile_i, LANES), jnp.float32),
+        pltpu.VMEM((tile_i, lane_chunk), jnp.float32),
+        pltpu.VMEM((tile_i, lane_chunk), jnp.float32),
+        pltpu.VMEM((tile_i, lane_chunk), jnp.float32),
     ]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "variant")
+    jax.jit,
+    static_argnames=("tile_i", "tile_j", "interpret", "variant", "lane_chunk"),
 )
 def nbody_step_pallas_vs(
     pos_i, vel_i, pos_j, dt, softening, damping,
     *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-    interpret: bool = False, variant: str = "vpu",
+    interpret: bool = False, variant: str = "vpu", lane_chunk: int = LANES,
 ):
     """Fused step of the i-set under forces from the j-set.
 
@@ -296,6 +373,10 @@ def nbody_step_pallas_vs(
     tile_i = min(tile_i, _round_up(pos_i.shape[0], 8))
     tile_j = min(tile_j, _round_up(pos_j.shape[0], LANES))
     _check_tiles(tile_i, tile_j)
+    if lane_chunk % LANES or tile_j % lane_chunk:
+        # a small problem can clamp tile_j below a wide lane_chunk; fall
+        # back to the universal width rather than erroring
+        lane_chunk = LANES
 
     pos_p, m = _pad_i(pos_i, tile_i)
     vel_p, _ = _pad_i(vel_i, tile_i)
@@ -316,12 +397,12 @@ def nbody_step_pallas_vs(
 
     if variant == "vpu":
         new_pos, new_vel = pl.pallas_call(
-            functools.partial(_step_kernel, tile_j=tile_j),
+            functools.partial(_step_kernel, tile_j=tile_j, lane_chunk=lane_chunk),
             grid=grid,
             in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"], specs["j_tile"]],
             out_specs=[specs["i_tile"], specs["i_tile"]],
             out_shape=out_shape,
-            scratch_shapes=_scratch(tile_i),
+            scratch_shapes=_scratch(tile_i, lane_chunk),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
@@ -395,13 +476,96 @@ def compute_accel_pallas(
 def nbody_step_pallas(
     pos, vel, dt, softening, damping,
     *, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
-    interpret: bool = False, variant: str = "vpu",
+    interpret: bool = False, variant: str = "vpu", lane_chunk: int = LANES,
 ):
     """Single-device fused step: forces of the full set on itself."""
     return nbody_step_pallas_vs(
         pos, vel, pos, dt, softening, damping,
         tile_i=tile_i, tile_j=tile_j, interpret=interpret, variant=variant,
+        lane_chunk=lane_chunk,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "tile_i", "tile_j", "interpret"),
+    donate_argnums=(0, 1),
+)
+def nbody_rollout_pallas(
+    pos, vel, dt, softening, damping,
+    *, steps: int, tile_i: int = DEFAULT_TILE_I, tile_j: int = DEFAULT_TILE_J,
+    interpret: bool = False,
+):
+    """`steps` fused vpu steps in ONE compiled scan, carrying the j-side
+    transposed positions ACROSS steps (the kernel emits them; see
+    _step_kernel_t) so no per-step (N,4)->(4,N) transpose runs. This is the
+    fast path BodySystem.update_many and bench.py use on TPU.
+
+    State is padded once to a common tile multiple; padding bodies have
+    zero mass (exert nothing) and merely coast, so slicing [:n] at the end
+    is exact — the reference's pad-to-256 invariant held across a whole
+    rollout (/root/reference/src/nbody/tipsy.cpp:111-122).
+    """
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    n = pos.shape[0]
+    tile_i = min(tile_i, _round_up(n, 8))
+    tile_j = min(tile_j, _round_up(n, LANES))
+    _check_tiles(tile_i, tile_j)
+    if tile_j % tile_i:
+        raise ValueError(
+            f"rollout path needs tile_i | tile_j (one shared padded size); "
+            f"got {tile_i}, {tile_j}")
+    t_blk = max(LANES, tile_i)
+    if t_blk % tile_i:
+        raise ValueError(
+            f"rollout path needs tile_i to divide {LANES} (or be a "
+            f"multiple of it); got {tile_i}")
+    n_pad = _round_up(n, tile_j)
+    if n_pad != n:
+        pos = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+        vel = jnp.pad(vel, ((0, n_pad - n), (0, 0)))
+    post = pos.T  # once, outside the scan
+
+    grid = (n_pad // tile_i, n_pad // tile_j)
+    specs = _common_specs(tile_i, tile_j)
+    t_out_spec = pl.BlockSpec(
+        (4, t_blk), lambda i, j: _ix(0, (i * tile_i) // t_blk),
+        memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=20 * n_pad * n_pad,
+        bytes_accessed=(n_pad // tile_i + 3) * n_pad * 16,
+        transcendentals=n_pad * n_pad,
+    )
+    step_call = pl.pallas_call(
+        functools.partial(_step_kernel_t, tile_j=tile_j, tile_i=tile_i,
+                          t_blk=t_blk),
+        grid=grid,
+        in_specs=[specs["smem"], specs["i_tile"], specs["i_tile"],
+                  specs["j_tile"]],
+        out_specs=[specs["i_tile"], specs["i_tile"], t_out_spec],
+        out_shape=out_shape,
+        scratch_shapes=_scratch(tile_i),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    scal = _scal(dt, softening, damping)
+
+    def body(state, _):
+        p, v, pt = state
+        np_, nv_, npt = step_call(scal, p, v, pt)
+        return (np_, nv_, npt), None
+
+    (pos, vel, _), _ = jax.lax.scan(body, (pos, vel, post), None, length=steps)
+    return pos[:n], vel[:n]
 
 
 def _accel_jerk_kernel(scal_ref, posi_ref, veli_ref, post_ref, velt_ref,

@@ -499,3 +499,75 @@ def test_refresh_p3m_contract_resizes():
     assert s.p3m_capacity >= cap0   # re-sized from the current state
     s.update_many(2, 0.001)         # steps rebuild and run
     assert np.isfinite(s.positions).all()
+
+
+def _collapsing_system(**kw):
+    """Radially infalling shell: cell occupancy grows every step, so a
+    too-small (but initially valid) capacity breaches mid-run at a
+    predictable step."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    n = 512
+    rng = np.random.default_rng(5)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = rng.uniform(0.9, 1.1, size=(n, 1))
+    pos = np.concatenate([dirs * radii, np.ones((n, 1))], 1).astype(np.float32)
+    vel = np.concatenate([-dirs * 2.0, np.zeros((n, 1))], 1).astype(np.float32)
+    params = NBodyParams(time_step=0.01, softening=0.05, damping=1.0)
+    return BodySystem(n, params, backend="p3m", pm_grid=16,
+                      p3m_short_range="xla", state=(pos, vel), **kw)
+
+
+def test_p3m_in_rollout_probe_detects_breach_step():
+    """The in-scan probe must report the FIRST breached step of a rollout,
+    matching the truth from per-step host probing (VERDICT r2 item 5)."""
+    import warnings
+
+    from nbody_tpu.ops.p3m import p3m_overflow_count
+
+    s = _collapsing_system()
+    cap = s.p3m_capacity
+
+    # truth: step a twin one update at a time, probing every state
+    twin = _collapsing_system(p3m_capacity=cap)
+    steps = 60
+    truth = -1
+    for t in range(steps):
+        twin._update_inner(0.01)
+        if int(p3m_overflow_count(
+                jnp.asarray(twin.positions, jnp.float32),
+                grid=16, capacity=cap)) > 0:
+            truth = t
+            break
+    assert truth >= 1, "scenario must breach mid-run, not at t=0"
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        detected = s._update_many_inner(steps, 0.01)
+    assert detected >= 0, "rollout probe missed the breach"
+    # scan-step vs per-step trajectories can differ by float reassociation;
+    # the probe itself is ulp-sensitive at cell boundaries — allow slack
+    assert abs(detected - truth) <= 2, (detected, truth)
+
+
+def test_p3m_auto_refresh_recovers_mid_rollout():
+    """p3m_auto_refresh=True: a breached rollout rewinds to the breach
+    step, re-sizes the contract from that state, and resumes — no warning,
+    capacity grown, final state in-contract."""
+    import warnings
+
+    from nbody_tpu.ops.p3m import p3m_overflow_count
+
+    s = _collapsing_system(p3m_auto_refresh=True)
+    cap0 = s.p3m_capacity
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s.update_many(60, 0.01)
+    assert not any("contract broken" in str(x.message) for x in w)
+    assert s.p3m_capacity > cap0, "auto-refresh should have re-sized"
+    assert np.isfinite(s.positions).all()
+    assert int(p3m_overflow_count(
+        jnp.asarray(s.positions, jnp.float32),
+        grid=16, capacity=s.p3m_capacity)) == 0
