@@ -214,6 +214,19 @@ def _main(argv=None) -> int:
                                        or args.devices <= 1):
         print("error: --mesh-rows needs --devices > 1", file=sys.stderr)
         return 1
+    if args.mesh_rows is not None and args.kernel in ("pm", "p3m"):
+        # mirror the divisibility checks: surface the constraint as the
+        # CLI's clean error path, not BodySystem's ValueError traceback
+        print("error: --mesh-rows (2-D decomposition) applies to the exact "
+              "kernels; the mesh solvers shard over a 1-D body mesh — drop "
+              f"--mesh-rows or use --kernel pallas/xla (got --kernel {args.kernel})",
+              file=sys.stderr)
+        return 1
+    if args.mesh_rows is not None and args.variant not in ("vpu", "auto"):
+        print("error: --mesh-rows uses the accel-only kernels (no mxu "
+              f"variants); leave --variant at vpu/auto (got {args.variant})",
+              file=sys.stderr)
+        return 1
     if args.devices is not None and args.devices > 1:
         if args.mesh_rows is not None:
             from nbody_tpu.parallel import make_mesh_2d

@@ -220,8 +220,10 @@ class BodySystem:
                 mesh,
                 axes=self._mesh_axes,
                 kernel=backend,
-                tile_i=tile_i,
-                tile_j=tile_j,
+                # None = not user-specified: the builder applies the tuned
+                # per-kernel defaults (AJ_TILE_* for hermite)
+                tile_i=tile_i if explicit_tile_i else None,
+                tile_j=tile_j if explicit_tile_j else None,
                 interpret=self.interpret,
                 chunk_size=chunk_size,
                 integrator=integrator,
@@ -246,8 +248,8 @@ class BodySystem:
                     mesh,
                     kernel=backend,
                     strategy=strategy,
-                    tile_i=tile_i,
-                    tile_j=tile_j,
+                    tile_i=tile_i if explicit_tile_i else None,
+                    tile_j=tile_j if explicit_tile_j else None,
                     interpret=self.interpret,
                     chunk_size=chunk_size,
                     variant=variant,

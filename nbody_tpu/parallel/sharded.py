@@ -54,7 +54,12 @@ BODY_AXIS = "bodies"
 #
 # Ring therefore wins when the comm time it hides exceeds the hop latency it
 # adds:  N·16B/ici_bw >= D·t_hop  →  N/D >= ici_bw·t_hop/16B ≈ 14k bodies
-# (ici_bw ≈ 45 GB/s/link, t_hop ≈ 5 µs). Rounded to a power of two:
+# (ici_bw ≈ 45 GB/s/link, t_hop ≈ 5 µs). Constant provenance (r3,
+# scripts/tpu_thop_measure.py): the on-chip scan-step launch component of
+# t_hop measures < 1 µs on the attached v5e (below the relay noise floor),
+# so t_hop is dominated by ICI wire/switch latency + async collective
+# setup — pod-measurable only, like ici_bw (docs/ROADMAP.md). Rounded to a
+# power of two:
 RING_AUTO_MIN_SHARD = 16384
 
 
@@ -74,8 +79,8 @@ def make_sharded_step(
     axis: str = BODY_AXIS,
     kernel: str = "pallas",
     strategy: str = "allgather",
-    tile_i: int = DEFAULT_TILE_I,
-    tile_j: int = DEFAULT_TILE_J,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
     interpret: bool = False,
     chunk_size: int | None = None,
     variant: str = "vpu",
@@ -110,6 +115,14 @@ def make_sharded_step(
             "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
             "update into its kernel)")
     ndev = mesh.shape[axis]
+    # None = "not specified" (BodySystem._explicit_tiles semantics): the
+    # force kernels get DEFAULT_TILE_*, the hermite acc+jerk kernel its own
+    # tuned AJ_TILE_* — and an EXPLICIT caller value always wins for both
+    # (a user explicitly requesting the force-kernel defaults gets exactly
+    # those, not a silent AJ_TILE swap; advisor r2 item 2)
+    explicit_i, explicit_j = tile_i is not None, tile_j is not None
+    tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
+    tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
 
     def step_vs(pos_sh, vel_sh, pos_j, dt, soft, damp):
         if kernel == "pallas":
@@ -163,12 +176,11 @@ def make_sharded_step(
         eps2 = jnp.asarray(soft, pos_sh.dtype) ** 2
 
         # the acc+jerk kernel has its own tuned tile defaults; only
-        # caller-overridden tiles take precedence
-        aj_ti, aj_tj = tile_i, tile_j
-        if (tile_i, tile_j) == (DEFAULT_TILE_I, DEFAULT_TILE_J):
-            from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+        # EXPLICIT caller tiles take precedence (None-sentinel, see above)
+        from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
 
-            aj_ti, aj_tj = AJ_TILE_I, AJ_TILE_J
+        aj_ti = tile_i if explicit_i else AJ_TILE_I
+        aj_tj = tile_j if explicit_j else AJ_TILE_J
 
         def aj_vs(p_sh, v_sh, p_j, v_j):
             if kernel == "pallas":
@@ -281,8 +293,8 @@ def make_sharded_step_2d(
     *,
     axes: tuple = ("rows", "cols"),
     kernel: str = "pallas",
-    tile_i: int = DEFAULT_TILE_I,
-    tile_j: int = DEFAULT_TILE_J,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
     interpret: bool = False,
     chunk_size: int | None = None,
     integrator: str = "euler",
@@ -311,6 +323,10 @@ def make_sharded_step_2d(
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
     row_ax, col_ax = axes
+    # None-sentinel tiles, as in make_sharded_step (advisor r2 item 2)
+    explicit_i, explicit_j = tile_i is not None, tile_j is not None
+    tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
+    tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
 
     def accel_vs(pos_i, pos_j, soft):
         if kernel == "pallas":
@@ -346,11 +362,12 @@ def make_sharded_step_2d(
         if integrator == "hermite":
             eps2 = jnp.asarray(soft, pos_ch.dtype) ** 2
 
-            aj_ti, aj_tj = tile_i, tile_j
-            if (tile_i, tile_j) == (DEFAULT_TILE_I, DEFAULT_TILE_J):
-                from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+            # None-sentinel semantics as in make_sharded_step: explicit
+            # caller tiles win, otherwise the acc+jerk tuned defaults
+            from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
 
-                aj_ti, aj_tj = AJ_TILE_I, AJ_TILE_J
+            aj_ti = tile_i if explicit_i else AJ_TILE_I
+            aj_tj = tile_j if explicit_j else AJ_TILE_J
 
             def aj_fn(p_ch, v_ch):
                 i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0, tiled=True)

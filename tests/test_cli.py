@@ -188,3 +188,22 @@ def test_drift_check_mesh_solver_not_gated(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "by design" in out
+
+
+def test_mesh_rows_rejects_mesh_solvers(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--devices", "4", "--mesh-rows", "2", "--kernel", "p3m",
+               "--numbodies", "256", "--frames", "1"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "error:" in err and "1-D body mesh" in err
+
+
+def test_mesh_rows_rejects_mxu_variant(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--devices", "4", "--mesh-rows", "2", "--variant", "mxu_bf16",
+               "--numbodies", "256", "--frames", "1"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err

@@ -1,5 +1,6 @@
 """Native C++ CLI harness tests (built on demand; skipped without g++)."""
 
+import os
 import pathlib
 import subprocess
 
@@ -51,3 +52,26 @@ def test_bad_flag_exits_2():
 def test_bad_n_exits_2():
     r = _run("--benchmark", "--numbodies", "-5")
     assert r.returncode == 2
+
+
+@pytest.mark.slow
+def test_sanitized_build_runs_clean(built_cli):
+    """ASan+UBSan build of the oracle + CLI passes a compare run — the
+    reference's sanitize-ci analogue
+    (/root/reference/.github/workflows/ci.yml:36-78)."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no toolchain")
+    from nbody_tpu.oracle.build import build_cli
+
+    cli = build_cli(verbose=False, sanitize=True)
+    env = dict(os.environ,
+               ASAN_OPTIONS="strict_string_checks=1:"
+                            "detect_stack_use_after_return=1:"
+                            "check_initialization_order=1:detect_leaks=1",
+               UBSAN_OPTIONS="print_stacktrace=1")
+    r = subprocess.run([str(cli), "--compare", "--numbodies", "512"],
+                       capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout
