@@ -356,11 +356,12 @@ from nbody_tpu.ops.p3m_kernel import p3m_kernel_blk  # noqa: E402,F401
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "capacity", "chunk", "assignment",
-                     "short_range", "pair_budget", "interpret"),
+                     "short_range", "pair_budget", "influence", "interpret"),
 )
 def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
               chunk: int = 2048, assignment: str = "cic",
               short_range: str = "xla", pair_budget: int | None = None,
+              influence: str = "optimal",
               interpret: bool = False):
     """(N, 4) [x,y,z,m] -> ((N, 3) accelerations, overflow count).
 
@@ -377,6 +378,9 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
     """
     if pos.shape[-1] != 4:
         raise ValueError("p3m_accel expects (N, 4) [x,y,z,m]")
+    if influence not in ("naive", "optimal"):
+        raise ValueError(f"unknown influence {influence!r}")
+    deconv = "optimal" if influence == "optimal" else True
     f32 = jnp.float32
     n = pos.shape[0]
     pos3 = pos[:, :3].astype(f32)
@@ -391,9 +395,12 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
     assign, wexp = ASSIGNMENTS[assignment]
     idx, w = assign(pos3, lo, h, grid)
     rho = _deposit(idx, w, mass, grid)
+    # influence="optimal": H&E alias-aware optimal influence function
+    # (pm._optimal_influence_factor); "naive" keeps the plain 1/W^2
+    # deconvolution. Measured error table: scripts/tpu_influence_error.py.
     acc_lr = _gather(
-        _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=True,
-                           window_exp=wexp),
+        _solve_force_grids(rho, h, grid, sigma=sigma, deconvolve=deconv,
+                           window_exp=wexp, sigma_cells=SIGMA_CELLS),
         idx, w,
     )
 
@@ -429,6 +436,7 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
                    capacity: int = 128, chunk: int = 2048,
                    assignment: str = "cic", short_range: str = "xla",
                    pair_budget: int | None = None,
+                   influence: str = "optimal",
                    interpret: bool = False):
     """P3M step with the reference's damped semi-implicit Euler update.
 
@@ -441,7 +449,7 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
     a, overflow = p3m_accel(pos, softening, grid=grid, capacity=capacity,
                             chunk=chunk, assignment=assignment,
                             short_range=short_range, pair_budget=pair_budget,
-                            interpret=interpret)
+                            influence=influence, interpret=interpret)
     new_pos, new_vel = integrate(pos, vel, a, dt, damping)
     return new_pos, new_vel, overflow
 
@@ -453,6 +461,7 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
                           fft: str = "replicated",
                           short_range: str = "xla",
                           pair_budget: int | None = None,
+                          influence: str = "optimal",
                           interpret: bool = False):
     """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
     (pos, vel), pos/vel sharded P(axis, None).
@@ -498,6 +507,9 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
         raise ValueError(f"unknown fft {fft!r}")
     if short_range not in ("xla", "pallas"):
         raise ValueError(f"unknown short_range {short_range!r}")
+    if influence not in ("naive", "optimal"):
+        raise ValueError(f"unknown influence {influence!r}")
+    deconv = "optimal" if influence == "optimal" else True
     ndev = mesh.shape[axis]
     if short_range == "pallas":
         if pair_budget is None:
@@ -548,7 +560,8 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
             rho_slab = _deposit_slab(ixc, iyc, izc, wc, mass, grid, x0, gl)
             grids = _solve_force_grids_slab(
                 rho_slab, h, grid, axis=axis, ndev=ndev, sigma=sigma,
-                deconvolve=True, window_exp=wexp)
+                deconvolve=deconv, window_exp=wexp,
+                sigma_cells=SIGMA_CELLS)
             acc_lr_partial = _gather_slab(grids, ixc, iyc, izc, wc, x0, gl,
                                           grid)
         else:
@@ -558,7 +571,8 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
             rho = jax.lax.psum(_deposit(idx, w, mass_sh, grid), axis)
             acc_lr = _gather(
                 _solve_force_grids(rho, h, grid, sigma=sigma,
-                                   deconvolve=True, window_exp=wexp),
+                                   deconvolve=deconv, window_exp=wexp,
+                                   sigma_cells=SIGMA_CELLS),
                 idx, w,
             )
 

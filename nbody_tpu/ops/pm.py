@@ -171,8 +171,103 @@ def _greens_kernel(r2, sigma=None):
     return jnp.where(r2 > 0, jax.scipy.special.erf(u) / r, k0)
 
 
+@functools.lru_cache(maxsize=8)
+def _optimal_influence_factor(grid: int, sigma_cells, window_exp: int):
+    """Hockney–Eastwood optimal-influence correction factor, as a constant
+    (2G, 2G, G+1) half-spectrum table in UNIT-CELL k-space.
+
+    H&E (Computer Simulation Using Particles, eq. 8-22) minimize the
+    position-averaged mean-square force error over the influence function,
+    accounting for ALIASING of the assignment window — naive 1/W(k)^2
+    deconvolution amplifies the aliased power it cannot undo. With our
+    exact spectral differentiation D(k) = i k and reference force spectrum
+    R(k') = -i k' g(k') (g = 4π e^{-σ²k'²/2}/k'², the Gaussian-smoothed
+    open-space kernel; σ=0 for plain PM), the optimum is
+
+        G_opt(k) = [ Σ_m U²(k_m) (k·k_m) g(k_m) ] / [ k² S(k)² ]
+
+    over alias images k_m = k + 2π m (unit cell), with U the per-axis
+    sinc^p B-spline window and S = Σ_m U²(k_m). The pipeline multiplies
+    the SAMPLED isolated-BC kernel spectrum K̂(k) — which equals g(k) up
+    to the isolated-boundary correction — so this returns the RATIO
+    F(k) = G_opt(k) / g(k), applied multiplicatively: K̂·F ≈ G_opt with
+    the isolated-BC structure preserved. Everything is dimensionless in
+    cell units (σ enters as σ/h, fixed by the P3M split), so the table is
+    h-independent and computed once per (grid, σ_cells, p) in NumPy.
+
+    Images are truncated at m ∈ {-1,0,1}³: U² decays as (k h)^(-2p), so
+    the omitted images contribute O(3^-2p) — below fp32 for p ≥ 2.
+    """
+    import numpy as np
+
+    gp = 2 * grid
+    sc = float(sigma_cells) if sigma_cells is not None else 0.0
+    p = int(window_exp)
+    fx = np.fft.fftfreq(gp)                      # dimensionless ∈ [-0.5, 0.5)
+    fz = np.fft.rfftfreq(gp)
+    f3 = (fx[:, None, None], fx[None, :, None], fz[None, None, :])
+
+    def g_hat(q2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = 4.0 * np.pi * np.exp(-0.5 * sc * sc * q2) / q2
+        return np.where(q2 > 0, g, 0.0)
+
+    k0 = [2.0 * np.pi * f for f in f3]
+    k0_sq = sum(k * k for k in k0)
+    num = np.zeros((gp, gp, gp // 2 + 1))
+    s_sum = np.zeros_like(num)
+    for mx in (-1, 0, 1):
+        for my in (-1, 0, 1):
+            for mz in (-1, 0, 1):
+                km = [2.0 * np.pi * (f3[0] + mx),
+                      2.0 * np.pi * (f3[1] + my),
+                      2.0 * np.pi * (f3[2] + mz)]
+                u2 = (np.sinc(f3[0] + mx) * np.sinc(f3[1] + my)
+                      * np.sinc(f3[2] + mz)) ** (2 * p)
+                km_sq = sum(k * k for k in km)
+                k_dot = sum(a * b for a, b in zip(k0, km))
+                num += u2 * k_dot * g_hat(km_sq)
+                s_sum += u2
+    denom = k0_sq * s_sum * s_sum * g_hat(k0_sq)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f_opt = num / denom
+    # k=0: forces carry no DC component (i*k kills it) — any finite value
+    # works; 1.0 keeps the kernel's own DC convention
+    f_opt = np.where(denom > 0, f_opt, 1.0)
+    # return HOST memory (NumPy): an lru_cached jnp array created inside a
+    # trace would leak that trace's tracer into later ones
+    return f_opt.astype(np.float32)
+
+
+def _apply_deconvolution(conv_k, deconvolve, grid, h, window_exp,
+                         sigma_cells=None, *, f1, fz, fy=None, y_slice=None):
+    """Shared spectrum correction for the replicated and slab solvers.
+
+    deconvolve: False (raw), True (naive 1/W² division), or "optimal"
+    (multiply by the H&E optimal-influence ratio — see
+    _optimal_influence_factor). For "optimal", the smoothing scale enters
+    as the STATIC σ/h ratio ``sigma_cells`` (the P3M split's SIGMA_CELLS;
+    None for plain PM) so the table is trace-constant.
+    """
+    if deconvolve is False:
+        return conv_k
+    if deconvolve == "optimal":
+        table = jnp.asarray(_optimal_influence_factor(grid, sigma_cells,
+                                                      window_exp))
+        if y_slice is not None:
+            table = jax.lax.dynamic_slice_in_dim(
+                table, y_slice[0], y_slice[1], axis=1)
+        return conv_k * table
+    wx = jnp.sinc(f1 * h) ** window_exp
+    wz = jnp.sinc(fz * h) ** window_exp
+    wy = wx if fy is None else jnp.sinc(fy * h) ** window_exp
+    win = wx[:, None, None] * wy[None, :, None] * wz[None, None, :]
+    return conv_k / (win * win)
+
+
 def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
-                       deconvolve: bool = False, window_exp: int = 2):
+                       deconvolve=False, window_exp: int = 2,
+                       sigma_cells=None):
     """Isolated-BC Poisson solve; returns 3 flat (grid^3,) accel grids.
 
     phi = -conv(rho, K) on the 2G zero-padded mesh, a = -grad(phi) =
@@ -209,16 +304,14 @@ def _solve_force_grids(rho_flat, h, grid: int, sigma=None,
     conv_k = jnp.fft.rfftn(rho_p) * jnp.fft.rfftn(kernel)
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
     fz = jnp.fft.rfftfreq(gp, d=h).astype(f32)
-    if deconvolve:
-        # the order-p B-spline window is sinc^p per axis (p=2 CIC triangle,
-        # p=3 TSC quadratic) — one factor each for deposit and gather makes
-        # sinc^(2p) per axis total. Measured on the P3M split (CIC): none
-        # 1.2% / half 0.65% / full 0.36% median force error (r2 review
-        # caught the original half-correction).
-        wx = jnp.sinc(f1 * h) ** window_exp  # W(k) per axis
-        wz = jnp.sinc(fz * h) ** window_exp
-        win = wx[:, None, None] * wx[None, :, None] * wz[None, None, :]
-        conv_k = conv_k / (win * win)
+    # deconvolve=True: naive 1/W² division — the order-p B-spline window is
+    # sinc^p per axis, one factor each for deposit and gather. Measured on
+    # the P3M split (CIC): none 1.2% / half 0.65% / full 0.36% median
+    # force error. deconvolve="optimal": the H&E optimal-influence ratio
+    # (alias-aware; see _optimal_influence_factor) — measured better still
+    # (scripts/tpu_influence_error.py).
+    conv_k = _apply_deconvolution(conv_k, deconvolve, grid, h, window_exp,
+                                  sigma_cells, f1=f1, fz=fz)
     # spectral derivative: zero the Nyquist bin of the differentiation
     # operator (its sign is ambiguous; the complex pipeline's real() cast
     # discarded the asymmetric part implicitly — this is the explicit,
@@ -281,8 +374,8 @@ def _slab_ifft3_real(spec, axis: str):
 
 
 def _solve_force_grids_slab(rho_slab, h, grid: int, *, axis: str, ndev: int,
-                            sigma=None, deconvolve: bool = False,
-                            window_exp: int = 2):
+                            sigma=None, deconvolve=False,
+                            window_exp: int = 2, sigma_cells=None):
     """Distributed-FFT Poisson solve on x-slabs of the padded 2G grid.
 
     rho_slab: (2G/ndev, 2G, 2G) — this chip's x-planes of the zero-padded
@@ -311,12 +404,9 @@ def _solve_force_grids_slab(rho_slab, h, grid: int, *, axis: str, ndev: int,
     f1 = jnp.fft.fftfreq(gp, d=h).astype(f32)
     fz = jnp.fft.rfftfreq(gp, d=h).astype(f32)
     fy = jax.lax.dynamic_slice_in_dim(f1, (d * gl).astype(jnp.int32), gl)
-    if deconvolve:
-        wx = jnp.sinc(f1 * h) ** window_exp
-        wyc = jnp.sinc(fy * h) ** window_exp
-        wz = jnp.sinc(fz * h) ** window_exp
-        win = wx[:, None, None] * wyc[None, :, None] * wz[None, None, :]
-        conv_k = conv_k / (win * win)
+    conv_k = _apply_deconvolution(
+        conv_k, deconvolve, grid, h, window_exp, sigma_cells,
+        f1=f1, fz=fz, fy=fy, y_slice=((d * gl).astype(jnp.int32), gl))
     # derivative Nyquist bins zeroed — the same explicit convention as the
     # replicated half-spectrum solve (_solve_force_grids)
     k1 = ((2.0 * jnp.pi) * f1).at[gp // 2].set(0.0)
@@ -352,23 +442,35 @@ def _gather_slab(grids, ix, iy, iz, w, x0, gl: int, grid: int):
     return jnp.stack(out, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "assignment"))
-def pm_accel(pos, *, grid: int = 64, assignment: str = "cic"):
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "assignment", "influence"))
+def pm_accel(pos, *, grid: int = 64, assignment: str = "cic",
+             influence: str = "none"):
     """(N, 4) [x,y,z,m] -> (N, 3) far-field accelerations (single device).
 
     assignment: "cic" (8-point trilinear) or "tsc" (27-point quadratic —
     one order smoother, ~2x lower force error on the same mesh for ~2x
     the deposit/gather work; the FFT solve cost is unchanged).
+    influence: "none" (raw kernel — naive 1/W^2 deconvolution of the raw
+    1/r kernel AMPLIFIES sub-cell error, so plain PM defaults off),
+    "naive", or "optimal" (H&E alias-aware influence function — measured
+    error table: scripts/tpu_influence_error.py).
     """
     if pos.shape[-1] != 4:
         raise ValueError("pm_accel expects (N, 4) [x,y,z,m]")
-    assign, _ = ASSIGNMENTS[assignment]
+    if influence not in ("none", "naive", "optimal"):
+        raise ValueError(f"unknown influence {influence!r}")
+    deconv = {"none": False, "naive": True, "optimal": "optimal"}[influence]
+    assign, wexp = ASSIGNMENTS[assignment]
     pos3 = pos[:, :3].astype(jnp.float32)
     mass = pos[:, 3].astype(jnp.float32)
     lo, h = _fit_box(pos3, grid)
     idx, w = assign(pos3, lo, h, grid)
     rho = _deposit(idx, w, mass, grid)
-    return _gather(_solve_force_grids(rho, h, grid), idx, w)
+    return _gather(
+        _solve_force_grids(rho, h, grid, deconvolve=deconv,
+                           window_exp=wexp, sigma_cells=None),
+        idx, w)
 
 
 def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64,
