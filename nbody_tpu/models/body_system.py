@@ -715,8 +715,18 @@ class BodySystem:
         else:
             self._pos, self._vel = self._step_arrays(self._pos, self._vel, dt)
 
+    # very long rollouts run as SEGMENTS of at most this many scan steps:
+    # a single 20k-step compiled scan of the full p3m pipeline crashed the
+    # TPU worker outright (r3, program-size blowup), and one shared
+    # segment length means every segment reuses ONE compiled rollout.
+    # ~8 ms of relay dispatch per segment is noise against a 1000-step
+    # device scan; contract probing/auto-refresh also resolves per
+    # segment, bounding how much work a breach can invalidate.
+    _MAX_ROLLOUT_SEGMENT = 1000
+
     def update_many(self, steps: int, dt: Optional[float] = None) -> None:
-        """Advance `steps` steps in ONE device dispatch via lax.scan.
+        """Advance `steps` steps via compiled lax.scan rollouts (one device
+        dispatch per <=_MAX_ROLLOUT_SEGMENT-step segment).
 
         The TPU-idiomatic benchmark loop: the reference enqueues k kernel
         launches in a CUDA stream with one final sync
@@ -730,16 +740,80 @@ class BodySystem:
             for _ in range(steps):
                 self.update(dt)
             return
-        with annotate(f"nbody.rollout[{steps}]"):
-            first = self._update_many_inner(steps, dt)
-        if self.backend != "p3m":
-            return
-        if first is None:
-            # sharded p3m: shard_map outputs are the stepped state only, so
-            # the post-hoc probe remains the detection path there
-            self._warn_if_p3m_contract_broken()
-            return
-        self._handle_p3m_rollout_breach(first, steps, dt)
+        done = 0
+        while done < steps:
+            seg = min(steps - done, self._MAX_ROLLOUT_SEGMENT)
+            with annotate(f"nbody.rollout[{seg}]"):
+                first = self._update_many_inner(seg, dt)
+            done += seg
+            if self.backend != "p3m":
+                continue
+            if first is None:
+                # sharded p3m: shard_map outputs are the stepped state
+                # only, so the post-hoc probe (per segment) remains the
+                # detection path there
+                self._warn_if_p3m_contract_broken()
+                continue
+            if first < 0:
+                self._p3m_contract_warned = False
+                continue
+            # breach at segment-local step `first` (absolute step
+            # done - seg + first)
+            if self.p3m_auto_refresh:
+                # rewind to the snapshot of the first breached step
+                # (everything before it ran in-contract), re-size from
+                # that state, and redo the rest of this segment under the
+                # new contract
+                self._pos, self._vel = self._p3m_breach_snapshot
+                del self._p3m_breach_snapshot
+                self.refresh_p3m_contract()
+                done -= seg - first - 1
+            elif not getattr(self, "_p3m_contract_warned", False):
+                import warnings
+
+                warnings.warn(
+                    f"p3m contract broken mid-rollout: first breach at "
+                    f"step {done - seg + first} of {steps} — short-range "
+                    "terms have been dropped since. Call "
+                    "refresh_p3m_contract() and re-run, enable "
+                    "p3m_auto_refresh (--p3m-auto-refresh), or raise "
+                    "--p3m-capacity / --pm-grid.",
+                    stacklevel=2,
+                )
+                self._p3m_contract_warned = True
+
+    def _update_many_inner(self, steps: int, dt: float) -> Optional[int]:
+        """Run the compiled rollout; for single-device p3m returns the first
+        breached step (-1 = contract held throughout), else None."""
+        p = self.params
+        probed = self.backend == "p3m" and self.mesh is None
+        host = self.placement == "host"
+        if host:
+            # stream host state in ONCE, scan k steps on-device, stream out:
+            # one dispatch instead of k (each costing ~8 ms relay latency),
+            # preserving the zero-copy intent of the reference's host-memory
+            # path (/root/reference/src/nbody/bodysystemcuda_host_memory.cpp:20-32)
+            out = self._rollout_fn(steps)(
+                jnp.asarray(self._pos), jnp.asarray(self._vel),
+                dt, p.softening, p.damping,
+            )
+        else:
+            out = self._rollout_fn(steps)(
+                self._pos, self._vel, dt, p.softening, p.damping
+            )
+        if not probed:
+            npos, nvel = out
+            self._pos = np.asarray(npos) if host else npos
+            self._vel = np.asarray(nvel) if host else nvel
+            return None
+        npos, nvel, first, bp, bv = out
+        first = int(first)
+        self._pos = np.asarray(npos) if host else npos
+        self._vel = np.asarray(nvel) if host else nvel
+        if first >= 0:
+            self._p3m_breach_snapshot = (
+                (np.asarray(bp), np.asarray(bv)) if host else (bp, bv))
+        return first
 
     def _update_many_inner(self, steps: int, dt: float) -> Optional[int]:
         """Run the compiled rollout; for single-device p3m returns the first

@@ -114,3 +114,17 @@ def test_cli_profile_flag_writes_trace(tmp_path, capsys):
     assert "profiler trace written to" in capsys.readouterr().out
     assert any(tdir.rglob("*.xplane.pb")) or any(tdir.rglob("*.trace.json*")) \
         or any(tdir.iterdir()), "trace directory is empty"
+
+
+def test_generated_api_docs_current():
+    """docs/API_GENERATED.md must match the live docstrings (the
+    reference's Doxygen-in-CI analogue; scripts/gen_api_docs.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", REPO / "scripts" / "gen_api_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    current = (REPO / "docs" / "API_GENERATED.md").read_text()
+    assert current == mod.generate(), (
+        "stale — run python scripts/gen_api_docs.py")
