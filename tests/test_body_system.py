@@ -131,3 +131,20 @@ def test_total_energy_finite():
     s = _sys()
     e = s.total_energy()
     assert np.isfinite(e)
+
+
+def test_update_many_segments_match_single_rollout():
+    """Rollouts longer than _MAX_ROLLOUT_SEGMENT run as segments sharing
+    one compiled scan; the trajectory must equal unsegmented stepping."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=0.1, damping=1.0)
+    a = BodySystem(256, params, backend="xla", seed=5)
+    b = BodySystem(256, params, backend="xla", seed=5)
+    a._MAX_ROLLOUT_SEGMENT = 7          # force many segments
+    a.update_many(23, 0.01)
+    b.update_many(23, 0.01)
+    np.testing.assert_allclose(a.positions, b.positions, rtol=0, atol=1e-6)
+    # the segment rollout is compiled once and reused
+    assert set(a._rollout_cache) == {7, 2}  # 3x7 + 2

@@ -128,3 +128,47 @@ def test_bad_tile_sizes_raise(random_state_tiny):
             jnp.asarray(pos), jnp.asarray(vel), DT, SOFT, DAMP,
             tile_i=100, tile_j=TJ, interpret=True,
         )
+
+
+def test_lane_chunk_variants_match(shell_state_small):
+    """lane_chunk widens the unrolled j-slices without changing results
+    (256/512 measured SLOWER on-chip — vreg pressure — but must stay
+    correct; scripts/tpu_r3_sweep.py)."""
+    pos, vel = shell_state_small
+    pos, vel = pos[:1024], vel[:1024]
+    ref = nbody_step_pallas(jnp.asarray(pos), jnp.asarray(vel), 0.016, 0.1,
+                            1.0, tile_i=64, tile_j=1024, interpret=True)
+    for lc in (256, 512):
+        got = nbody_step_pallas(jnp.asarray(pos), jnp.asarray(vel), 0.016,
+                                0.1, 1.0, tile_i=64, tile_j=1024,
+                                lane_chunk=lc, interpret=True)
+        # a (ti, lane_chunk) accumulator reassociates the j-sum — ulp-level
+        # differences are expected, not bugs
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-6, atol=1e-6)
+    # a clamped tile_j that no longer divides a wide lane_chunk falls back
+    small = nbody_step_pallas(jnp.asarray(pos[:256]), jnp.asarray(vel[:256]),
+                              0.016, 0.1, 1.0, tile_i=64, tile_j=1024,
+                              lane_chunk=512, interpret=True)
+    assert np.isfinite(np.asarray(small[0])).all()
+
+
+def test_rollout_kernel_matches_stepped(shell_state_small):
+    """nbody_rollout_pallas (transposed-carry scan; a measured-SLOWER
+    variant kept for the record — ARCHITECTURE.md) must equal repeated
+    single steps bit-for-bit."""
+    from nbody_tpu.ops.pallas_kernel import nbody_rollout_pallas
+
+    pos, vel = shell_state_small
+    pos, vel = pos[:1000], vel[:1000]
+    rp, rv = jnp.asarray(pos), jnp.asarray(vel)
+    for _ in range(4):
+        rp, rv = nbody_step_pallas(rp, rv, 0.016, 0.1, 1.0, tile_i=64,
+                                   tile_j=256, interpret=True)
+    gp, gv = nbody_rollout_pallas(jnp.asarray(pos), jnp.asarray(vel), 0.016,
+                                  0.1, 1.0, steps=4, tile_i=64, tile_j=256,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
