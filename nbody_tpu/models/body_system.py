@@ -715,18 +715,41 @@ class BodySystem:
         else:
             self._pos, self._vel = self._step_arrays(self._pos, self._vel, dt)
 
-    # very long rollouts run as SEGMENTS of at most this many scan steps:
-    # a single 20k-step compiled scan of the full p3m pipeline crashed the
-    # TPU worker outright (r3, program-size blowup), and one shared
-    # segment length means every segment reuses ONE compiled rollout.
-    # ~8 ms of relay dispatch per segment is noise against a 1000-step
-    # device scan; contract probing/auto-refresh also resolves per
-    # segment, bounding how much work a breach can invalidate.
+    # Very long rollouts run as SEGMENTS: one shared segment length means
+    # every segment reuses ONE compiled rollout, contract probing and
+    # auto-refresh resolve per segment, and — critically — no single
+    # dispatch runs for minutes. Evidence (r3): scans whose on-device
+    # runtime reached ~90-100 s crashed the attached TPU worker
+    # ("UNAVAILABLE: TPU worker process crashed") while identical scans
+    # under ~80 s completed — a dispatch-duration watchdog, NOT program
+    # size (a lax.scan's program is length-independent). The segment is
+    # therefore WORK-bounded: at most _SEG_BUDGET pair-interaction
+    # equivalents per dispatch (~45 s at the measured rates, ~2x headroom
+    # under the observed kill threshold), derated for the mesh solvers'
+    # per-step constant factors and fp64 emulation. ~8 ms of relay
+    # dispatch per segment is noise against multi-second device scans.
     _MAX_ROLLOUT_SEGMENT = 1000
+    _SEG_BUDGET_FP32 = 1.0e13   # exact kernels ~220 G int/s -> ~45 s
+    _SEG_BUDGET_MESH = 2.0e12   # pm/p3m pairwise-equivalent rate ~45 G
+    _SEG_BUDGET_F64 = 1.6e10    # XLA-emulated f64 ~0.32 G int/s
+
+    def _segment_steps(self) -> int:
+        """Steps per dispatched rollout segment (work-bounded; see above)."""
+        if not _default_backend_is_tpu():
+            # host dispatches cannot trip an accelerator watchdog
+            return self._MAX_ROLLOUT_SEGMENT
+        if self.dtype == jnp.float64:
+            budget = self._SEG_BUDGET_F64
+        elif self.backend in ("pm", "p3m"):
+            budget = self._SEG_BUDGET_MESH
+        else:
+            budget = self._SEG_BUDGET_FP32
+        n2 = float(self.num_bodies) ** 2
+        return max(1, min(self._MAX_ROLLOUT_SEGMENT, int(budget / max(n2, 1.0))))
 
     def update_many(self, steps: int, dt: Optional[float] = None) -> None:
         """Advance `steps` steps via compiled lax.scan rollouts (one device
-        dispatch per <=_MAX_ROLLOUT_SEGMENT-step segment).
+        dispatch per work-bounded segment; see _segment_steps).
 
         The TPU-idiomatic benchmark loop: the reference enqueues k kernel
         launches in a CUDA stream with one final sync
@@ -740,9 +763,10 @@ class BodySystem:
             for _ in range(steps):
                 self.update(dt)
             return
+        seg_max = self._segment_steps()
         done = 0
         while done < steps:
-            seg = min(steps - done, self._MAX_ROLLOUT_SEGMENT)
+            seg = min(steps - done, seg_max)
             with annotate(f"nbody.rollout[{seg}]"):
                 first = self._update_many_inner(seg, dt)
             done += seg

@@ -1,0 +1,397 @@
+"""Double-single ("ds") precision N-body kernel: fp64-class forces from
+pairs of float32s on the VPU.
+
+Why: genuine fp64 on TPU v5e is software-emulated through XLA and runs the
+all-pairs force at 0.32 G interactions/s (851 ms/step at N=16384 —
+PARITY.md). The classic alternative — each value carried as an unevaluated
+sum hi + lo of two float32s (~49-bit significand) — runs every operation
+on the fp32 VPU at a fixed op-count multiple, giving fp64-GRADE accuracy
+at a double-digit multiple of the emulated-f64 speed. SURVEY.md §7 ("Hard
+parts") explicitly plans this mode for the accuracy-anchor configs.
+
+Arithmetic (error-free transformations, all plain jnp ops so the same
+code runs under Mosaic and in interpret mode):
+
+  * two_sum (Knuth): exact a+b -> (s, err), 6 flops, no branch.
+  * split (Dekker): exact f32 -> hi+lo halves via the 2^12+1 trick.
+  * two_prod (Dekker): exact a*b -> (p, err) via split, 17 flops (no
+    hardware-fma primitive is exposed through jnp; Dekker is branchless
+    and exact for |a|,|b| < 2^115).
+  * ds_add / ds_mul: double-single +, x (Dekker/Bailey renormalized).
+  * ds_rsqrt: f32 rsqrt seed + one ds Newton step (y(3 - x y^2)/2):
+    doubles the seed's ~24 accurate bits to the full ds ~49.
+
+The force kernel mirrors the vpu layout (i-tile resident, j-tiles
+streamed 128 lanes at a time; hi and lo planes of the transposed j-set)
+with hi/lo accumulators, and fuses the same damped semi-implicit Euler
+update in ds arithmetic. The reference's QA criterion for the fp64 path
+(energy-drift equality with the fp64 oracle) is the acceptance test
+(/root/reference/src/nbody/compute_cuda.cpp:294-333 extended per
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.ops.pallas_kernel import LANES, _ix, _round_up
+
+_SPLITTER = 4097.0  # 2^12 + 1 (Dekker split constant; Python
+# float so kernels do not capture a device array)
+
+
+# ---- error-free transformations (element-wise, any shape) ----
+
+# Error-free transformations assume every op ROUNDS to f32. Under jit,
+# XLA:CPU rematerializes products/sums inside fusions and lets LLVM
+# contract `a*b + c` into fma — e.g. quick_two_sum's s = p + e became
+# fma(xh, xh, e), so s no longer derives from the ROUNDED p and the error
+# identity err = b - (s - a) collapses (measured: ds_mul(A, A) degrades
+# 1.3e-14 -> 5.8e-8 relative, hi AND lo both off; the optimized HLO shows
+# the recomputed multiply feeding the add). Guarding the rounded anchor
+# values (s, and the split's c) with jax.lax.optimization_barrier pins
+# them as materialized f32 values; the barrier is free at runtime.
+
+
+# Mosaic has no lowering for optimization_barrier, so anchors are active
+# only outside compiled-kernel tracing (the XLA/interpret path, where the
+# LLVM contraction hazard lives). Whether Mosaic's own codegen contracts
+# inconsistently is measured directly on hardware
+# (scripts/tpu_ds_validate.py) — the accuracy numbers ARE the test.
+_ANCHORS = True
+
+
+def _anchor(v):
+    if not _ANCHORS:
+        return v
+    return jax.lax.optimization_barrier(v)
+
+
+def _two_sum(a, b):
+    s = _anchor(a + b)
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    """Exact a+b assuming |a| >= |b|."""
+    s = _anchor(a + b)
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    c = _anchor(_SPLITTER * a)
+    hi = _anchor(c - (c - a))
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = _anchor(a * b)
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+# ---- double-single arithmetic on (hi, lo) pairs ----
+
+def ds_add(x, y):
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + xl + yl
+    return _quick_two_sum(s, e)
+
+
+def ds_sub(x, y):
+    yh, yl = y
+    return ds_add(x, (-yh, -yl))
+
+
+def ds_mul(x, y):
+    xh, xl = x
+    yh, yl = y
+    p, e = _two_prod(xh, yh)
+    e = e + xh * yl + xl * yh
+    return _quick_two_sum(p, e)
+
+
+def ds_mul_f32(x, c):
+    """ds * plain-f32 scalar/array."""
+    xh, xl = x
+    p, e = _two_prod(xh, c)
+    e = e + xl * c
+    return _quick_two_sum(p, e)
+
+
+def ds_rsqrt(x):
+    """Double-single 1/sqrt(x): f32 rsqrt seed + one ds Newton step.
+
+    y1 = y0 * (3 - x*y0^2) / 2 doubles the accurate bits (~24 -> ~48);
+    the step is evaluated in ds so the correction itself is not truncated.
+    """
+    xh, xl = x
+    y0 = jax.lax.rsqrt(xh)  # ~24-bit seed
+    # CRITICAL: hide the seed's provenance from XLA's algebraic
+    # simplifier. Without the barrier, jit rewrites rsqrt(x)*rsqrt(x)
+    # -> 1/x inside the Newton step, making t == 1 exactly and the whole
+    # refinement a no-op (measured: jit error 6e-8 = the raw seed, eager
+    # 5e-15). The barrier costs nothing at runtime.
+    y0 = _anchor(y0)
+    y0ds = (y0, jnp.zeros_like(y0))
+    t = ds_mul(x, ds_mul(y0ds, y0ds))            # x*y0^2 ~= 1
+    three = (jnp.float32(3.0), jnp.float32(0.0))
+    corr = ds_sub(three, t)                      # 3 - x*y0^2
+    y1 = ds_mul_f32(ds_mul(y0ds, corr), jnp.float32(0.5))
+    return y1
+
+
+def ds_from_f64(arr64):
+    """NumPy/JAX float64 array -> (hi, lo) float32 pair (exact to ds)."""
+    import numpy as np
+
+    a = np.asarray(arr64, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def ds_to_f64(hi, lo):
+    import numpy as np
+
+    return (np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
+
+
+# ---- the fused ds force + integrate kernel ----
+
+def _ds_accumulate_tile(pihi_ref, pilo_ref, pthi_ref, ptlo_ref, eps2,
+                        axh, axl, ayh, ayl, azh, azl, tile_j):
+    """ds partial forces for one (TILE_I, TILE_J) block of pairs."""
+
+    def col(ref_h, ref_l, c):
+        return (ref_h[:, c:c + 1], ref_l[:, c:c + 1])  # (TILE_I, 1)
+
+    xi = col(pihi_ref, pilo_ref, 0)
+    yi = col(pihi_ref, pilo_ref, 1)
+    zi = col(pihi_ref, pilo_ref, 2)
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+
+        def row(r):
+            return (pthi_ref[r:r + 1, sl], ptlo_ref[r:r + 1, sl])  # (1, 128)
+
+        dx = ds_sub(row(0), xi)
+        dy = ds_sub(row(1), yi)
+        dz = ds_sub(row(2), zi)
+        r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                    ds_add(ds_mul(dz, dz), eps2))
+        inv = ds_rsqrt(r2)
+        inv3 = ds_mul(ds_mul(inv, inv), inv)
+        s = ds_mul(row(3), inv3)  # m_j / r^3 (masses are exact in hi)
+
+        for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                            ((azh, azl), dz)):
+            acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+            ah[:, :] = acc[0]
+            al[:, :] = acc[1]
+
+
+def _ds_step_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
+                    pthi_ref, ptlo_ref,
+                    nph_ref, npl_ref, nvh_ref, nvl_ref,
+                    axh, axl, ayh, ayl, azh, azl, *, tile_j: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl):
+            r[:, :] = zeros
+
+    eps2 = (scal_ref[0, 1], scal_ref[1, 1])
+    _ds_accumulate_tile(pihi_ref, pilo_ref, pthi_ref, ptlo_ref, eps2,
+                        axh, axl, ayh, ayl, azh, azl, tile_j)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dt = (scal_ref[0, 0], scal_ref[1, 0])
+        damping = (scal_ref[0, 2], scal_ref[1, 2])
+
+        def reduce_ds(ah, al):
+            # cross-lane reduction IN ds: a plain f32 sum of the hi plane
+            # would reintroduce ~1e-7-relative summation error — the exact
+            # thing this kernel exists to avoid. Pairwise tree of ds_adds
+            # (log2(LANES) levels), then the final (TILE_I, 1) ds value.
+            acc = (ah[:, :], al[:, :])
+            width = acc[0].shape[1]
+            while width > 1:
+                half = width // 2
+                left = (acc[0][:, :half], acc[1][:, :half])
+                right = (acc[0][:, half:width], acc[1][:, half:width])
+                acc = ds_add(left, right)
+                width = half
+            return acc
+
+        acc = (reduce_ds(axh, axl), reduce_ds(ayh, ayl), reduce_ds(azh, azl))
+        for c in range(3):
+            vc = (vihi_ref[:, c:c + 1], vilo_ref[:, c:c + 1])
+            vnew = ds_mul(ds_add(vc, ds_mul(acc[c], dt)), damping)
+            nvh_ref[:, c:c + 1] = vnew[0]
+            nvl_ref[:, c:c + 1] = vnew[1]
+            pc = (pihi_ref[:, c:c + 1], pilo_ref[:, c:c + 1])
+            pnew = ds_add(pc, ds_mul(vnew, dt))
+            nph_ref[:, c:c + 1] = pnew[0]
+            npl_ref[:, c:c + 1] = pnew[1]
+        nph_ref[:, 3:4] = pihi_ref[:, 3:4]
+        npl_ref[:, 3:4] = pilo_ref[:, 3:4]
+        nvh_ref[:, 3:4] = vihi_ref[:, 3:4]
+        nvl_ref[:, 3:4] = vilo_ref[:, 3:4]
+
+
+# ds kernels carry ~20x the f32 op count per interaction, so the compile-
+# size-limited j-tile is much smaller than the vpu kernel's 32768
+DS_TILE_I = 64
+DS_TILE_J = 1024
+
+
+def _scal_ds(dt, softening, damping):
+    """(2, 4) SMEM block: row 0 = hi, row 1 = lo of [dt, eps^2, damping]."""
+    import numpy as np
+
+    vals = np.zeros((2, 4), np.float32)
+    for c, v in enumerate((dt, float(softening) ** 2, damping)):
+        hi = np.float32(v)
+        vals[0, c] = hi
+        vals[1, c] = np.float32(np.float64(v) - np.float64(hi))
+    return jnp.asarray(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                         *, tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+                         interpret: bool = False):
+    """One fused double-single step.
+
+    pos/vel are (N, 4) float32 hi/lo pairs (AoS [x,y,z,m]); `scal` is the
+    (2, 4) hi/lo parameter block from `_scal_ds(dt, softening, damping)`
+    (built on the host so the f64->ds split is exact). Returns the four
+    updated arrays. Self pair contributes zero exactly as in the f32
+    kernel (softened r^2 > 0)."""
+    n = pos_hi.shape[0]
+    tile_i = min(tile_i, _round_up(n, 8))
+    tile_j = min(tile_j, _round_up(n, LANES))
+
+    def pad(a, m):
+        p = _round_up(a.shape[0], m)
+        return jnp.pad(a, ((0, p - a.shape[0]), (0, 0))) if p != a.shape[0] else a
+
+    ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
+    vh, vlo = pad(vel_hi, tile_i), pad(vel_lo, tile_i)
+    jh = pad(pos_hi, tile_j).T
+    jl = pad(pos_lo, tile_j).T
+    m_pad, n_pad = ph.shape[0], jh.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+
+    smem = pl.BlockSpec((2, 4), lambda i, j: _ix(0, 0),
+                        memory_space=pltpu.SMEM)
+    i_tile = pl.BlockSpec((tile_i, 4), lambda i, j: _ix(i, 0),
+                          memory_space=pltpu.VMEM)
+    j_tile = pl.BlockSpec((4, tile_j), lambda i, j: _ix(0, j),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((m_pad, 4), jnp.float32)] * 4
+    scratch = [pltpu.VMEM((tile_i, LANES), jnp.float32) for _ in range(6)]
+
+    def kernel_entry(*args):
+        # compiled (Mosaic) tracing must not emit barrier primitives
+        global _ANCHORS
+        prev = _ANCHORS
+        _ANCHORS = bool(interpret)
+        try:
+            return _ds_step_kernel(*args, tile_j=tile_j)
+        finally:
+            _ANCHORS = prev
+
+    nph, npl, nvh, nvl = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[smem, i_tile, i_tile, i_tile, i_tile, j_tile, j_tile],
+        out_specs=[i_tile] * 4,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=400 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 6) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(scal, ph, plo, vh, vlo, jh, jl)
+    return nph[:n], npl[:n], nvh[:n], nvl[:n]
+
+
+def nbody_step_ds(pos64, vel64, dt, softening, damping,
+                  *, tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+                  interpret: bool = False):
+    """Convenience wrapper: float64 state in, float64 state out (one step).
+
+    For rollouts, split once with `ds_from_f64`, scan
+    `nbody_step_pallas_ds`, and recombine with `ds_to_f64` — the split is
+    exact, so chaining wrappers loses nothing either."""
+    ph, plo = ds_from_f64(pos64)
+    vh, vlo = ds_from_f64(vel64)
+    scal = _scal_ds(dt, softening, damping)
+    nph, npl, nvh, nvl = nbody_step_pallas_ds(
+        ph, plo, vh, vlo, scal, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret)
+    return ds_to_f64(nph, npl), ds_to_f64(nvh, nvl)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "tile_i", "tile_j", "interpret"),
+                   donate_argnums=(0, 1, 2, 3))
+def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
+                      tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+                      interpret: bool = False):
+    """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers)."""
+
+    def body(state, _):
+        return nbody_step_pallas_ds(*state, scal, tile_i=tile_i,
+                                    tile_j=tile_j, interpret=interpret), None
+
+    state, _ = jax.lax.scan(body, (pos_hi, pos_lo, vel_hi, vel_lo), None,
+                            length=steps)
+    return state
+
+
+def rollout_ds(pos64, vel64, dt, softening, damping, *, steps: int,
+               tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+               interpret: bool = False, segment: int | None = None):
+    """float64 in/out ds rollout: split once, scan in work-bounded
+    compiled chunks (the attached worker kills multi-minute dispatches —
+    see BodySystem._segment_steps), recombine once."""
+    n = pos64.shape[0]
+    if segment is None:
+        # ~4e11 pair-interactions per dispatch keeps ds segments well
+        # under the observed ~90 s dispatch-kill threshold
+        segment = max(1, min(1000, int(4e11 / max(float(n) ** 2, 1.0))))
+    ph, plo = ds_from_f64(pos64)
+    vh, vlo = ds_from_f64(vel64)
+    scal = _scal_ds(dt, softening, damping)
+    done = 0
+    while done < steps:
+        seg = min(steps - done, segment)
+        ph, plo, vh, vlo = rollout_pallas_ds(
+            ph, plo, vh, vlo, scal, steps=seg, tile_i=tile_i, tile_j=tile_j,
+            interpret=interpret)
+        done += seg
+    return ds_to_f64(ph, plo), ds_to_f64(vh, vlo)

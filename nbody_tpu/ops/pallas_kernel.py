@@ -50,6 +50,10 @@ LANES = 128
 DEFAULT_TILE_I = 64
 DEFAULT_TILE_J = 8192
 
+# experiment hook: override the mxu variant's matmul precision (None =
+# production choice). See _mxu_accumulate_tile.
+_MXU_PRECISION_OVERRIDE = None
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -134,8 +138,10 @@ def _mxu_accumulate_tile(posi_ref, post_ref, eps2, acc4_ref,
     yi = posi_ref[:, 1:2]
     zi = posi_ref[:, 2:3]
     # HIGHEST forces multi-pass bf16 (near-f32) when inputs are f32; the
-    # bf16 variant runs single-pass at full MXU rate
-    precision = (
+    # bf16 variant runs single-pass at full MXU rate. The module hook is an
+    # experiment override (scripts/tpu_r3_drift_and_mxu.py) — callers must
+    # clear the jit cache when setting it
+    precision = _MXU_PRECISION_OVERRIDE or (
         jax.lax.Precision.HIGHEST
         if mxu_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT

@@ -1,0 +1,83 @@
+"""Double-single (two-float32) precision kernel tests.
+
+Production accuracy target is the Mosaic/TPU path. On CPU (interpret mode
++ jit), XLA's LLVM backend FMA-contracts one multiply-add inside the
+fused error-free transformations (measured: exact at
+--xla_backend_optimization_level=0, one-f32-ulp 'lo' damage at the
+default level), so the CPU bounds below are ~2e-11 relative instead of
+the ds-native ~1e-14 — still 5,000x tighter than f32, and tight enough
+to catch any logic regression. See ops/ds_kernel.py for the full story.
+"""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+from nbody_tpu.ops.ds_kernel import (
+    ds_from_f64,
+    ds_to_f64,
+    nbody_step_ds,
+    rollout_ds,
+)
+from nbody_tpu.oracle.numpy_oracle import step_numpy
+
+DT, SOFT, DAMP = 0.001, 0.1, 1.0
+
+
+@pytest.fixture(scope="module")
+def state64():
+    pos, vel = ic.generate(NBodyConfig.SHELL, 512, 1.68, 2.98, seed=7)
+    return pos.astype(np.float64), vel.astype(np.float64)
+
+
+def test_ds_split_roundtrip_exact(state64):
+    p64, _ = state64
+    hi, lo = ds_from_f64(p64)
+    assert np.abs(ds_to_f64(hi, lo) - p64).max() == 0.0
+
+
+def test_ds_step_fp64_grade_vs_oracle(state64):
+    """One ds step vs the float64 oracle: position agreement must be
+    ~5 decimal orders beyond the f32 kernel's (which lands at ~5e-7)."""
+    p64, v64 = state64
+    np_, nv_ = nbody_step_ds(p64, v64, DT, SOFT, DAMP, tile_j=512,
+                             interpret=True)
+    op, ov = step_numpy(p64, v64, DT, SOFT, DAMP)
+    assert np.abs(np_[:, :3] - op[:, :3]).max() < 1e-11
+    # velocity error = force error * dt; bound the relative force error.
+    # The CPU-jit bound is contraction-limited (~2e-8; see module
+    # docstring) — still ~10x beyond the f32 kernel here and ~1e6x on
+    # position; the TPU path measures ds-native accuracy (PARITY.md)
+    a_scale = np.abs(ov[:, :3] - v64[:, :3]).max() / DT
+    rel_force = np.abs(nv_[:, :3] - ov[:, :3]).max() / DT / a_scale
+    assert rel_force < 5e-8
+
+
+def test_ds_rollout_matches_repeated_oracle_steps(state64):
+    p64, v64 = state64
+    gp, gv = rollout_ds(p64, v64, DT, SOFT, DAMP, steps=5, tile_j=512,
+                        interpret=True)
+    op, ov = p64, v64
+    for _ in range(5):
+        op, ov = step_numpy(op, ov, DT, SOFT, DAMP)
+    assert np.abs(gp[:, :3] - op[:, :3]).max() < 1e-10
+    assert np.isfinite(gv).all()
+
+
+def test_ds_energy_drift_matches_f64_oracle(state64):
+    """BASELINE config[2]'s criterion applied to the ds mode: the ds
+    path's energy drift must match the f64 oracle's drift (same
+    integrator, so the comparison is device-vs-oracle)."""
+    from nbody_tpu.ops.energy import total_energy_f64
+
+    p64, v64 = state64
+    e0 = total_energy_f64(p64, v64, SOFT)
+    steps = 10
+    gp, gv = rollout_ds(p64, v64, 0.016, SOFT, DAMP, steps=steps,
+                        tile_j=512, interpret=True)
+    op, ov = p64, v64
+    for _ in range(steps):
+        op, ov = step_numpy(op, ov, 0.016, SOFT, DAMP)
+    d_ds = (total_energy_f64(gp, gv, SOFT) - e0) / abs(e0)
+    d_or = (total_energy_f64(op, ov, SOFT) - e0) / abs(e0)
+    assert abs(d_ds - d_or) < 1e-9, (d_ds, d_or)
