@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fullscreen", action="store_true",
                    help="render at 1920x1080 (reference window default)")
     p.add_argument("--fp64", action="store_true", help="double precision (XLA path)")
+    p.add_argument("--precision", choices=["fp32", "fp64", "ds"], default=None,
+                   help="numeric mode: fp32 (default), fp64 (= --fp64; "
+                        "genuine f64, XLA-emulated on TPU, ~0.32 G int/s), "
+                        "or ds (double-single two-float32 kernel: fp64-"
+                        "GRADE accuracy — |dpos| ~1e-14 vs the f64 oracle "
+                        "— at 48x the emulated-f64 speed; supports "
+                        "--benchmark / --qatest / --drift-check)")
     p.add_argument("--hostmem", action="store_true",
                    help="keep state in host memory, stream per step")
     p.add_argument("--benchmark", action="store_true", help="run timed benchmark")
@@ -180,6 +187,100 @@ def main(argv=None) -> int:
         return 3
 
 
+def _run_ds(args) -> int:
+    """--precision ds: benchmark / QA / drift on the double-single kernel
+    (fp64-grade accuracy at VPU speed; ops/ds_kernel.py, DSBodySystem).
+    Scoped to the measurement modes — the demo/render pipeline is an
+    fp32 visualization path where ds buys nothing."""
+    import time
+
+    import numpy as np
+
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import DEMO_PARAMS, tuned_scales
+
+    if not (args.benchmark or args.compare or args.qatest
+            or args.drift_check is not None):
+        print("error: --precision ds supports --benchmark, --compare/"
+              "--qatest, and --drift-check", file=sys.stderr)
+        return 1
+    if args.devices is not None and args.devices > 1:
+        print("error: --precision ds is single-device (shard the fp32 "
+              "kernels for multi-chip)", file=sys.stderr)
+        return 1
+
+    n = args.numbodies or 16384
+    params = DEMO_PARAMS[0]
+    scales = tuned_scales(n)
+    if scales is not None:
+        params = params.replace(cluster_scale=scales[0],
+                                velocity_scale=scales[1])
+    s = DSBodySystem(n, params, seed=args.seed)
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
+          f"[double-single kernel, fp64-grade]")
+
+    if args.drift_check is not None:
+        from nbody_tpu.oracle.numpy_oracle import step_numpy
+        from nbody_tpu.ops.energy import total_energy_f64
+
+        p0, v0 = s.positions, s.velocities
+        e0 = total_energy_f64(p0, v0, params.softening)
+        s.update_many(args.drift_check, params.time_step)
+        s.hard_sync()
+        e1 = total_energy_f64(s.positions, s.velocities, params.softening)
+        op, ov = p0, v0
+        for _ in range(args.drift_check):
+            op, ov = step_numpy(op, ov, params.time_step, params.softening,
+                                params.damping)
+        e_or = total_energy_f64(op, ov, params.softening)
+        d_dev = (e1 - e0) / abs(e0)
+        d_or = (e_or - e0) / abs(e0)
+        delta = abs(d_dev - d_or)
+        print(f"energy drift over {args.drift_check} steps "
+              f"(dt={params.time_step}): ds {d_dev:.6e} | f64 oracle "
+              f"{d_or:.6e} | delta {delta:.3e}")
+        # ds holds drift parity to ~1e-12; gate far tighter than fp32's
+        if delta > 1e-9 * max(abs(d_or), 1e-6):
+            print("drift check FAILED", file=sys.stderr)
+            return 1
+        return 0
+
+    if args.compare or args.qatest:
+        from nbody_tpu.oracle.numpy_oracle import step_numpy
+
+        p0, v0 = s.positions, s.velocities
+        s.update(0.001)
+        s.block_until_ready()
+        op, _ = step_numpy(p0, v0, 0.001, params.softening, params.damping)
+        err = np.abs(s.positions[:, :3] - op[:, :3]).max()
+        # the reference's 5e-4 criterion is trivial here; gate at the ds
+        # grade actually measured on hardware (1.2e-14 + margin)
+        tol = 1e-10
+        passed = bool(err <= tol)
+        print(f"ds QA compare vs f64 oracle: max |dpos| = {err:.3e} "
+              f"(tolerance {tol:g}) -> {'OK' if passed else 'FAILED'}")
+        return 0 if passed else 1
+
+    # --benchmark: warm-up rollout + timed rollout, hard-synced
+    iters = args.iterations
+    s.update_many(iters, params.time_step)
+    s.hard_sync()
+    t0 = time.perf_counter()
+    s.update_many(iters, params.time_step)
+    s.hard_sync()
+    ms = (time.perf_counter() - t0) * 1e3
+    ips = n * n * iters / (ms / 1e3) * 1e-9
+    print(f"{n} bodies, total time for {iters} iterations: {ms:.3f} ms")
+    print(f"= {ips:.3f} billion interactions per second")
+    print(f"= {ips * 30:.3f} double-single GFLOP/s at 30 flops per "
+          f"interaction (fp64-convention; the ds kernel issues ~20x the "
+          f"fp32 ALU ops)")
+    return 0
+
+
 def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -197,6 +298,14 @@ def _main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.precision == "fp64":
+        args.fp64 = True
+    if args.precision == "ds":
+        if args.fp64:
+            print("error: --precision ds and --fp64 are exclusive",
+                  file=sys.stderr)
+            return 1
+        return _run_ds(args)
     if args.fp64:
         jax.config.update("jax_enable_x64", True)
     if args.interactive and not jax.config.jax_enable_x64:

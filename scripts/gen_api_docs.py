@@ -31,9 +31,11 @@ MODULES = [
     "nbody_tpu.config",
     "nbody_tpu.ic",
     "nbody_tpu.models.body_system",
+    "nbody_tpu.models.ds_system",
     "nbody_tpu.compute",
     "nbody_tpu.ops.reference",
     "nbody_tpu.ops.pallas_kernel",
+    "nbody_tpu.ops.ds_kernel",
     "nbody_tpu.ops.pm",
     "nbody_tpu.ops.p3m",
     "nbody_tpu.ops.p3m_kernel",

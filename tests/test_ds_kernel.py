@@ -81,3 +81,40 @@ def test_ds_energy_drift_matches_f64_oracle(state64):
     d_ds = (total_energy_f64(gp, gv, SOFT) - e0) / abs(e0)
     d_or = (total_energy_f64(op, ov, SOFT) - e0) / abs(e0)
     assert abs(d_ds - d_or) < 1e-9, (d_ds, d_or)
+
+
+def test_ds_body_system_api(state64):
+    """DSBodySystem: set/get round-trip exact, stepping matches the
+    ops-level rollout, energy defaults to the f64 functional."""
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    p64, v64 = state64
+    s = DSBodySystem(512, NBodyParams(time_step=DT, softening=SOFT,
+                                      damping=DAMP),
+                     tile_j=512, state=(p64, v64))
+    assert np.abs(s.positions - p64).max() == 0.0
+    s.update_many(3)
+    ref_p, ref_v = rollout_ds(p64, v64, DT, SOFT, DAMP, steps=3, tile_j=512,
+                              interpret=True)
+    assert np.abs(s.positions - ref_p).max() < 1e-13
+    assert np.isfinite(s.total_energy())
+
+
+def test_cli_precision_ds_qatest(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--qatest", "--numbodies", "512"])
+    out = capsys.readouterr().out
+    assert "double-single kernel" in out
+    assert rc == 0, out
+
+
+def test_cli_precision_ds_scope_errors(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--numbodies", "256", "--frames", "1"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+    rc = main(["--precision", "ds", "--fp64", "--benchmark"])
+    assert rc == 1
