@@ -278,16 +278,31 @@ def _scal_ds(dt, softening, damping):
 def nbody_step_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                          *, tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
                          interpret: bool = False):
-    """One fused double-single step.
+    """One fused double-single step (self-vs-self).
 
     pos/vel are (N, 4) float32 hi/lo pairs (AoS [x,y,z,m]); `scal` is the
     (2, 4) hi/lo parameter block from `_scal_ds(dt, softening, damping)`
     (built on the host so the f64->ds split is exact). Returns the four
     updated arrays. Self pair contributes zero exactly as in the f32
     kernel (softened r^2 > 0)."""
+    return nbody_step_pallas_ds_vs(pos_hi, pos_lo, vel_hi, vel_lo,
+                                   pos_hi, pos_lo, scal, tile_i=tile_i,
+                                   tile_j=tile_j, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_vs(pos_hi, pos_lo, vel_hi, vel_lo,
+                            jpos_hi, jpos_lo, scal,
+                            *, tile_i: int = DS_TILE_I,
+                            tile_j: int = DS_TILE_J,
+                            interpret: bool = False):
+    """ds step of the i-set under forces from the j-set — the same
+    i-vs-j form every other kernel family exposes, so the body-sharded
+    strategies compose with it (the sharded step passes the local shard
+    as i and the all-gathered global positions as j)."""
     n = pos_hi.shape[0]
     tile_i = min(tile_i, _round_up(n, 8))
-    tile_j = min(tile_j, _round_up(n, LANES))
+    tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
 
     def pad(a, m):
         p = _round_up(a.shape[0], m)
@@ -295,8 +310,8 @@ def nbody_step_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal,
 
     ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
     vh, vlo = pad(vel_hi, tile_i), pad(vel_lo, tile_i)
-    jh = pad(pos_hi, tile_j).T
-    jl = pad(pos_lo, tile_j).T
+    jh = pad(jpos_hi, tile_j).T
+    jl = pad(jpos_lo, tile_j).T
     m_pad, n_pad = ph.shape[0], jh.shape[1]
     grid = (m_pad // tile_i, n_pad // tile_j)
 

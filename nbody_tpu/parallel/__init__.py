@@ -10,6 +10,7 @@ from nbody_tpu.parallel.mesh import make_mesh, make_mesh_2d, shard_state
 from nbody_tpu.parallel.sharded import (
     choose_strategy,
     make_sharded_step,
+    make_sharded_ds_step,
     make_sharded_step_2d,
 )
 from nbody_tpu.parallel.multihost import initialize_multihost, is_multihost
@@ -20,6 +21,7 @@ __all__ = [
     "shard_state",
     "choose_strategy",
     "make_sharded_step",
+    "make_sharded_ds_step",
     "make_sharded_step_2d",
     "initialize_multihost",
     "is_multihost",

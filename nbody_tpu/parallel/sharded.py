@@ -430,3 +430,38 @@ def make_sharded_rollout(step_fn, steps: int):
         return pos_f, vel_f
 
     return rollout
+
+
+def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
+                         tile_i: int | None = None,
+                         tile_j: int | None = None,
+                         interpret: bool = False):
+    """Body-sharded double-single (fp64-grade) step: (pos_hi, pos_lo,
+    vel_hi, vel_lo, scal) -> same four arrays, each sharded P(axis, None).
+
+    allgather strategy: the hi AND lo position planes gather over ICI
+    (2x the fp32 strategy's bytes — still ~32 MB at 1M bodies), each chip
+    runs the fused ds kernel on its local i-shard vs the gathered j-set.
+    `scal` is the (2, 4) hi/lo parameter block (ops.ds_kernel._scal_ds).
+    """
+    from nbody_tpu.ops.ds_kernel import DS_TILE_I, DS_TILE_J, nbody_step_pallas_ds_vs
+
+    ti = DS_TILE_I if tile_i is None else tile_i
+    tj = DS_TILE_J if tile_j is None else tile_j
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),) * 4 + (P(),),
+        out_specs=(P(axis, None),) * 4,
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    def step(ph, plo, vh, vlo, scal):
+        jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
+        jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
+        return nbody_step_pallas_ds_vs(ph, plo, vh, vlo, jh, jl, scal,
+                                       tile_i=ti, tile_j=tj,
+                                       interpret=interpret)
+
+    return step

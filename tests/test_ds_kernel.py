@@ -118,3 +118,26 @@ def test_cli_precision_ds_scope_errors(capsys):
     assert "error:" in capsys.readouterr().err
     rc = main(["--precision", "ds", "--fp64", "--benchmark"])
     assert rc == 1
+
+
+def test_sharded_ds_matches_single_device(state64):
+    """8-device allgather ds step == single-device ds step (virtual mesh)."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import _scal_ds, nbody_step_pallas_ds
+    from nbody_tpu.parallel import make_mesh, make_sharded_ds_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal = _scal_ds(DT, SOFT, DAMP)
+    ref = nbody_step_pallas_ds(ph, plo, vh, vlo, scal, tile_j=512,
+                               interpret=True)
+
+    mesh = make_mesh(8)
+    step = make_sharded_ds_step(mesh, tile_j=512, interpret=True)
+    out = step(ph, plo, vh, vlo, scal)
+    for got, want in zip(out, ref):
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-12
