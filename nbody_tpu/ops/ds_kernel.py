@@ -257,9 +257,11 @@ def _ds_step_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
 
 
 # ds kernels carry ~20x the f32 op count per interaction, so the compile-
-# size-limited j-tile is much smaller than the vpu kernel's 32768
+# size-limited j-tile is much smaller than the vpu kernel's 32768.
+# r3 sweep at N=16384 (G int/s): tj 1024/2048/4096/8192 = 15.2/15.4/
+# 15.7/15.3, ti 32/64/128 = 15.0/15.7/11.4 -> (64, 4096)
 DS_TILE_I = 64
-DS_TILE_J = 1024
+DS_TILE_J = 4096
 
 
 def _scal_ds(dt, softening, damping):
