@@ -264,14 +264,19 @@ def _run_ds(args) -> int:
               f"(tolerance {tol:g}) -> {'OK' if passed else 'FAILED'}")
         return 0 if passed else 1
 
-    # --benchmark: warm-up rollout + timed rollout, hard-synced
+    # --benchmark: delta-timed rollouts (iters and 5*iters), like
+    # Compute.run_benchmark — the subtraction cancels the remote
+    # attachment's fixed per-dispatch cost
     iters = args.iterations
-    s.update_many(iters, params.time_step)
-    s.hard_sync()
-    t0 = time.perf_counter()
-    s.update_many(iters, params.time_step)
-    s.hard_sync()
-    ms = (time.perf_counter() - t0) * 1e3
+    times = {}
+    for k in (iters, 5 * iters):
+        s.update_many(k, params.time_step)
+        s.hard_sync()
+        t0 = time.perf_counter()
+        s.update_many(k, params.time_step)
+        s.hard_sync()
+        times[k] = (time.perf_counter() - t0) * 1e3
+    ms = max((times[5 * iters] - times[iters]) / 4.0, 1e-6)
     ips = n * n * iters / (ms / 1e3) * 1e-9
     print(f"{n} bodies, total time for {iters} iterations: {ms:.3f} ms")
     print(f"= {ips:.3f} billion interactions per second")

@@ -40,15 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# Measured sweet spot on v5e (scripts/tpu_perf_sweep.py + the r2 tile
-# sweep): SMALL i-tiles with LARGE streamed j-tiles win — (64, 8192) runs
-# ~35% faster than the r1 default (256, 1024) at N=65536, and (64, 32768)
-# peaks at 197 G int/s. Small ti shortens the per-grid-step dependency
-# chain (3 accumulators of (ti,128) stay register-resident), big tj
-# amortizes grid-step overhead; tj auto-clamps to N so small problems are
-# unaffected.
+# Measured sweet spot on v5e (scripts/tpu_perf_sweep.py + the r2/r3 tile
+# sweeps): SMALL i-tiles with LARGE streamed j-tiles win — the champion
+# (64, 32768) delta-times at ~220 G int/s vs ~210 G for (64, 8192) at
+# N=65536 (r3 made it the DEFAULT; r2 had left 8192). Small ti shortens
+# the per-grid-step dependency chain (3 accumulators of (ti,128) stay
+# register-resident), big tj amortizes grid-step overhead; tj auto-clamps
+# to N so small problems are unaffected, and tj=65536 exceeds the Mosaic
+# program-size limit (r3 sweep).
 DEFAULT_TILE_I = 64
-DEFAULT_TILE_J = 8192
+DEFAULT_TILE_J = 32768
 
 # experiment hook: override the mxu variant's matmul precision (None =
 # production choice). See _mxu_accumulate_tile.
