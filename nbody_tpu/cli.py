@@ -242,8 +242,11 @@ def _run_ds(args) -> int:
         print(f"energy drift over {args.drift_check} steps "
               f"(dt={params.time_step}): ds {d_dev:.6e} | f64 oracle "
               f"{d_or:.6e} | delta {delta:.3e}")
-        # ds holds drift parity to ~1e-12; gate far tighter than fp32's
-        if delta > 1e-9 * max(abs(d_or), 1e-6):
+        # ds holds drift parity to ~1e-15 on TPU (PARITY.md); the CPU
+        # interpret path is LLVM-contraction-limited (~1e-10 —
+        # ops/ds_kernel.py), so the gate sits above that floor while
+        # still catching any f32-grade (1e-4-scale) regression
+        if delta > max(1e-9, 1e-7 * abs(d_or)):
             print("drift check FAILED", file=sys.stderr)
             return 1
         return 0

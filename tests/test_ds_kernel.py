@@ -141,3 +141,13 @@ def test_sharded_ds_matches_single_device(state64):
     out = step(ph, plo, vh, vlo, scal)
     for got, want in zip(out, ref):
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-12
+
+
+def test_cli_precision_ds_drift_check(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--drift-check", "3",
+               "--numbodies", "256"])
+    out = capsys.readouterr().out
+    assert "energy drift" in out
+    assert rc == 0, out
