@@ -215,7 +215,12 @@ def _run_ds(args) -> int:
     if scales is not None:
         params = params.replace(cluster_scale=scales[0],
                                 velocity_scale=scales[1])
-    s = DSBodySystem(n, params, seed=args.seed)
+    if args.integrator == "hermite":
+        print("error: --precision ds supports --integrator euler/leapfrog "
+              "(hermite needs the jerk kernel, fp32/fp64 paths only)",
+              file=sys.stderr)
+        return 1
+    s = DSBodySystem(n, params, seed=args.seed, integrator=args.integrator)
     import jax
 
     dev = jax.devices()[0]
@@ -226,42 +231,87 @@ def _run_ds(args) -> int:
         from nbody_tpu.oracle.numpy_oracle import step_numpy
         from nbody_tpu.ops.energy import total_energy_f64
 
+        from nbody_tpu.oracle.numpy_oracle import step_numpy_leapfrog
+
+        oracle_step = (step_numpy_leapfrog
+                       if args.integrator == "leapfrog" else step_numpy)
+
+        def drift_pair(n_steps, op, ov, e0):
+            """Advance device + oracle n_steps from where they are; return
+            (d_dev, d_or, delta, op, ov) with drifts relative to e0."""
+            s.update_many(n_steps, params.time_step)
+            s.hard_sync()
+            e_dev = total_energy_f64(s.positions, s.velocities,
+                                     params.softening)
+            for _ in range(n_steps):
+                op, ov = oracle_step(op, ov, params.time_step,
+                                     params.softening, params.damping)
+            e_or = total_energy_f64(op, ov, params.softening)
+            d_dev = (e_dev - e0) / abs(e0)
+            d_or = (e_or - e0) / abs(e0)
+            return d_dev, d_or, abs(d_dev - d_or), op, ov
+
+        # Two-tier gate. Strict ds-grade parity is only meaningful while
+        # the device and oracle trajectories still shadow each other:
+        # demo-0's softened collapse at dt=0.016 amplifies differences
+        # with an e-folding time of ~6.5 steps (measured on-chip r3:
+        # delta 3.8e-14 at 50 steps -> 8.7e-5 at 200, euler AND leapfrog),
+        # so 1e-14-scale arithmetic differences reach 1e-5 territory well
+        # before 200 steps regardless of kernel quality. Tier 1 gates the
+        # first DS_PARITY_HORIZON steps at ds grade (catches any f32-level
+        # regression deterministically); tier 2 gates the full horizon at
+        # the same chaos-tolerant scale criterion the fp32 path uses.
+        DS_PARITY_HORIZON = 50
+        horizon = min(args.drift_check, DS_PARITY_HORIZON)
         p0, v0 = s.positions, s.velocities
         e0 = total_energy_f64(p0, v0, params.softening)
-        s.update_many(args.drift_check, params.time_step)
-        s.hard_sync()
-        e1 = total_energy_f64(s.positions, s.velocities, params.softening)
-        op, ov = p0, v0
-        for _ in range(args.drift_check):
-            op, ov = step_numpy(op, ov, params.time_step, params.softening,
-                                params.damping)
-        e_or = total_energy_f64(op, ov, params.softening)
-        d_dev = (e1 - e0) / abs(e0)
-        d_or = (e_or - e0) / abs(e0)
-        delta = abs(d_dev - d_or)
-        print(f"energy drift over {args.drift_check} steps "
+        op, ov = p0.copy(), v0.copy()
+
+        d_dev, d_or, delta, op, ov = drift_pair(horizon, op, ov, e0)
+        print(f"energy drift over {horizon} steps "
               f"(dt={params.time_step}): ds {d_dev:.6e} | f64 oracle "
               f"{d_or:.6e} | delta {delta:.3e}")
-        # ds holds drift parity to ~1e-15 on TPU (PARITY.md); the CPU
-        # interpret path is LLVM-contraction-limited (~1e-10 —
-        # ops/ds_kernel.py), so the gate sits above that floor while
-        # still catching any f32-grade (1e-4-scale) regression
+        # ds holds parity to ~1e-15 on TPU inside the shadowing horizon
+        # (PARITY.md); the CPU interpret path is LLVM-contraction-limited
+        # (~1e-10 — ops/ds_kernel.py), so the gate sits above that floor
+        # while still catching any f32-grade (1e-4-scale) regression
         if delta > max(1e-9, 1e-7 * abs(d_or)):
             print("drift check FAILED", file=sys.stderr)
             return 1
+
+        remaining = args.drift_check - horizon
+        if remaining > 0:
+            d_dev, d_or, delta, op, ov = drift_pair(remaining, op, ov, e0)
+            print(f"energy drift over {args.drift_check} steps "
+                  f"(dt={params.time_step}): ds {d_dev:.6e} | f64 oracle "
+                  f"{d_or:.6e} | delta {delta:.3e} "
+                  f"(beyond the {DS_PARITY_HORIZON}-step shadowing horizon: "
+                  f"scale criterion)")
+            if delta > max(5e-4, 0.05 * abs(d_or)):
+                print("drift check FAILED", file=sys.stderr)
+                return 1
         return 0
 
     if args.compare or args.qatest:
         from nbody_tpu.oracle.numpy_oracle import step_numpy
 
+        from nbody_tpu.oracle.numpy_oracle import step_numpy_leapfrog
+
+        oracle_step = (step_numpy_leapfrog
+                       if args.integrator == "leapfrog" else step_numpy)
         p0, v0 = s.positions, s.velocities
         s.update(0.001)
         s.block_until_ready()
-        op, _ = step_numpy(p0, v0, 0.001, params.softening, params.damping)
+        op, _ = oracle_step(p0.copy(), v0.copy(), 0.001, params.softening,
+                            params.damping)
         err = np.abs(s.positions[:, :3] - op[:, :3]).max()
         # the reference's 5e-4 criterion is trivial here; gate at the ds
-        # grade actually measured on hardware (1.2e-14 + margin)
-        tol = 1e-10
+        # grade actually measured on hardware (1.2e-14 + margin). The CPU
+        # interpret path is LLVM-contraction-limited (~5e-9 —
+        # ops/ds_kernel.py), so its gate sits above that floor
+        from nbody_tpu.utils.timing import on_tpu as _on_tpu
+
+        tol = 1e-10 if _on_tpu() else 1e-7
         passed = bool(err <= tol)
         print(f"ds QA compare vs f64 oracle: max |dpos| = {err:.3e} "
               f"(tolerance {tol:g}) -> {'OK' if passed else 'FAILED'}")

@@ -26,9 +26,11 @@ from nbody_tpu.ops.ds_kernel import (
     DS_TILE_I,
     DS_TILE_J,
     _scal_ds,
+    _scal_ds_leapfrog,
     ds_from_f64,
     ds_to_f64,
     nbody_step_pallas_ds,
+    nbody_step_pallas_ds_leapfrog,
     rollout_pallas_ds,
 )
 from nbody_tpu.utils.timing import hard_sync as _hard_sync, on_tpu as _on_tpu
@@ -45,6 +47,7 @@ class DSBodySystem:
         *,
         tile_i: int = DS_TILE_I,
         tile_j: int = DS_TILE_J,
+        integrator: str = "euler",
         interpret: Optional[bool] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
@@ -54,6 +57,12 @@ class DSBodySystem:
         self.params = params
         self.tile_i = tile_i
         self.tile_j = tile_j
+        if integrator not in ("euler", "leapfrog"):
+            raise ValueError(
+                "DSBodySystem supports integrator='euler' (reference "
+                "parity) or 'leapfrog' (symplectic DKD, fused in-kernel); "
+                f"got {integrator!r}")
+        self.integrator = integrator
         self.interpret = (not _on_tpu()) if interpret is None else bool(interpret)
         self.seed = seed
         self.config = config
@@ -100,11 +109,20 @@ class DSBodySystem:
 
     # ---- stepping ----
 
+    def _scal(self, dt):
+        p = self.params
+        if self.integrator == "leapfrog":
+            return _scal_ds_leapfrog(dt, p.softening, p.damping)
+        return _scal_ds(dt, p.softening, p.damping)
+
+    def _step_fn(self):
+        return (nbody_step_pallas_ds_leapfrog
+                if self.integrator == "leapfrog" else nbody_step_pallas_ds)
+
     def update(self, dt: Optional[float] = None) -> None:
         dt = self.params.time_step if dt is None else dt
-        scal = _scal_ds(dt, self.params.softening, self.params.damping)
-        self._ph, self._pl, self._vh, self._vl = nbody_step_pallas_ds(
-            self._ph, self._pl, self._vh, self._vl, scal,
+        self._ph, self._pl, self._vh, self._vl = self._step_fn()(
+            self._ph, self._pl, self._vh, self._vl, self._scal(dt),
             tile_i=self.tile_i, tile_j=self.tile_j, interpret=self.interpret)
 
     def update_many(self, steps: int, dt: Optional[float] = None) -> None:
@@ -115,7 +133,7 @@ class DSBodySystem:
             for _ in range(steps):
                 self.update(dt)
             return
-        scal = _scal_ds(dt, self.params.softening, self.params.damping)
+        scal = self._scal(dt)
         n2 = float(self.num_bodies) ** 2
         seg_max = (max(1, min(1000, int(4e11 / max(n2, 1.0))))
                    if _on_tpu() else 1000)
@@ -125,7 +143,8 @@ class DSBodySystem:
             self._ph, self._pl, self._vh, self._vl = rollout_pallas_ds(
                 self._ph, self._pl, self._vh, self._vl, scal, steps=seg,
                 tile_i=self.tile_i, tile_j=self.tile_j,
-                interpret=self.interpret)
+                interpret=self.interpret,
+                integrator=self.integrator)
             done += seg
 
     # ---- diagnostics ----

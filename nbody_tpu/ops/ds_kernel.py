@@ -374,16 +374,21 @@ def nbody_step_ds(pos64, vel64, dt, softening, damping,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "tile_i", "tile_j", "interpret"),
+                   static_argnames=("steps", "tile_i", "tile_j", "interpret",
+                                    "integrator"),
                    donate_argnums=(0, 1, 2, 3))
 def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
                       tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
-                      interpret: bool = False):
-    """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers)."""
+                      interpret: bool = False, integrator: str = "euler"):
+    """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers).
+    integrator="leapfrog" scans the fused DKD step (scal must come from
+    _scal_ds_leapfrog then)."""
+    step_fn = (nbody_step_pallas_ds_leapfrog if integrator == "leapfrog"
+               else nbody_step_pallas_ds)
 
     def body(state, _):
-        return nbody_step_pallas_ds(*state, scal, tile_i=tile_i,
-                                    tile_j=tile_j, interpret=interpret), None
+        return step_fn(*state, scal, tile_i=tile_i,
+                       tile_j=tile_j, interpret=interpret), None
 
     state, _ = jax.lax.scan(body, (pos_hi, pos_lo, vel_hi, vel_lo), None,
                             length=steps)
@@ -412,3 +417,175 @@ def rollout_ds(pos64, vel64, dt, softening, damping, *, steps: int,
             interpret=interpret)
         done += seg
     return ds_to_f64(ph, plo), ds_to_f64(vh, vlo)
+
+
+# ---- fused ds leapfrog (symplectic DKD) ----
+
+def _ds_leapfrog_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
+                        pthi_ref, ptlo_ref, vthi_ref, vtlo_ref,
+                        nph_ref, npl_ref, nvh_ref, nvl_ref,
+                        axh, axl, ayh, ayl, azh, azl, *, tile_j: int):
+    """One fused drift-kick-drift step in ds arithmetic.
+
+    The force must be evaluated at the HALF-step positions on BOTH sides
+    of the pair, so the j-stream carries velocities too (like the hermite
+    kernel) and each chunk half-drifts its j-columns in-kernel — ~6 ds
+    ops per j-element per i-block visit, negligible against the ~30 ds
+    ops per interaction. The i-tile half-drifts once per grid row."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl):
+            r[:, :] = zeros
+
+    eps2 = (scal_ref[0, 1], scal_ref[1, 1])
+    dt_half = (scal_ref[0, 3], scal_ref[1, 3])
+
+    def icol(h_ref, l_ref, c):
+        return (h_ref[:, c:c + 1], l_ref[:, c:c + 1])
+
+    # i-side half-drift (recomputed per grid step; 9 ds ops on (TILE_I, 1))
+    xi = ds_add(icol(pihi_ref, pilo_ref, 0),
+                ds_mul(icol(vihi_ref, vilo_ref, 0), dt_half))
+    yi = ds_add(icol(pihi_ref, pilo_ref, 1),
+                ds_mul(icol(vihi_ref, vilo_ref, 1), dt_half))
+    zi = ds_add(icol(pihi_ref, pilo_ref, 2),
+                ds_mul(icol(vihi_ref, vilo_ref, 2), dt_half))
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+
+        def jrow(h_ref, l_ref, r):
+            return (h_ref[r:r + 1, sl], l_ref[r:r + 1, sl])
+
+        # j-side half-drift per chunk
+        xj = ds_add(jrow(pthi_ref, ptlo_ref, 0),
+                    ds_mul(jrow(vthi_ref, vtlo_ref, 0), dt_half))
+        yj = ds_add(jrow(pthi_ref, ptlo_ref, 1),
+                    ds_mul(jrow(vthi_ref, vtlo_ref, 1), dt_half))
+        zj = ds_add(jrow(pthi_ref, ptlo_ref, 2),
+                    ds_mul(jrow(vthi_ref, vtlo_ref, 2), dt_half))
+        dx = ds_sub(xj, xi)
+        dy = ds_sub(yj, yi)
+        dz = ds_sub(zj, zi)
+        r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                    ds_add(ds_mul(dz, dz), eps2))
+        inv = ds_rsqrt(r2)
+        inv3 = ds_mul(ds_mul(inv, inv), inv)
+        s = ds_mul(jrow(pthi_ref, ptlo_ref, 3), inv3)
+
+        for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                            ((azh, azl), dz)):
+            acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+            ah[:, :] = acc[0]
+            al[:, :] = acc[1]
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        dt = (scal_ref[0, 0], scal_ref[1, 0])
+        damping = (scal_ref[0, 2], scal_ref[1, 2])
+
+        def reduce_ds(ah, al):
+            acc = (ah[:, :], al[:, :])
+            width = acc[0].shape[1]
+            while width > 1:
+                half = width // 2
+                left = (acc[0][:, :half], acc[1][:, :half])
+                right = (acc[0][:, half:width], acc[1][:, half:width])
+                acc = ds_add(left, right)
+                width = half
+            return acc
+
+        acc = (reduce_ds(axh, axl), reduce_ds(ayh, ayl), reduce_ds(azh, azl))
+        halves = (xi, yi, zi)
+        for c in range(3):
+            vc = (vihi_ref[:, c:c + 1], vilo_ref[:, c:c + 1])
+            vnew = ds_mul(ds_add(vc, ds_mul(acc[c], dt)), damping)
+            nvh_ref[:, c:c + 1] = vnew[0]
+            nvl_ref[:, c:c + 1] = vnew[1]
+            pnew = ds_add(halves[c], ds_mul(vnew, dt_half))
+            nph_ref[:, c:c + 1] = pnew[0]
+            npl_ref[:, c:c + 1] = pnew[1]
+        nph_ref[:, 3:4] = pihi_ref[:, 3:4]
+        npl_ref[:, 3:4] = pilo_ref[:, 3:4]
+        nvh_ref[:, 3:4] = vihi_ref[:, 3:4]
+        nvl_ref[:, 3:4] = vilo_ref[:, 3:4]
+
+
+def _scal_ds_leapfrog(dt, softening, damping):
+    """(2, 4) hi/lo block: [dt, eps^2, damping, dt/2]."""
+    import numpy as np
+
+    vals = np.zeros((2, 4), np.float32)
+    for c, v in enumerate((dt, float(softening) ** 2, damping,
+                           float(dt) / 2.0)):
+        hi = np.float32(v)
+        vals[0, c] = hi
+        vals[1, c] = np.float32(np.float64(v) - np.float64(hi))
+    return jnp.asarray(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_leapfrog(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                                  *, tile_i: int = DS_TILE_I,
+                                  tile_j: int = DS_TILE_J,
+                                  interpret: bool = False):
+    """One fused ds drift-kick-drift step (self-vs-self). `scal` from
+    `_scal_ds_leapfrog`. Symplectic: bounded energy drift on long
+    horizons, at ds (fp64-grade) force accuracy."""
+    n = pos_hi.shape[0]
+    tile_i = min(tile_i, _round_up(n, 8))
+    tile_j = min(tile_j, _round_up(n, LANES))
+
+    def pad(a, m):
+        p = _round_up(a.shape[0], m)
+        return jnp.pad(a, ((0, p - a.shape[0]), (0, 0))) if p != a.shape[0] else a
+
+    ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
+    vh, vlo = pad(vel_hi, tile_i), pad(vel_lo, tile_i)
+    jh = pad(pos_hi, tile_j).T
+    jl = pad(pos_lo, tile_j).T
+    jvh = pad(vel_hi, tile_j).T
+    jvl = pad(vel_lo, tile_j).T
+    m_pad, n_pad = ph.shape[0], jh.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+
+    smem = pl.BlockSpec((2, 4), lambda i, j: _ix(0, 0),
+                        memory_space=pltpu.SMEM)
+    i_tile = pl.BlockSpec((tile_i, 4), lambda i, j: _ix(i, 0),
+                          memory_space=pltpu.VMEM)
+    j_tile = pl.BlockSpec((4, tile_j), lambda i, j: _ix(0, j),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((m_pad, 4), jnp.float32)] * 4
+    scratch = [pltpu.VMEM((tile_i, LANES), jnp.float32) for _ in range(6)]
+
+    def kernel_entry(*args):
+        global _ANCHORS
+        prev = _ANCHORS
+        _ANCHORS = bool(interpret)
+        try:
+            return _ds_leapfrog_kernel(*args, tile_j=tile_j)
+        finally:
+            _ANCHORS = prev
+
+    nph, npl, nvh, nvl = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[smem] + [i_tile] * 4 + [j_tile] * 4,
+        out_specs=[i_tile] * 4,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=450 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 10) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(scal, ph, plo, vh, vlo, jh, jl, jvh, jvl)
+    return nph[:n], npl[:n], nvh[:n], nvl[:n]

@@ -151,3 +151,69 @@ def test_cli_precision_ds_drift_check(capsys):
     out = capsys.readouterr().out
     assert "energy drift" in out
     assert rc == 0, out
+
+
+def test_cli_precision_ds_drift_check_beyond_horizon(capsys):
+    """Crossing DS_PARITY_HORIZON engages the two-tier gate: strict ds
+    parity inside the shadowing horizon, the fp32-style scale criterion
+    beyond it (chaos amplifies 1e-14 differences past any fixed absolute
+    gate — measured e-folding ~6.5 steps at demo-0 dt)."""
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--drift-check", "55",
+               "--numbodies", "256"])
+    out = capsys.readouterr().out
+    assert "energy drift over 50 steps" in out
+    assert "energy drift over 55 steps" in out
+    assert "shadowing horizon" in out
+    assert rc == 0, out
+
+
+def test_ds_leapfrog_matches_f64_oracle(state64):
+    """Fused DKD ds step vs the f64 oracle leapfrog. The CPU-jit bound is
+    contraction-limited (~5e-9 absolute; module docstring) — the TPU path
+    measures ds-native ~1e-14 (scripts/tpu_ds_validate.py)."""
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_leapfrog,
+        nbody_step_pallas_ds_leapfrog,
+    )
+    from nbody_tpu.oracle.numpy_oracle import step_numpy_leapfrog
+
+    p64, v64 = state64
+    scal = _scal_ds_leapfrog(0.004, SOFT, DAMP)
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    nph, npl, nvh, nvl = nbody_step_pallas_ds_leapfrog(
+        ph, plo, vh, vlo, scal, tile_j=512, interpret=True)
+    op, ov = step_numpy_leapfrog(p64.copy(), v64.copy(), 0.004, SOFT, DAMP)
+    assert np.abs(ds_to_f64(nph, npl)[:, :3] - op[:, :3]).max() < 5e-8
+    assert np.abs(ds_to_f64(nvh, nvl)[:, :3] - ov[:, :3]).max() < 5e-8
+
+
+def test_ds_body_system_leapfrog_bounded_drift(state64):
+    """Symplectic + fp64-grade: 50-step leapfrog drift stays bounded and
+    far below the Euler ds run's secular drift at the same dt."""
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    p64, v64 = state64
+    params = NBodyParams(time_step=0.004, softening=SOFT, damping=1.0)
+    lf = DSBodySystem(512, params, tile_j=512, integrator="leapfrog",
+                      state=(p64, v64))
+    e0 = lf.total_energy()
+    lf.update_many(50)
+    d_lf = abs((lf.total_energy() - e0) / e0)
+    assert np.isfinite(lf.positions).all()
+    assert d_lf < 5e-3  # bounded oscillation at dt=0.004 on this state
+
+
+def test_cli_precision_ds_leapfrog_qatest(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--qatest", "--numbodies", "512",
+               "--integrator", "leapfrog"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    rc = main(["--precision", "ds", "--benchmark", "--numbodies", "256",
+               "-i", "2", "--integrator", "hermite"])
+    assert rc == 1
