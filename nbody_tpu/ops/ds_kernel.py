@@ -536,9 +536,27 @@ def nbody_step_pallas_ds_leapfrog(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     """One fused ds drift-kick-drift step (self-vs-self). `scal` from
     `_scal_ds_leapfrog`. Symplectic: bounded energy drift on long
     horizons, at ds (fp64-grade) force accuracy."""
+    return nbody_step_pallas_ds_leapfrog_vs(
+        pos_hi, pos_lo, vel_hi, vel_lo, pos_hi, pos_lo, vel_hi, vel_lo,
+        scal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_leapfrog_vs(pos_hi, pos_lo, vel_hi, vel_lo,
+                                     jpos_hi, jpos_lo, jvel_hi, jvel_lo,
+                                     scal, *, tile_i: int = DS_TILE_I,
+                                     tile_j: int = DS_TILE_J,
+                                     interpret: bool = False):
+    """Fused ds DKD step of the i-set under forces from the j-set — the
+    i-vs-j form the body-sharded strategies compose with. The kernel
+    half-drifts BOTH sides from start-of-step state in-kernel, so a
+    sharded step that all-gathers (jpos, jvel) at step start runs the
+    same per-shard arithmetic as the single-device step (exact under
+    Mosaic; the CPU interpret path carries the module's FMA-contraction
+    caveat, ~1e-9)."""
     n = pos_hi.shape[0]
     tile_i = min(tile_i, _round_up(n, 8))
-    tile_j = min(tile_j, _round_up(n, LANES))
+    tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
 
     def pad(a, m):
         p = _round_up(a.shape[0], m)
@@ -546,10 +564,10 @@ def nbody_step_pallas_ds_leapfrog(pos_hi, pos_lo, vel_hi, vel_lo, scal,
 
     ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
     vh, vlo = pad(vel_hi, tile_i), pad(vel_lo, tile_i)
-    jh = pad(pos_hi, tile_j).T
-    jl = pad(pos_lo, tile_j).T
-    jvh = pad(vel_hi, tile_j).T
-    jvl = pad(vel_lo, tile_j).T
+    jh = pad(jpos_hi, tile_j).T
+    jl = pad(jpos_lo, tile_j).T
+    jvh = pad(jvel_hi, tile_j).T
+    jvl = pad(jvel_lo, tile_j).T
     m_pad, n_pad = ph.shape[0], jh.shape[1]
     grid = (m_pad // tile_i, n_pad // tile_j)
 

@@ -435,7 +435,8 @@ def make_sharded_rollout(step_fn, steps: int):
 def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
                          tile_i: int | None = None,
                          tile_j: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         integrator: str = "euler"):
     """Body-sharded double-single (fp64-grade) step: (pos_hi, pos_lo,
     vel_hi, vel_lo, scal) -> same four arrays, each sharded P(axis, None).
 
@@ -443,9 +444,27 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     (2x the fp32 strategy's bytes — still ~32 MB at 1M bodies), each chip
     runs the fused ds kernel on its local i-shard vs the gathered j-set.
     `scal` is the (2, 4) hi/lo parameter block (ops.ds_kernel._scal_ds).
-    """
-    from nbody_tpu.ops.ds_kernel import DS_TILE_I, DS_TILE_J, nbody_step_pallas_ds_vs
 
+    integrator="leapfrog" composes the fused DKD kernel instead: the
+    j-side velocity planes gather too (4 planes, 2x the euler bytes)
+    because the kernel evaluates forces at half-drifted positions on
+    both sides of each pair; `scal` must then come from
+    _scal_ds_leapfrog. Same per-shard arithmetic as the single-device
+    DKD step — both half-drift from the same gathered start-of-step
+    state (exact under Mosaic; CPU interpret carries the ds_kernel
+    FMA-contraction caveat).
+    """
+    from nbody_tpu.ops.ds_kernel import (
+        DS_TILE_I,
+        DS_TILE_J,
+        nbody_step_pallas_ds_leapfrog_vs,
+        nbody_step_pallas_ds_vs,
+    )
+
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(
+            f"make_sharded_ds_step: integrator must be 'euler' or "
+            f"'leapfrog', got {integrator!r}")
     ti = DS_TILE_I if tile_i is None else tile_i
     tj = DS_TILE_J if tile_j is None else tile_j
 
@@ -460,6 +479,12 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     def step(ph, plo, vh, vlo, scal):
         jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
         jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
+        if integrator == "leapfrog":
+            jvh = jax.lax.all_gather(vh, axis, axis=0, tiled=True)
+            jvl = jax.lax.all_gather(vlo, axis, axis=0, tiled=True)
+            return nbody_step_pallas_ds_leapfrog_vs(
+                ph, plo, vh, vlo, jh, jl, jvh, jvl, scal,
+                tile_i=ti, tile_j=tj, interpret=interpret)
         return nbody_step_pallas_ds_vs(ph, plo, vh, vlo, jh, jl, scal,
                                        tile_i=ti, tile_j=tj,
                                        interpret=interpret)

@@ -143,6 +143,42 @@ def test_sharded_ds_matches_single_device(state64):
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-12
 
 
+def test_sharded_ds_leapfrog_matches_single_device(state64):
+    """8-device allgather ds DKD step == single-device fused DKD step.
+    Bit-identical by construction: both half-drift from the same gathered
+    start-of-step state (parallel/sharded.py::make_sharded_ds_step)."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_leapfrog,
+        nbody_step_pallas_ds_leapfrog,
+    )
+    from nbody_tpu.parallel import make_mesh, make_sharded_ds_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal = _scal_ds_leapfrog(DT, SOFT, DAMP)
+    ref = nbody_step_pallas_ds_leapfrog(ph, plo, vh, vlo, scal, tile_j=512,
+                                        interpret=True)
+
+    mesh = make_mesh(8)
+    step = make_sharded_ds_step(mesh, tile_j=512, interpret=True,
+                                integrator="leapfrog")
+    out = step(ph, plo, vh, vlo, scal)
+    for got, want in zip(out, ref):
+        # identical per-shard arithmetic, but the CPU interpret path is
+        # subject to the LLVM FMA-contraction hazard (module docstring):
+        # shard_map changes fusion boundaries, so contraction lands in
+        # different spots of the DKD half-drift EFT chains (~1e-9 here);
+        # on-chip Mosaic compiles the same kernel program for both
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-9
+    with pytest.raises(ValueError):
+        make_sharded_ds_step(mesh, integrator="rk4")
+
+
 def test_cli_precision_ds_drift_check(capsys):
     from nbody_tpu.cli import main
 
