@@ -215,11 +215,6 @@ def _run_ds(args) -> int:
     if scales is not None:
         params = params.replace(cluster_scale=scales[0],
                                 velocity_scale=scales[1])
-    if args.integrator == "hermite":
-        print("error: --precision ds supports --integrator euler/leapfrog "
-              "(hermite needs the jerk kernel, fp32/fp64 paths only)",
-              file=sys.stderr)
-        return 1
     s = DSBodySystem(n, params, seed=args.seed, integrator=args.integrator)
     import jax
 
@@ -231,10 +226,14 @@ def _run_ds(args) -> int:
         from nbody_tpu.oracle.numpy_oracle import step_numpy
         from nbody_tpu.ops.energy import total_energy_f64
 
-        from nbody_tpu.oracle.numpy_oracle import step_numpy_leapfrog
+        from nbody_tpu.oracle.numpy_oracle import (
+            step_numpy_hermite,
+            step_numpy_leapfrog,
+        )
 
-        oracle_step = (step_numpy_leapfrog
-                       if args.integrator == "leapfrog" else step_numpy)
+        oracle_step = {"euler": step_numpy,
+                       "leapfrog": step_numpy_leapfrog,
+                       "hermite": step_numpy_hermite}[args.integrator]
 
         def drift_pair(n_steps, op, ov, e0):
             """Advance device + oracle n_steps from where they are; return
@@ -295,10 +294,14 @@ def _run_ds(args) -> int:
     if args.compare or args.qatest:
         from nbody_tpu.oracle.numpy_oracle import step_numpy
 
-        from nbody_tpu.oracle.numpy_oracle import step_numpy_leapfrog
+        from nbody_tpu.oracle.numpy_oracle import (
+            step_numpy_hermite,
+            step_numpy_leapfrog,
+        )
 
-        oracle_step = (step_numpy_leapfrog
-                       if args.integrator == "leapfrog" else step_numpy)
+        oracle_step = {"euler": step_numpy,
+                       "leapfrog": step_numpy_leapfrog,
+                       "hermite": step_numpy_hermite}[args.integrator]
         p0, v0 = s.positions, s.velocities
         s.update(0.001)
         s.block_until_ready()

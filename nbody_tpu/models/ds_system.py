@@ -23,13 +23,16 @@ from nbody_tpu.config import NBodyConfig
 from nbody_tpu.params import NBodyParams
 from nbody_tpu import ic
 from nbody_tpu.ops.ds_kernel import (
+    DS_HERMITE_TILE_J,
     DS_TILE_I,
     DS_TILE_J,
     _scal_ds,
+    _scal_ds_hermite,
     _scal_ds_leapfrog,
     ds_from_f64,
     ds_to_f64,
     nbody_step_pallas_ds,
+    nbody_step_pallas_ds_hermite,
     nbody_step_pallas_ds_leapfrog,
     rollout_pallas_ds,
 )
@@ -46,7 +49,7 @@ class DSBodySystem:
         params: NBodyParams,
         *,
         tile_i: int = DS_TILE_I,
-        tile_j: int = DS_TILE_J,
+        tile_j: Optional[int] = None,
         integrator: str = "euler",
         interpret: Optional[bool] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
@@ -56,12 +59,17 @@ class DSBodySystem:
         self.num_bodies = int(num_bodies)
         self.params = params
         self.tile_i = tile_i
-        self.tile_j = tile_j
-        if integrator not in ("euler", "leapfrog"):
+        # the accel+jerk kernel's larger live set caps its j-tile below
+        # the force-only kernels' (scoped-vmem limit — ops/ds_kernel.py)
+        self.tile_j = (tile_j if tile_j is not None
+                       else (DS_HERMITE_TILE_J if integrator == "hermite"
+                             else DS_TILE_J))
+        if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(
                 "DSBodySystem supports integrator='euler' (reference "
-                "parity) or 'leapfrog' (symplectic DKD, fused in-kernel); "
-                f"got {integrator!r}")
+                "parity), 'leapfrog' (symplectic DKD, fused in-kernel), "
+                "or 'hermite' (4th-order P(EC), two ds accel+jerk "
+                f"dispatches per step); got {integrator!r}")
         self.integrator = integrator
         self.interpret = (not _on_tpu()) if interpret is None else bool(interpret)
         self.seed = seed
@@ -113,11 +121,14 @@ class DSBodySystem:
         p = self.params
         if self.integrator == "leapfrog":
             return _scal_ds_leapfrog(dt, p.softening, p.damping)
+        if self.integrator == "hermite":
+            return _scal_ds_hermite(dt, p.softening, p.damping)
         return _scal_ds(dt, p.softening, p.damping)
 
     def _step_fn(self):
-        return (nbody_step_pallas_ds_leapfrog
-                if self.integrator == "leapfrog" else nbody_step_pallas_ds)
+        return {"euler": nbody_step_pallas_ds,
+                "leapfrog": nbody_step_pallas_ds_leapfrog,
+                "hermite": nbody_step_pallas_ds_hermite}[self.integrator]
 
     def update(self, dt: Optional[float] = None) -> None:
         dt = self.params.time_step if dt is None else dt
@@ -135,7 +146,10 @@ class DSBodySystem:
             return
         scal = self._scal(dt)
         n2 = float(self.num_bodies) ** 2
-        seg_max = (max(1, min(1000, int(4e11 / max(n2, 1.0))))
+        # hermite runs TWO force evaluations per step, so its per-dispatch
+        # pair-interaction budget is half the single-eval integrators'
+        work = 2.0e11 if self.integrator == "hermite" else 4.0e11
+        seg_max = (max(1, min(1000, int(work / max(n2, 1.0))))
                    if _on_tpu() else 1000)
         done = 0
         while done < steps:

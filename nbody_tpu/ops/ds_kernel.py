@@ -381,10 +381,12 @@ def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
                       tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
                       interpret: bool = False, integrator: str = "euler"):
     """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers).
-    integrator="leapfrog" scans the fused DKD step (scal must come from
-    _scal_ds_leapfrog then)."""
-    step_fn = (nbody_step_pallas_ds_leapfrog if integrator == "leapfrog"
-               else nbody_step_pallas_ds)
+    integrator="leapfrog" scans the fused DKD step (scal from
+    _scal_ds_leapfrog); "hermite" scans the two-dispatch P(EC) step
+    (scal from _scal_ds_hermite)."""
+    step_fn = {"euler": nbody_step_pallas_ds,
+               "leapfrog": nbody_step_pallas_ds_leapfrog,
+               "hermite": nbody_step_pallas_ds_hermite}[integrator]
 
     def body(state, _):
         return step_fn(*state, scal, tile_i=tile_i,
@@ -606,4 +608,258 @@ def nbody_step_pallas_ds_leapfrog_vs(pos_hi, pos_lo, vel_hi, vel_lo,
         ),
         interpret=interpret,
     )(scal, ph, plo, vh, vlo, jh, jl, jvh, jvl)
+    return nph[:n], npl[:n], nvh[:n], nvl[:n]
+
+
+# ---- ds Hermite (4th-order predictor-corrector) ----
+
+def _ds_accel_jerk_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
+                          pthi_ref, ptlo_ref, vthi_ref, vtlo_ref,
+                          ah_ref, al_ref, jh_ref, jl_ref,
+                          axh, axl, ayh, ayl, azh, azl,
+                          gxh, gxl, gyh, gyl, gzh, gzl, *, tile_j: int):
+    """ds acceleration AND jerk on the i-tile due to the streamed j-set.
+
+    jerk = sum_j m_j [ dv/r^3 - 3 (dr.dv) dr/r^5 ]  (softened r^2; the
+    fp32 analogue is pallas_kernel._accel_jerk_kernel, the formulation
+    ops/reference.py::_accel_jerk_rows). ~2x the ds ops of the force-only
+    kernel: the extra inv2/rv/c3 chain plus three jerk accumulators."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl,
+                  gxh, gxl, gyh, gyl, gzh, gzl):
+            r[:, :] = zeros
+
+    eps2 = (scal_ref[0, 1], scal_ref[1, 1])
+
+    def icol(h_ref, l_ref, c):
+        return (h_ref[:, c:c + 1], l_ref[:, c:c + 1])
+
+    xi = icol(pihi_ref, pilo_ref, 0)
+    yi = icol(pihi_ref, pilo_ref, 1)
+    zi = icol(pihi_ref, pilo_ref, 2)
+    vxi = icol(vihi_ref, vilo_ref, 0)
+    vyi = icol(vihi_ref, vilo_ref, 1)
+    vzi = icol(vihi_ref, vilo_ref, 2)
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+
+        def jrow(h_ref, l_ref, r):
+            return (h_ref[r:r + 1, sl], l_ref[r:r + 1, sl])
+
+        dx = ds_sub(jrow(pthi_ref, ptlo_ref, 0), xi)
+        dy = ds_sub(jrow(pthi_ref, ptlo_ref, 1), yi)
+        dz = ds_sub(jrow(pthi_ref, ptlo_ref, 2), zi)
+        dvx = ds_sub(jrow(vthi_ref, vtlo_ref, 0), vxi)
+        dvy = ds_sub(jrow(vthi_ref, vtlo_ref, 1), vyi)
+        dvz = ds_sub(jrow(vthi_ref, vtlo_ref, 2), vzi)
+        r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                    ds_add(ds_mul(dz, dz), eps2))
+        inv = ds_rsqrt(r2)
+        inv2 = ds_mul(inv, inv)
+        inv3 = ds_mul(inv2, inv)
+        s = ds_mul(jrow(pthi_ref, ptlo_ref, 3), inv3)  # m_j / r^3
+        rv = ds_add(ds_add(ds_mul(dx, dvx), ds_mul(dy, dvy)),
+                    ds_mul(dz, dvz))
+        c3 = ds_mul_f32(ds_mul(ds_mul(s, rv), inv2),
+                        jnp.float32(3.0))  # 3 m_j (dr.dv) / r^5
+
+        for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                            ((azh, azl), dz)):
+            acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+            ah[:, :] = acc[0]
+            al[:, :] = acc[1]
+        for (gh, gl), dv, d in (((gxh, gxl), dvx, dx),
+                                ((gyh, gyl), dvy, dy),
+                                ((gzh, gzl), dvz, dz)):
+            jrk = ds_add((gh[:, :], gl[:, :]),
+                         ds_sub(ds_mul(s, dv), ds_mul(c3, d)))
+            gh[:, :] = jrk[0]
+            gl[:, :] = jrk[1]
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        def reduce_ds(ah, al):
+            acc = (ah[:, :], al[:, :])
+            width = acc[0].shape[1]
+            while width > 1:
+                half = width // 2
+                left = (acc[0][:, :half], acc[1][:, :half])
+                right = (acc[0][:, half:width], acc[1][:, half:width])
+                acc = ds_add(left, right)
+                width = half
+            return acc
+
+        for c, (sh, slo) in enumerate(((axh, axl), (ayh, ayl), (azh, azl))):
+            red = reduce_ds(sh, slo)
+            ah_ref[:, c:c + 1] = red[0]
+            al_ref[:, c:c + 1] = red[1]
+        for c, (sh, slo) in enumerate(((gxh, gxl), (gyh, gyl), (gzh, gzl))):
+            red = reduce_ds(sh, slo)
+            jh_ref[:, c:c + 1] = red[0]
+            jl_ref[:, c:c + 1] = red[1]
+        zero = jnp.zeros_like(ah_ref[:, 3:4])
+        ah_ref[:, 3:4] = zero
+        al_ref[:, 3:4] = zero
+        jh_ref[:, 3:4] = zero
+        jl_ref[:, 3:4] = zero
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_jerk_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo,
+                                 jpos_hi, jpos_lo, jvel_hi, jvel_lo,
+                                 scal, *, tile_i: int = DS_TILE_I,
+                                 tile_j: int | None = None,
+                                 interpret: bool = False):
+    """(acc_hi, acc_lo, jerk_hi, jerk_lo), each (N, 4) with column 3 zero,
+    for the i-set under the j-set — the Hermite scheme's ds force
+    evaluation in the i-vs-j form the sharded strategies compose with.
+    `scal` is any (2, >=2) hi/lo block with eps^2 in column 1 (`_scal_ds`
+    and `_scal_ds_hermite` both qualify)."""
+    if tile_j is None:
+        tile_j = DS_HERMITE_TILE_J
+    n = pos_hi.shape[0]
+    tile_i = min(tile_i, _round_up(n, 8))
+    tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
+
+    def pad(a, m):
+        p = _round_up(a.shape[0], m)
+        return jnp.pad(a, ((0, p - a.shape[0]), (0, 0))) if p != a.shape[0] else a
+
+    ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
+    vh, vlo = pad(vel_hi, tile_i), pad(vel_lo, tile_i)
+    jh = pad(jpos_hi, tile_j).T
+    jl = pad(jpos_lo, tile_j).T
+    jvh = pad(jvel_hi, tile_j).T
+    jvl = pad(jvel_lo, tile_j).T
+    m_pad, n_pad = ph.shape[0], jh.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+
+    smem = pl.BlockSpec(scal.shape, lambda i, j: _ix(0, 0),
+                        memory_space=pltpu.SMEM)
+    i_tile = pl.BlockSpec((tile_i, 4), lambda i, j: _ix(i, 0),
+                          memory_space=pltpu.VMEM)
+    j_tile = pl.BlockSpec((4, tile_j), lambda i, j: _ix(0, j),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((m_pad, 4), jnp.float32)] * 4
+    scratch = [pltpu.VMEM((tile_i, LANES), jnp.float32) for _ in range(12)]
+
+    def kernel_entry(*args):
+        global _ANCHORS
+        prev = _ANCHORS
+        _ANCHORS = bool(interpret)
+        try:
+            return _ds_accel_jerk_kernel(*args, tile_j=tile_j)
+        finally:
+            _ANCHORS = prev
+
+    ah, al, jrh, jrl = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[smem] + [i_tile] * 4 + [j_tile] * 4,
+        out_specs=[i_tile] * 4,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=800 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 10) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(scal, ph, plo, vh, vlo, jh, jl, jvh, jvl)
+    return ah[:n], al[:n], jrh[:n], jrl[:n]
+
+
+# the accel+jerk kernel carries ~2x the live ds intermediates of the
+# force-only kernel (dv, rv, c3 chains + 12 accumulators): tile_j=4096
+# exceeds the 16 MB scoped-vmem limit (measured: 23.7 MB requested).
+# r3 on-chip sweep at N=16384: tj 1024 and 2048 both measure 71.2
+# ms/step delta-timed (3.77 G int/s) — tile-insensitive in this range
+DS_HERMITE_TILE_J = 2048
+
+
+def _scal_ds_hermite(dt, softening, damping):
+    """(2, 8) hi/lo block: [dt, eps^2, damping, dt/2, dt^2/2, dt^3/6,
+    dt^2/12, 0] — every dt power computed in f64 on the host and split
+    exactly, so the ds predictor/corrector polynomials see full-precision
+    coefficients."""
+    import numpy as np
+
+    d = np.float64(dt)
+    vals = np.zeros((2, 8), np.float32)
+    for c, v in enumerate((d, np.float64(softening) ** 2,
+                           np.float64(damping), d / 2.0, d * d / 2.0,
+                           d * d * d / 6.0, d * d / 12.0)):
+        hi = np.float32(v)
+        vals[0, c] = hi
+        vals[1, c] = np.float32(np.float64(v) - np.float64(hi))
+    return jnp.asarray(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                                 *, tile_i: int = DS_TILE_I,
+                                 tile_j: int | None = None,
+                                 interpret: bool = False):
+    """One 4th-order Hermite P(EC) step in ds arithmetic (self-vs-self).
+
+    Two ds accel+jerk kernel dispatches (start state, predicted state)
+    around an O(N) ds predictor/corrector evaluated at the XLA level with
+    anchors active (the EFT chains there face the same LLVM contraction
+    hazard the kernels do in interpret mode — module docstring). `scal`
+    from `_scal_ds_hermite`. Same P(EC) form as
+    ops/reference.py::nbody_step_hermite (Makino & Aarseth 1992)."""
+    n = pos_hi.shape[0]
+
+    def sc(c):
+        return (scal[0, c], scal[1, c])
+
+    dt, damping = sc(0), sc(2)
+    dt_half, dt2_2, dt3_6, dt2_12 = sc(3), sc(4), sc(5), sc(6)
+
+    def planes(hi, lo):
+        return (hi[:, :3], lo[:, :3])
+
+    def assemble(vec, mass_hi, mass_lo):
+        return (jnp.concatenate([vec[0], mass_hi], axis=1),
+                jnp.concatenate([vec[1], mass_lo], axis=1))
+
+    fscal = scal[:, :4]
+    a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
+        pos_hi, pos_lo, vel_hi, vel_lo, pos_hi, pos_lo, vel_hi, vel_lo,
+        fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+
+    x0, v0 = planes(pos_hi, pos_lo), planes(vel_hi, vel_lo)
+    a0, j0 = planes(a0h, a0l), planes(j0h, j0l)
+
+    # predict: x_p = x + v dt + a0 dt^2/2 + j0 dt^3/6;  v_p analogous
+    xp = ds_add(ds_add(x0, ds_mul(v0, dt)),
+                ds_add(ds_mul(a0, dt2_2), ds_mul(j0, dt3_6)))
+    vp = ds_add(v0, ds_add(ds_mul(a0, dt), ds_mul(j0, dt2_2)))
+    pph, ppl = assemble(xp, pos_hi[:, 3:4], pos_lo[:, 3:4])
+    vph, vpl = assemble(vp, vel_hi[:, 3:4], vel_lo[:, 3:4])
+
+    a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
+        pph, ppl, vph, vpl, pph, ppl, vph, vpl,
+        fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+    a1, j1 = planes(a1h, a1l), planes(j1h, j1l)
+
+    # correct: v1 = (v + dt/2 (a0+a1) + dt^2/12 (j0-j1)) * damping
+    #          x1 = x + dt/2 (v+v1) + dt^2/12 (a0-a1)
+    v1 = ds_mul(ds_add(v0, ds_add(ds_mul(ds_add(a0, a1), dt_half),
+                                  ds_mul(ds_sub(j0, j1), dt2_12))),
+                damping)
+    x1 = ds_add(x0, ds_add(ds_mul(ds_add(v0, v1), dt_half),
+                           ds_mul(ds_sub(a0, a1), dt2_12)))
+
+    nph, npl = assemble(x1, pos_hi[:, 3:4], pos_lo[:, 3:4])
+    nvh, nvl = assemble(v1, vel_hi[:, 3:4], vel_lo[:, 3:4])
     return nph[:n], npl[:n], nvh[:n], nvl[:n]

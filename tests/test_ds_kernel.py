@@ -250,6 +250,69 @@ def test_cli_precision_ds_leapfrog_qatest(capsys):
                "--integrator", "leapfrog"])
     out = capsys.readouterr().out
     assert rc == 0, out
-    rc = main(["--precision", "ds", "--benchmark", "--numbodies", "256",
-               "-i", "2", "--integrator", "hermite"])
-    assert rc == 1
+
+
+def test_ds_hermite_matches_f64_oracle(state64):
+    """Two-dispatch ds Hermite P(EC) step vs the f64 oracle hermite. CPU
+    interpret carries the contraction floor; TPU measures ~1e-14
+    (scripts/tpu_ds_validate.py)."""
+    from nbody_tpu.oracle.numpy_oracle import step_numpy_hermite
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_hermite,
+        nbody_step_pallas_ds_hermite,
+    )
+
+    p64, v64 = state64
+    scal = _scal_ds_hermite(0.004, SOFT, DAMP)
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    nph, npl, nvh, nvl = nbody_step_pallas_ds_hermite(
+        ph, plo, vh, vlo, scal, tile_j=512, interpret=True)
+    op, ov = step_numpy_hermite(p64.copy(), v64.copy(), 0.004, SOFT, DAMP)
+    assert np.abs(ds_to_f64(nph, npl)[:, :3] - op[:, :3]).max() < 1e-7
+    assert np.abs(ds_to_f64(nvh, nvl)[:, :3] - ov[:, :3]).max() < 1e-7
+    # mass column preserved in both planes
+    assert np.array_equal(np.asarray(nph)[:, 3], np.asarray(ph)[:, 3])
+    assert np.array_equal(np.asarray(npl)[:, 3], np.asarray(plo)[:, 3])
+
+
+def test_ds_hermite_fourth_order(state64):
+    """O(dt^4) local accuracy: against the f64 oracle hermite reference,
+    the ds hermite one-step error vs a dt-halved two-step run contracts
+    ~16x (euler would contract ~2-4x)."""
+    from nbody_tpu.oracle.numpy_oracle import step_numpy_hermite
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    p64, v64 = state64
+    params = NBodyParams(time_step=0.01, softening=SOFT, damping=1.0)
+
+    def drift_err(dt, steps):
+        s = DSBodySystem(512, params, tile_j=512, integrator="hermite",
+                         state=(p64, v64))
+        s.update_many(steps, dt)
+        # truth: the same horizon integrated at dt/8 (error ~4096x smaller)
+        op, ov = p64.copy(), v64.copy()
+        for _ in range(steps * 8):
+            op, ov = step_numpy_hermite(op, ov, dt / 8, SOFT, DAMP)
+        return np.abs(s.positions[:, :3] - op[:, :3]).max()
+
+    e_full = drift_err(0.02, 1)
+    e_half = drift_err(0.01, 2)
+    # 4th order: halving dt cuts the end-point error ~16x; allow slack
+    # for the chaotic prefactor and the CPU contraction floor
+    assert e_half < e_full / 6, (e_full, e_half)
+
+
+def test_cli_precision_ds_hermite(capsys):
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--qatest", "--numbodies", "512",
+               "--integrator", "hermite"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    rc = main(["--precision", "ds", "--drift-check", "3",
+               "--numbodies", "256", "--integrator", "hermite"])
+    out = capsys.readouterr().out
+    assert "energy drift" in out
+    assert rc == 0, out
