@@ -804,6 +804,48 @@ def _scal_ds_hermite(dt, softening, damping):
     return jnp.asarray(vals)
 
 
+def hermite_planes(hi, lo):
+    """(N, 4) hi/lo AoS -> the (N, 3) coordinate planes as a ds pair."""
+    return (hi[:, :3], lo[:, :3])
+
+
+def hermite_assemble(vec, mass_hi, mass_lo):
+    """ds (N, 3) planes + the carried mass column -> (N, 4) hi/lo AoS."""
+    return (jnp.concatenate([vec[0], mass_hi], axis=1),
+            jnp.concatenate([vec[1], mass_lo], axis=1))
+
+
+def _hermite_sc(scal, c):
+    return (scal[0, c], scal[1, c])
+
+
+def hermite_predict(x0, v0, a0, j0, scal):
+    """ds Hermite predictor: x_p = x + v dt + a0 dt^2/2 + j0 dt^3/6 and
+    v_p = v + a0 dt + j0 dt^2/2, on ds (N, 3) plane pairs. `scal` from
+    `_scal_ds_hermite` (exact f64-split dt powers). O(N) XLA-level ds
+    arithmetic — anchors active (module docstring)."""
+    dt = _hermite_sc(scal, 0)
+    dt2_2, dt3_6 = _hermite_sc(scal, 4), _hermite_sc(scal, 5)
+    xp = ds_add(ds_add(x0, ds_mul(v0, dt)),
+                ds_add(ds_mul(a0, dt2_2), ds_mul(j0, dt3_6)))
+    vp = ds_add(v0, ds_add(ds_mul(a0, dt), ds_mul(j0, dt2_2)))
+    return xp, vp
+
+
+def hermite_correct(x0, v0, a0, j0, a1, j1, scal):
+    """ds Hermite corrector:
+    v1 = (v + dt/2 (a0+a1) + dt^2/12 (j0-j1)) * damping,
+    x1 = x + dt/2 (v+v1) + dt^2/12 (a0-a1). Returns (x1, v1)."""
+    damping = _hermite_sc(scal, 2)
+    dt_half, dt2_12 = _hermite_sc(scal, 3), _hermite_sc(scal, 6)
+    v1 = ds_mul(ds_add(v0, ds_add(ds_mul(ds_add(a0, a1), dt_half),
+                                  ds_mul(ds_sub(j0, j1), dt2_12))),
+                damping)
+    x1 = ds_add(x0, ds_add(ds_mul(ds_add(v0, v1), dt_half),
+                           ds_mul(ds_sub(a0, a1), dt2_12)))
+    return x1, v1
+
+
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                                  *, tile_i: int = DS_TILE_I,
@@ -819,47 +861,25 @@ def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     ops/reference.py::nbody_step_hermite (Makino & Aarseth 1992)."""
     n = pos_hi.shape[0]
 
-    def sc(c):
-        return (scal[0, c], scal[1, c])
-
-    dt, damping = sc(0), sc(2)
-    dt_half, dt2_2, dt3_6, dt2_12 = sc(3), sc(4), sc(5), sc(6)
-
-    def planes(hi, lo):
-        return (hi[:, :3], lo[:, :3])
-
-    def assemble(vec, mass_hi, mass_lo):
-        return (jnp.concatenate([vec[0], mass_hi], axis=1),
-                jnp.concatenate([vec[1], mass_lo], axis=1))
-
     fscal = scal[:, :4]
     a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
         pos_hi, pos_lo, vel_hi, vel_lo, pos_hi, pos_lo, vel_hi, vel_lo,
         fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
 
-    x0, v0 = planes(pos_hi, pos_lo), planes(vel_hi, vel_lo)
-    a0, j0 = planes(a0h, a0l), planes(j0h, j0l)
+    x0, v0 = hermite_planes(pos_hi, pos_lo), hermite_planes(vel_hi, vel_lo)
+    a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
 
-    # predict: x_p = x + v dt + a0 dt^2/2 + j0 dt^3/6;  v_p analogous
-    xp = ds_add(ds_add(x0, ds_mul(v0, dt)),
-                ds_add(ds_mul(a0, dt2_2), ds_mul(j0, dt3_6)))
-    vp = ds_add(v0, ds_add(ds_mul(a0, dt), ds_mul(j0, dt2_2)))
-    pph, ppl = assemble(xp, pos_hi[:, 3:4], pos_lo[:, 3:4])
-    vph, vpl = assemble(vp, vel_hi[:, 3:4], vel_lo[:, 3:4])
+    xp, vp = hermite_predict(x0, v0, a0, j0, scal)
+    pph, ppl = hermite_assemble(xp, pos_hi[:, 3:4], pos_lo[:, 3:4])
+    vph, vpl = hermite_assemble(vp, vel_hi[:, 3:4], vel_lo[:, 3:4])
 
     a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
         pph, ppl, vph, vpl, pph, ppl, vph, vpl,
         fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
-    a1, j1 = planes(a1h, a1l), planes(j1h, j1l)
+    a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
 
-    # correct: v1 = (v + dt/2 (a0+a1) + dt^2/12 (j0-j1)) * damping
-    #          x1 = x + dt/2 (v+v1) + dt^2/12 (a0-a1)
-    v1 = ds_mul(ds_add(v0, ds_add(ds_mul(ds_add(a0, a1), dt_half),
-                                  ds_mul(ds_sub(j0, j1), dt2_12))),
-                damping)
-    x1 = ds_add(x0, ds_add(ds_mul(ds_add(v0, v1), dt_half),
-                           ds_mul(ds_sub(a0, a1), dt2_12)))
+    x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
 
-    nph, npl = assemble(x1, pos_hi[:, 3:4], pos_lo[:, 3:4])
-    nvh, nvl = assemble(v1, vel_hi[:, 3:4], vel_lo[:, 3:4])
+    nph, npl = hermite_assemble(x1, pos_hi[:, 3:4], pos_lo[:, 3:4])
+    nvh, nvl = hermite_assemble(v1, vel_hi[:, 3:4], vel_lo[:, 3:4])
     return nph[:n], npl[:n], nvh[:n], nvl[:n]

@@ -453,20 +453,66 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     DKD step — both half-drift from the same gathered start-of-step
     state (exact under Mosaic; CPU interpret carries the ds_kernel
     FMA-contraction caveat).
+
+    integrator="hermite" composes the 4th-order P(EC) scheme: TWO
+    gather rounds per step (start state, then the locally-predicted
+    state — the correct-eval needs every j body at its predicted
+    position, and predictions only exist shard-locally because they
+    need that shard's a0/j0), each followed by a local-i-vs-gathered-j
+    ds accel+jerk kernel; the O(N/D) predictor/corrector polynomials
+    run at the XLA level per shard, identical ds arithmetic to the
+    single-device step. `scal` from _scal_ds_hermite.
     """
     from nbody_tpu.ops.ds_kernel import (
+        DS_HERMITE_TILE_J,
         DS_TILE_I,
         DS_TILE_J,
+        compute_accel_jerk_pallas_ds,
+        hermite_assemble,
+        hermite_correct,
+        hermite_planes,
+        hermite_predict,
         nbody_step_pallas_ds_leapfrog_vs,
         nbody_step_pallas_ds_vs,
     )
 
-    if integrator not in ("euler", "leapfrog"):
+    if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(
-            f"make_sharded_ds_step: integrator must be 'euler' or "
-            f"'leapfrog', got {integrator!r}")
+            f"make_sharded_ds_step: integrator must be 'euler', "
+            f"'leapfrog', or 'hermite', got {integrator!r}")
     ti = DS_TILE_I if tile_i is None else tile_i
-    tj = DS_TILE_J if tile_j is None else tile_j
+    tj = ((DS_HERMITE_TILE_J if integrator == "hermite" else DS_TILE_J)
+          if tile_j is None else tile_j)
+
+    def _hermite_step(ph, plo, vh, vlo, scal):
+        fscal = scal[:, :4]
+
+        def gather4(a, b, c, d):
+            return tuple(jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                         for x in (a, b, c, d))
+
+        jh, jl, jvh, jvl = gather4(ph, plo, vh, vlo)
+        a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
+            ph, plo, vh, vlo, jh, jl, jvh, jvl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+
+        x0, v0 = hermite_planes(ph, plo), hermite_planes(vh, vlo)
+        a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
+
+        xp, vp = hermite_predict(x0, v0, a0, j0, scal)
+        pph, ppl = hermite_assemble(xp, ph[:, 3:4], plo[:, 3:4])
+        vph, vpl = hermite_assemble(vp, vh[:, 3:4], vlo[:, 3:4])
+
+        gpph, gppl, gvph, gvpl = gather4(pph, ppl, vph, vpl)
+        a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
+            pph, ppl, vph, vpl, gpph, gppl, gvph, gvpl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
+
+        x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
+        nph, npl = hermite_assemble(x1, ph[:, 3:4], plo[:, 3:4])
+        nvh, nvl = hermite_assemble(v1, vh[:, 3:4], vlo[:, 3:4])
+        return nph, npl, nvh, nvl
 
     @jax.jit
     @functools.partial(
@@ -477,6 +523,8 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     def step(ph, plo, vh, vlo, scal):
+        if integrator == "hermite":
+            return _hermite_step(ph, plo, vh, vlo, scal)
         jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
         jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
         if integrator == "leapfrog":

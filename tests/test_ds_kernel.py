@@ -179,6 +179,40 @@ def test_sharded_ds_leapfrog_matches_single_device(state64):
         make_sharded_ds_step(mesh, integrator="rk4")
 
 
+def test_sharded_ds_hermite_matches_single_device(state64):
+    """8-device ds Hermite P(EC) == single-device ds Hermite. Two gather
+    rounds (start state, locally-predicted state); per-shard predictor/
+    corrector arithmetic is identical to the single-device step
+    (parallel/sharded.py::make_sharded_ds_step integrator='hermite')."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_hermite,
+        nbody_step_pallas_ds_hermite,
+    )
+    from nbody_tpu.parallel import make_mesh, make_sharded_ds_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal = _scal_ds_hermite(DT, SOFT, DAMP)
+    ref = nbody_step_pallas_ds_hermite(ph, plo, vh, vlo, scal, tile_j=512,
+                                       interpret=True)
+
+    mesh = make_mesh(8)
+    step = make_sharded_ds_step(mesh, tile_j=512, interpret=True,
+                                integrator="hermite")
+    out = step(ph, plo, vh, vlo, scal)
+    for got, want in zip(out, ref):
+        # same per-shard ds arithmetic; the CPU interpret path carries
+        # the LLVM FMA-contraction caveat (shard_map moves fusion
+        # boundaries in the predictor/corrector EFT chains) — on-chip
+        # Mosaic compiles one kernel program for both sides
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-9
+
+
 def test_cli_precision_ds_drift_check(capsys):
     from nbody_tpu.cli import main
 
