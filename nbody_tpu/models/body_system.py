@@ -839,66 +839,6 @@ class BodySystem:
                 (np.asarray(bp), np.asarray(bv)) if host else (bp, bv))
         return first
 
-    def _update_many_inner(self, steps: int, dt: float) -> Optional[int]:
-        """Run the compiled rollout; for single-device p3m returns the first
-        breached step (-1 = contract held throughout), else None."""
-        p = self.params
-        probed = self.backend == "p3m" and self.mesh is None
-        host = self.placement == "host"
-        if host:
-            # stream host state in ONCE, scan k steps on-device, stream out:
-            # one dispatch instead of k (each costing ~8 ms relay latency),
-            # preserving the zero-copy intent of the reference's host-memory
-            # path (/root/reference/src/nbody/bodysystemcuda_host_memory.cpp:20-32)
-            out = self._rollout_fn(steps)(
-                jnp.asarray(self._pos), jnp.asarray(self._vel),
-                dt, p.softening, p.damping,
-            )
-        else:
-            out = self._rollout_fn(steps)(
-                self._pos, self._vel, dt, p.softening, p.damping
-            )
-        if not probed:
-            npos, nvel = out
-            self._pos = np.asarray(npos) if host else npos
-            self._vel = np.asarray(nvel) if host else nvel
-            return None
-        npos, nvel, first, bp, bv = out
-        first = int(first)
-        self._pos = np.asarray(npos) if host else npos
-        self._vel = np.asarray(nvel) if host else nvel
-        if first >= 0:
-            self._p3m_breach_snapshot = (
-                (np.asarray(bp), np.asarray(bv)) if host else (bp, bv))
-        return first
-
-    def _handle_p3m_rollout_breach(self, first: int, steps: int, dt: float) -> None:
-        if first < 0:
-            self._p3m_contract_warned = False
-            return
-        if self.p3m_auto_refresh:
-            # rewind to the snapshot of the first breached step (everything
-            # before it ran in-contract), re-size from that state, and run
-            # the remaining steps under the new contract
-            self._pos, self._vel = self._p3m_breach_snapshot
-            del self._p3m_breach_snapshot
-            self.refresh_p3m_contract()
-            remaining = steps - first - 1
-            if remaining > 0:
-                self.update_many(remaining, dt)
-            return
-        if not getattr(self, "_p3m_contract_warned", False):
-            import warnings
-
-            warnings.warn(
-                f"p3m contract broken mid-rollout: first breach at step "
-                f"{first} of {steps} — short-range terms have been dropped "
-                "since. Call refresh_p3m_contract() and re-run, enable "
-                "p3m_auto_refresh (--p3m-auto-refresh), or raise "
-                "--p3m-capacity / --pm-grid.",
-                stacklevel=3,
-            )
-            self._p3m_contract_warned = True
 
     def block_until_ready(self) -> None:
         if self.placement != "host":
