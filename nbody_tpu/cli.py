@@ -115,6 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "leapfrog = symplectic DKD (bounded energy drift); "
                         "hermite = 4th-order predictor-corrector (2 force "
                         "evals/step, O(dt^4) accuracy)")
+    p.add_argument("--adaptive-dt", nargs="?", const=0.025, type=float,
+                   default=None, metavar="ETA", dest="adaptive_dt",
+                   help="adaptive global timestep (demo mode): dt chosen "
+                        "per step inside the compiled rollout — "
+                        "eta*sqrt(softening/max|a|) for euler/leapfrog, "
+                        "Aarseth's eta*min|a|/|j| for hermite. Optional "
+                        "value is eta (default 0.025)")
+    p.add_argument("--dt-min", type=float, default=None,
+                   help="adaptive dt floor (default: dt_max/1024)")
+    p.add_argument("--dt-max", type=float, default=None,
+                   help="adaptive dt ceiling (default: the preset's "
+                        "time_step)")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
     p.add_argument("--config", choices=["shell", "random", "expand", "galaxy"],
                    default="shell",
@@ -366,6 +378,11 @@ def _main(argv=None) -> int:
             print("error: --precision ds and --fp64 are exclusive",
                   file=sys.stderr)
             return 1
+        if args.adaptive_dt is not None:
+            print("error: --adaptive-dt is not available under "
+                  "--precision ds (the ds rollouts are fixed-dt)",
+                  file=sys.stderr)
+            return 1
         return _run_ds(args)
     if args.fp64:
         jax.config.update("jax_enable_x64", True)
@@ -378,6 +395,25 @@ def _main(argv=None) -> int:
     from nbody_tpu.compute import Compute
     from nbody_tpu.config import NBodyConfig
     from nbody_tpu.params import DEMO_PARAMS
+
+    if args.adaptive_dt is not None:
+        fixed_dt_modes = [("--benchmark", args.benchmark),
+                          ("--compare/--qatest", args.compare or args.qatest),
+                          ("--drift-check", args.drift_check is not None),
+                          ("--selftest", args.selftest)]
+        for name, on in fixed_dt_modes:
+            if on:
+                print(f"error: --adaptive-dt is a demo-mode integrator "
+                      f"option; {name} measures the fixed-dt path",
+                      file=sys.stderr)
+                return 1
+        if args.devices is not None and args.devices > 1:
+            print("error: --adaptive-dt is single-device (adaptive "
+                  "rollouts do not shard); drop --devices", file=sys.stderr)
+            return 1
+        if args.adaptive_dt <= 0:
+            print("error: --adaptive-dt eta must be > 0", file=sys.stderr)
+            return 1
 
     mesh = None
     if args.mesh_rows is not None and (args.devices is None
@@ -471,6 +507,8 @@ def _main(argv=None) -> int:
         # resume with the exact parameters the checkpoint was written with
         compute.active_params = checkpoint_params
         compute.system.update_params(checkpoint_params)
+    if args.adaptive_dt is not None:
+        compute.set_adaptive(args.adaptive_dt, args.dt_min, args.dt_max)
     n = compute.num_bodies
     dev = jax.devices()[0]
     print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
@@ -626,9 +664,12 @@ def _run_demo(compute, args) -> int:
                     quit_requested = True
         compute.update_simulation(camera)
         if args.steps_per_frame > 1 and not compute.paused:
-            compute.system.update_many(
-                args.steps_per_frame - 1, compute.active_params.time_step
-            )
+            if compute.adaptive is not None:
+                compute.step_adaptive(args.steps_per_frame - 1)
+            else:
+                compute.system.update_many(
+                    args.steps_per_frame - 1, compute.active_params.time_step
+                )
         if renderer is not None and (controls is None or controls.display_enabled):
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}
@@ -651,23 +692,33 @@ def _run_demo(compute, args) -> int:
             compute.calculate_fps(frames_since_report, (now - last_report) * 1e3,
                                   steps_per_frame=args.steps_per_frame)
             precision = "fp64" if compute.fp64_enabled else "fp32"
+            adaptive_note = ""
+            if compute.adaptive_stats is not None:
+                st = compute.adaptive_stats
+                adaptive_note = (f" | dt={st['dt_last']:.3e} "
+                                 f"t={st['t']:.4f}")
             print(
                 f"[demo {compute.active_demo}] frame {frames_done}/{args.frames} | "
                 f"{compute.fps:.1f} fps | {compute.interactions_per_second:.2f} "
                 f"G interactions/s | {compute.g_flops:.1f} GFLOP/s ({precision})"
+                + adaptive_note
             )
             if args.metrics:
                 import json
 
+                record = {
+                    "frame": frames_done,
+                    "demo": compute.active_demo,
+                    "fps": compute.fps,
+                    "gflops": compute.g_flops,
+                    "interactions_per_second_e9": compute.interactions_per_second,
+                    "fp64": compute.fp64_enabled,
+                }
+                if compute.adaptive_stats is not None:
+                    record["dt_last"] = compute.adaptive_stats["dt_last"]
+                    record["sim_t"] = compute.adaptive_stats["t"]
                 with open(args.metrics, "a") as f:
-                    f.write(json.dumps({
-                        "frame": frames_done,
-                        "demo": compute.active_demo,
-                        "fps": compute.fps,
-                        "gflops": compute.g_flops,
-                        "interactions_per_second_e9": compute.interactions_per_second,
-                        "fp64": compute.fp64_enabled,
-                    }) + "\n")
+                    f.write(json.dumps(record) + "\n")
             last_report = now
             frames_since_report = 0
 

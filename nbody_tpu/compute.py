@@ -94,6 +94,8 @@ class Compute:
         self.g_flops = 0.0
         self.fps = 0.0
         self._tipsy_state = tipsy_state
+        self.adaptive = None        # {"eta", "dt_min", "dt_max"} when on
+        self.adaptive_stats = None  # accumulated {"t", "dt_last", ...}
 
         if tipsy_state is not None:
             num_bodies = tipsy_state[0].shape[0]
@@ -161,11 +163,39 @@ class Compute:
         self.paused = not self.paused
 
     def update_simulation(self, camera=None) -> None:
-        """Advance one frame: auto-cycle demos every DEMO_TIME_S, then step."""
+        """Advance one frame: auto-cycle demos every DEMO_TIME_S, then step
+        (fixed dt, or the adaptive criterion when set_adaptive is on)."""
         if self.cycle_demo and time.monotonic() - self._demo_reset_time > DEMO_TIME_S:
             self.next_demo(camera)
         if not self.paused:
-            self.system.update(self.active_params.time_step)
+            if self.adaptive is not None:
+                self.step_adaptive(1)
+            else:
+                self.system.update(self.active_params.time_step)
+
+    def set_adaptive(self, eta: float, dt_min: Optional[float] = None,
+                     dt_max: Optional[float] = None) -> None:
+        """Switch frame stepping to the adaptive global timestep
+        (BodySystem.update_many_adaptive). dt_min/dt_max None = the
+        per-call defaults, which track the ACTIVE demo preset's
+        time_step across demo cycles."""
+        self.adaptive = {"eta": eta, "dt_min": dt_min, "dt_max": dt_max}
+        self.adaptive_stats = None
+
+    def step_adaptive(self, steps: int) -> None:
+        """Advance `steps` adaptive steps and fold the rollout stats into
+        the running adaptive_stats (simulated time sums; dt extrema
+        merge)."""
+        st = self.system.update_many_adaptive(steps, **self.adaptive)
+        acc = self.adaptive_stats
+        if acc is None:
+            self.adaptive_stats = st
+        else:
+            acc["t"] += st["t"]
+            acc["steps"] += st["steps"]
+            acc["dt_last"] = st["dt_last"]
+            acc["dt_lo"] = min(acc["dt_lo"], st["dt_lo"])
+            acc["dt_hi"] = max(acc["dt_hi"], st["dt_hi"])
 
     def reset(self, config: NBodyConfig, seed: Optional[int] = None) -> None:
         if self._tipsy_state is not None:

@@ -196,6 +196,7 @@ class BodySystem:
             self.variant = variant
 
         self._rollout_cache: dict = {}
+        self._adaptive_cache: dict = {}
         self._sharded_step = None
         self._mesh_axes = (None if mesh is None
                            else tuple(mesh.axis_names))
@@ -409,33 +410,12 @@ class BodySystem:
             # backends run the chunked XLA pass
             from nbody_tpu.ops.reference import nbody_step_hermite
 
-            chunk = self.chunk_size
-            if self.backend == "pallas":
-                from nbody_tpu.ops.pallas_kernel import (
-                    AJ_TILE_I,
-                    AJ_TILE_J,
-                    compute_accel_jerk_pallas,
-                )
-
-                tile_i = self.tile_i if self._explicit_tiles[0] else AJ_TILE_I
-                tile_j = self.tile_j if self._explicit_tiles[1] else AJ_TILE_J
-                interpret = self.interpret
-
-                def step(pos, vel, dt, soft, damp):
-                    def aj(p4, v4):
-                        return compute_accel_jerk_pallas(
-                            p4, v4, p4, v4, soft,
-                            tile_i=tile_i, tile_j=tile_j,
-                            interpret=interpret)
-
-                    return nbody_step_hermite(pos, vel, dt, soft, damp,
-                                              accel_jerk_fn=aj)
-
-                return step
+            aj = self._accel_jerk_closure()
 
             def step(pos, vel, dt, soft, damp):
-                return nbody_step_hermite(pos, vel, dt, soft, damp,
-                                          chunk_size=chunk)
+                return nbody_step_hermite(
+                    pos, vel, dt, soft, damp,
+                    accel_jerk_fn=lambda p4, v4: aj(p4, v4, soft))
 
             return step
         if self.integrator == "leapfrog":
@@ -488,25 +468,17 @@ class BodySystem:
 
         return step
 
-    def _leapfrog_fn(self):
-        """Symplectic DKD step; the force evaluation uses the Pallas accel
-        kernel on TPU (the O(N) drift/kick stays in XLA)."""
-        from nbody_tpu.ops.reference import nbody_step_leapfrog
-
-        chunk = self.chunk_size
+    def _accel_closure(self):
+        """`accel(pos4, softening) -> (N,3)` for the current single-device
+        backend — the force evaluation the leapfrog and adaptive paths
+        plug into their integrators (softening stays an argument so
+        update_params never recompiles)."""
         if self.backend == "pm":
             from nbody_tpu.ops.pm import pm_accel
 
             grid, assignment = self.pm_grid, self.pm_assignment
-
-            def step(pos, vel, dt, soft, damp):
-                def accel_fn(p4):
-                    return pm_accel(p4, grid=grid, assignment=assignment)
-
-                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
-                                           accel_fn=accel_fn)
-
-            return step
+            return lambda p4, soft: pm_accel(p4, grid=grid,
+                                             assignment=assignment)
         if self.backend == "p3m":
             from nbody_tpu.ops.p3m import p3m_accel
 
@@ -515,37 +487,72 @@ class BodySystem:
             sr, budget = self.p3m_short_range, self._p3m_pair_budget
             interp = self.interpret
 
-            def step(pos, vel, dt, soft, damp):
-                def accel_fn(p4):
-                    return p3m_accel(p4, soft, grid=grid, capacity=cap,
-                                     assignment=assignment, short_range=sr,
-                                     pair_budget=budget,
-                                     interpret=interp)[0]
+            def accel(p4, soft):
+                return p3m_accel(p4, soft, grid=grid, capacity=cap,
+                                 assignment=assignment, short_range=sr,
+                                 pair_budget=budget, interpret=interp)[0]
 
-                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
-                                           accel_fn=accel_fn)
-
-            return step
+            return accel
         if self.backend == "pallas":
             from nbody_tpu.ops.pallas_kernel import compute_accel_pallas
 
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
 
-            def step(pos, vel, dt, soft, damp):
-                def accel_fn(p4):
-                    return compute_accel_pallas(
-                        p4, p4, soft,
-                        tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-                    )
+            def accel(p4, soft):
+                return compute_accel_pallas(
+                    p4, p4, soft,
+                    tile_i=tile_i, tile_j=tile_j, interpret=interpret)
 
-                return nbody_step_leapfrog(pos, vel, dt, soft, damp,
-                                           accel_fn=accel_fn)
+            return accel
+        from nbody_tpu.ops.reference import compute_accel_xla
 
-            return step
+        chunk = self.chunk_size
+        return lambda p4, soft: compute_accel_xla(p4, soft, chunk_size=chunk)
+
+    def _accel_jerk_closure(self):
+        """`aj(pos4, vel4, softening) -> ((N,3), (N,3))` — the Hermite
+        scheme's force evaluation (fused Pallas kernel on the pallas
+        backend, chunked XLA elsewhere; pm/p3m have no jerk)."""
+        if self.backend == "pallas":
+            from nbody_tpu.ops.pallas_kernel import (
+                AJ_TILE_I,
+                AJ_TILE_J,
+                compute_accel_jerk_pallas,
+            )
+
+            tile_i = self.tile_i if self._explicit_tiles[0] else AJ_TILE_I
+            tile_j = self.tile_j if self._explicit_tiles[1] else AJ_TILE_J
+            interpret = self.interpret
+
+            def aj(p4, v4, soft):
+                return compute_accel_jerk_pallas(
+                    p4, v4, p4, v4, soft,
+                    tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+
+            return aj
+        if self.backend in ("pm", "p3m"):
+            raise ValueError(
+                "hermite needs the jerk; pm/p3m mesh forces have none — "
+                "use integrator='euler' or 'leapfrog' with these backends")
+        from nbody_tpu.ops.reference import compute_accel_jerk_xla
+
+        chunk = self.chunk_size
+
+        def aj(p4, v4, soft):
+            return compute_accel_jerk_xla(p4, v4, soft, chunk_size=chunk)
+
+        return aj
+
+    def _leapfrog_fn(self):
+        """Symplectic DKD step; the force evaluation uses the Pallas accel
+        kernel on TPU (the O(N) drift/kick stays in XLA)."""
+        from nbody_tpu.ops.reference import nbody_step_leapfrog
+
+        accel = self._accel_closure()
 
         def step(pos, vel, dt, soft, damp):
             return nbody_step_leapfrog(pos, vel, dt, soft, damp,
-                                       chunk_size=chunk)
+                                       accel_fn=lambda p4: accel(p4, soft))
 
         return step
 
@@ -700,6 +707,7 @@ class BodySystem:
         self.p3m_capacity = None
         self._p3m_pair_budget = None
         self._rollout_cache.clear()
+        self._adaptive_cache.clear()
         if self.mesh is not None:
             self._sharded_step = None   # rebuilt lazily with the new sizes
         self._p3m_contract_warned = False
@@ -839,6 +847,95 @@ class BodySystem:
                 (np.asarray(bp), np.asarray(bv)) if host else (bp, bv))
         return first
 
+    def update_many_adaptive(self, steps: int, *, eta: float = 0.025,
+                             dt_min: Optional[float] = None,
+                             dt_max: Optional[float] = None) -> dict:
+        """Advance `steps` steps with a GLOBAL adaptive timestep chosen
+        inside the compiled rollout (ops/adaptive.py: the criterion is an
+        O(N) reduction off the force evaluation the step already does, so
+        adapting costs zero host round-trips). The reference has no
+        analogue — its integrateBodies takes one fixed deltaTime
+        (/root/reference/src/nbody/bodysystemcuda.cu:148-184).
+
+        Criterion: euler/leapfrog use eta*sqrt(softening/max|a|) (the
+        standard collisionless free-fall rule); hermite uses Aarseth's
+        eta*min|a|/|j|. dt is clipped to [dt_min, dt_max]; dt_max defaults
+        to params.time_step (the preset's fixed dt is the ceiling) and
+        dt_min to dt_max/1024.
+
+        Returns {"t": simulated time, "dt_last", "dt_lo", "dt_hi",
+        "steps"}. Like update_many, long runs go out as work-bounded
+        segments; the p3m contract is probed at segment boundaries (the
+        in-scan breach carry is a fixed-dt rollout feature)."""
+        from nbody_tpu.utils.profiling import annotate
+
+        if self.mesh is not None:
+            raise ValueError(
+                "adaptive rollouts are single-device; drop mesh= or use "
+                "fixed-dt update_many on the sharded system")
+        p = self.params
+        if dt_max is None:
+            dt_max = p.time_step
+        if dt_min is None:
+            dt_min = dt_max / 1024.0
+        if not (0.0 < dt_min <= dt_max):
+            raise ValueError(f"need 0 < dt_min <= dt_max, got "
+                             f"[{dt_min}, {dt_max}]")
+        host = self.placement == "host"
+        totals = {"t": 0.0, "dt_last": float(dt_max),
+                  "dt_lo": float("inf"), "dt_hi": 0.0, "steps": steps}
+        seg_max = self._segment_steps()
+        done = 0
+        while done < steps:
+            seg = min(steps - done, seg_max)
+            run = self._adaptive_rollout_fn(seg, eta, dt_min, dt_max)
+            with annotate(f"nbody.adaptive_rollout[{seg}]"):
+                if host:
+                    npos, nvel, stats = run(jnp.asarray(self._pos),
+                                            jnp.asarray(self._vel))
+                    self._pos, self._vel = np.asarray(npos), np.asarray(nvel)
+                else:
+                    self._pos, self._vel, stats = run(self._pos, self._vel)
+            stats = np.asarray(stats)
+            totals["t"] += float(stats[0])
+            totals["dt_last"] = float(stats[1])
+            totals["dt_lo"] = min(totals["dt_lo"], float(stats[2]))
+            totals["dt_hi"] = max(totals["dt_hi"], float(stats[3]))
+            done += seg
+            self._warn_if_p3m_contract_broken()
+        return totals
+
+    def _adaptive_rollout_fn(self, steps: int, eta: float,
+                             dt_min: float, dt_max: float):
+        """Cached adaptive rollout. Unlike the fixed-dt rollout, softening
+        and damping are BAKED into the compiled scan (the dt criterion
+        folds softening into traced constants), so the cache keys on them:
+        a slider write-through costs one recompile here, not wrong
+        physics."""
+        p = self.params
+        key = (steps, eta, dt_min, dt_max, p.softening, p.damping)
+        cached = self._adaptive_cache.get(key)
+        if cached is not None:
+            return cached
+        from nbody_tpu.ops.adaptive import make_adaptive_rollout
+
+        if self.integrator == "hermite":
+            aj = self._accel_jerk_closure()
+            run = make_adaptive_rollout(
+                "hermite",
+                accel_jerk_fn=lambda p4, v4: aj(p4, v4, p.softening),
+                softening=p.softening, damping=p.damping,
+                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps)
+        else:
+            integrator = "leapfrog" if self.integrator == "leapfrog" else "euler"
+            accel = self._accel_closure()
+            run = make_adaptive_rollout(
+                integrator,
+                accel_fn=lambda p4: accel(p4, p.softening),
+                softening=p.softening, damping=p.damping,
+                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps)
+        self._adaptive_cache[key] = run
+        return run
 
     def block_until_ready(self) -> None:
         if self.placement != "host":

@@ -1,0 +1,188 @@
+"""Adaptive global (shared) timestep rollouts.
+
+The reference integrates at a fixed dt everywhere (integrateBodies takes
+one deltaTime, /root/reference/src/nbody/bodysystemcuda.cu:148-184, and
+the demo presets hard-code it, compute.cpp:74-92). Collapsing or
+close-encounter configurations have no single good dt: the drift tables
+in PARITY.md show demo-0's collapse amplifying at dt=0.016 while the
+same kernel holds 1e-5-grade drift at gentler configs. The classic
+remedy is a timestep that tracks the shortest dynamical time.
+
+TPU-first design decisions:
+
+* The dt choice lives INSIDE the compiled ``lax.scan`` — the criterion
+  is an O(N) reduction off the force evaluation the step already does,
+  so adapting costs one max/min reduction per step and ZERO host
+  round-trips (at ~8 ms relay latency per dispatch, a host-side dt loop
+  would be 100x slower than the physics at small N).
+* The timestep is GLOBAL (one dt shared by all bodies per step).
+  Per-body block timesteps — the collisional-dynamics standard — make
+  the force evaluation irregular (active-set gather/scatter, dynamic
+  shapes): TPU-hostile and XLA-unfriendly. A global criterion keeps
+  every step a full dense all-pairs evaluation on the MXU/VPU-shaped
+  tiles, trading wasted small steps for regularity. (Block steps on a
+  sorted power-of-two ladder are the pod-scale follow-up.)
+* Criteria:
+    - euler / leapfrog: dt = eta * sqrt(softening / max_i |a_i|) — the
+      softening length is the smallest resolved scale, so eps/|a| is the
+      shortest resolved free-fall time^2 (the standard collisionless
+      choice, e.g. GADGET's criterion).
+    - hermite: dt = eta * min_i |a_i| / |j_i| (Aarseth's first-step
+      rule; |a|/|j| is the force's own rate-of-change time).
+  Both clip to [dt_min, dt_max].
+* Damping keeps the reference's PER-STEP multiplier semantics (velocity
+  scaled by `damping` once per step, like the fixed-dt paths) — under
+  adaptive dt that is a per-step drag, not a per-time one; pass
+  damping=1 for physical runs.
+
+Integrator forms (one force evaluation per step for euler/leapfrog —
+the leapfrog runs kick-drift-kick with the end-of-step acceleration
+carried into the next step's first kick, so adapting is eval-neutral;
+hermite keeps its two evaluations, the first doubling as the criterion
+input):
+
+    euler    a = accel(x);  dt = crit(a);  v' = (v + a dt) d;  x' = x + v' dt
+    KDK      dt = crit(a_carried); v½ = v + a dt/2; x' = x + v½ dt;
+             a' = accel(x'); v' = (v½ + a' dt/2) d
+    hermite  (a0,j0) = aj(x,v); dt = crit(a0,j0); P(EC) as in
+             ops/reference.py::nbody_step_hermite
+
+Note the fixed-dt leapfrog is DKD (drift-kick-drift); the adaptive one
+is KDK so dt is known before any force evaluation of the step. Both are
+velocity-Verlet forms of identical order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def accel_timestep(acc, softening, eta, dt_min, dt_max):
+    """Global dt from accelerations: eta * sqrt(softening / max|a|),
+    clipped to [dt_min, dt_max]. `acc` is (N, 3)."""
+    amax = jnp.sqrt(jnp.max(jnp.sum(acc * acc, axis=-1)))
+    soft = jnp.asarray(softening, acc.dtype)
+    dt = eta * jnp.sqrt(soft / jnp.maximum(amax, jnp.finfo(acc.dtype).tiny))
+    return jnp.clip(dt, dt_min, dt_max).astype(acc.dtype)
+
+
+def aarseth_timestep(acc, jerk, eta, dt_min, dt_max):
+    """Global dt from Aarseth's rule: eta * min_i |a_i|/|j_i|."""
+    a = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+    j = jnp.sqrt(jnp.sum(jerk * jerk, axis=-1))
+    t = a / jnp.maximum(j, jnp.finfo(acc.dtype).tiny)
+    dt = eta * jnp.min(t)
+    return jnp.clip(dt, dt_min, dt_max).astype(acc.dtype)
+
+
+def _with_mass(p3, mass_col):
+    return jnp.concatenate([p3, mass_col], axis=1)
+
+
+def make_adaptive_rollout(integrator: str, *, accel_fn=None,
+                          accel_jerk_fn=None, softening, damping,
+                          eta: float, dt_min: float, dt_max: float,
+                          steps: int):
+    """Build a jitted `(pos, vel) -> (pos, vel, stats)` adaptive rollout.
+
+    stats is a (4,) array [t_total, dt_last, dt_lo, dt_hi]: simulated
+    time, the last step's dt, and the smallest/largest dt used. The
+    criterion, carry structure, and per-integrator forms are documented
+    in the module docstring. `accel_fn(pos4) -> (N,3)` for
+    euler/leapfrog; `accel_jerk_fn(pos4, vel4) -> ((N,3), (N,3))` for
+    hermite.
+    """
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if integrator == "hermite":
+        if accel_jerk_fn is None:
+            raise ValueError("hermite needs accel_jerk_fn")
+    elif accel_fn is None:
+        raise ValueError(f"{integrator} needs accel_fn")
+
+    def stats_init(dtype):
+        return jnp.asarray([0.0, 0.0, jnp.inf, 0.0], dtype)
+
+    def stats_update(stats, dt):
+        return jnp.stack([stats[0] + dt, dt,
+                          jnp.minimum(stats[2], dt),
+                          jnp.maximum(stats[3], dt)])
+
+    if integrator == "euler":
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(pos, vel):
+            damp = jnp.asarray(damping, pos.dtype)
+
+            def body(state, _):
+                p, v, stats = state
+                acc = accel_fn(p)
+                dt = accel_timestep(acc, softening, eta, dt_min, dt_max)
+                v3 = (v[:, :3] + acc * dt) * damp
+                p3 = p[:, :3] + v3 * dt
+                np_ = _with_mass(p3, p[:, 3:4])
+                nv_ = _with_mass(v3, v[:, 3:4])
+                return (np_, nv_, stats_update(stats, dt)), None
+
+            init = (pos, vel, stats_init(pos.dtype))
+            (pos, vel, stats), _ = jax.lax.scan(body, init, None,
+                                                length=steps)
+            return pos, vel, stats
+
+        return run
+
+    if integrator == "leapfrog":
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(pos, vel):
+            damp = jnp.asarray(damping, pos.dtype)
+
+            def body(state, _):
+                p, v, acc, stats = state
+                dt = accel_timestep(acc, softening, eta, dt_min, dt_max)
+                v_half = v[:, :3] + acc * (dt / 2)
+                p3 = p[:, :3] + v_half * dt
+                np_ = _with_mass(p3, p[:, 3:4])
+                acc_new = accel_fn(np_)
+                v3 = (v_half + acc_new * (dt / 2)) * damp
+                nv_ = _with_mass(v3, v[:, 3:4])
+                return (np_, nv_, acc_new, stats_update(stats, dt)), None
+
+            init = (pos, vel, accel_fn(pos), stats_init(pos.dtype))
+            (pos, vel, _, stats), _ = jax.lax.scan(body, init, None,
+                                                   length=steps)
+            return pos, vel, stats
+
+        return run
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(pos, vel):
+        damp = jnp.asarray(damping, pos.dtype)
+
+        def body(state, _):
+            p, v, stats = state
+            x0, v0 = p[:, :3], v[:, :3]
+            a0, j0 = accel_jerk_fn(p, v)
+            dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max)
+
+            xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
+            vp = v0 + a0 * dt + j0 * (dt * dt / 2)
+            pos_p = _with_mass(xp, p[:, 3:4])
+            vel_p = _with_mass(vp, v[:, 3:4])
+            a1, j1 = accel_jerk_fn(pos_p, vel_p)
+
+            v1 = (v0 + (dt / 2) * (a0 + a1)
+                  + (dt * dt / 12) * (j0 - j1)) * damp
+            x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)
+            np_ = _with_mass(x1, p[:, 3:4])
+            nv_ = _with_mass(v1, v[:, 3:4])
+            return (np_, nv_, stats_update(stats, dt)), None
+
+        init = (pos, vel, stats_init(pos.dtype))
+        (pos, vel, stats), _ = jax.lax.scan(body, init, None, length=steps)
+        return pos, vel, stats
+
+    return run

@@ -207,3 +207,21 @@ def test_mesh_rows_rejects_mxu_variant(capsys):
                "--numbodies", "256", "--frames", "1"])
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_adaptive_dt_demo(capsys):
+    rc = main(["--numbodies", "256", "--frames", "3", "--kernel", "xla",
+               "--no-cycle", "--adaptive-dt", "0.01", "--energy",
+               "--steps-per-frame", "4"])
+    assert rc == 0
+    assert "energy:" in capsys.readouterr().out
+
+
+def test_adaptive_dt_rejects_fixed_dt_modes(capsys):
+    for extra in (["--benchmark"], ["--qatest"], ["--drift-check", "10"],
+                  ["--selftest"], ["--devices", "2"],
+                  ["--precision", "ds"]):
+        rc = main(["--numbodies", "256", "--kernel", "xla",
+                   "--adaptive-dt", *extra])
+        assert rc == 1, extra
+        assert "error:" in capsys.readouterr().err
