@@ -408,9 +408,24 @@ def _main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
         if args.devices is not None and args.devices > 1:
-            print("error: --adaptive-dt is single-device (adaptive "
-                  "rollouts do not shard); drop --devices", file=sys.stderr)
-            return 1
+            # the sharded adaptive path covers the exact kernels over
+            # the 1-D body mesh (one pmax collective per step); the
+            # mesh solvers and the 2-D decomposition stay fixed-dt
+            if args.kernel in ("pm", "p3m"):
+                print("error: --adaptive-dt shards with the exact "
+                      "kernels only (pm/p3m are fixed-dt); drop "
+                      "--devices or --adaptive-dt", file=sys.stderr)
+                return 1
+            if args.mesh_rows is not None:
+                print("error: --adaptive-dt uses the 1-D body mesh "
+                      "(2-D decomposition is fixed-dt); drop "
+                      "--mesh-rows", file=sys.stderr)
+                return 1
+            if args.strategy == "ring_fused":
+                print("error: --adaptive-dt supports allgather/ring/"
+                      "auto (ring_fused fuses the fixed-dt update)",
+                      file=sys.stderr)
+                return 1
         if args.adaptive_dt <= 0:
             print("error: --adaptive-dt eta must be > 0", file=sys.stderr)
             return 1

@@ -866,13 +866,26 @@ class BodySystem:
         Returns {"t": simulated time, "dt_last", "dt_lo", "dt_hi",
         "steps"}. Like update_many, long runs go out as work-bounded
         segments; the p3m contract is probed at segment boundaries (the
-        in-scan breach carry is a fixed-dt rollout feature)."""
+        in-scan breach carry is a fixed-dt rollout feature).
+
+        Mesh-capable for the exact kernels over the 1-D body mesh: the
+        dt criterion adds ONE scalar pmax/pmin collective per step
+        (parallel.sharded.make_sharded_adaptive_rollout); pm/p3m and
+        2-D meshes stay fixed-dt."""
         from nbody_tpu.utils.profiling import annotate
 
         if self.mesh is not None:
-            raise ValueError(
-                "adaptive rollouts are single-device; drop mesh= or use "
-                "fixed-dt update_many on the sharded system")
+            if self.backend not in ("pallas", "xla") or \
+                    self._mesh_axes != ("bodies",):
+                raise ValueError(
+                    "adaptive rollouts shard over the 1-D body mesh with "
+                    "the exact kernels only (pm/p3m and 2-D decomposition "
+                    "are fixed-dt); drop mesh= or use update_many")
+            if self.strategy == "ring_fused":
+                raise ValueError(
+                    "strategy='ring_fused' fuses the fixed-dt Euler "
+                    "update into its kernel; use allgather/ring/auto "
+                    "for adaptive rollouts")
         p = self.params
         if dt_max is None:
             dt_max = p.time_step
@@ -917,6 +930,25 @@ class BodySystem:
         cached = self._adaptive_cache.get(key)
         if cached is not None:
             return cached
+        if self.mesh is not None:
+            from nbody_tpu.parallel.sharded import (
+                make_sharded_adaptive_rollout,
+            )
+
+            run = make_sharded_adaptive_rollout(
+                self.mesh,
+                softening=p.softening, damping=p.damping,
+                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps,
+                kernel="pallas" if self.backend == "pallas" else "xla",
+                strategy=self.strategy,
+                integrator=self.integrator,
+                tile_i=self.tile_i if self._explicit_tiles[0] else None,
+                tile_j=self.tile_j if self._explicit_tiles[1] else None,
+                interpret=bool(self.interpret),
+                chunk_size=self.chunk_size,
+            )
+            self._adaptive_cache[key] = run
+            return run
         from nbody_tpu.ops.adaptive import make_adaptive_rollout
 
         if self.integrator == "hermite":

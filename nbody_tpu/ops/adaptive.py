@@ -54,27 +54,32 @@ velocity-Verlet forms of identical order.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 
-def accel_timestep(acc, softening, eta, dt_min, dt_max):
+def accel_timestep(acc, softening, eta, dt_min, dt_max, *, mesh_axis=None):
     """Global dt from accelerations: eta * sqrt(softening / max|a|),
-    clipped to [dt_min, dt_max]. `acc` is (N, 3)."""
-    amax = jnp.sqrt(jnp.max(jnp.sum(acc * acc, axis=-1)))
+    clipped to [dt_min, dt_max]. `acc` is (N, 3). Under shard_map,
+    `mesh_axis` turns the max into a cross-device pmax so every shard
+    steps with the SAME dt (the criterion is global by construction)."""
+    amax2 = jnp.max(jnp.sum(acc * acc, axis=-1))
+    if mesh_axis is not None:
+        amax2 = jax.lax.pmax(amax2, mesh_axis)
+    amax = jnp.sqrt(amax2)
     soft = jnp.asarray(softening, acc.dtype)
     dt = eta * jnp.sqrt(soft / jnp.maximum(amax, jnp.finfo(acc.dtype).tiny))
     return jnp.clip(dt, dt_min, dt_max).astype(acc.dtype)
 
 
-def aarseth_timestep(acc, jerk, eta, dt_min, dt_max):
+def aarseth_timestep(acc, jerk, eta, dt_min, dt_max, *, mesh_axis=None):
     """Global dt from Aarseth's rule: eta * min_i |a_i|/|j_i|."""
     a = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
     j = jnp.sqrt(jnp.sum(jerk * jerk, axis=-1))
-    t = a / jnp.maximum(j, jnp.finfo(acc.dtype).tiny)
-    dt = eta * jnp.min(t)
+    t = jnp.min(a / jnp.maximum(j, jnp.finfo(acc.dtype).tiny))
+    if mesh_axis is not None:
+        t = jax.lax.pmin(t, mesh_axis)
+    dt = eta * t
     return jnp.clip(dt, dt_min, dt_max).astype(acc.dtype)
 
 
@@ -82,11 +87,11 @@ def _with_mass(p3, mass_col):
     return jnp.concatenate([p3, mass_col], axis=1)
 
 
-def make_adaptive_rollout(integrator: str, *, accel_fn=None,
-                          accel_jerk_fn=None, softening, damping,
-                          eta: float, dt_min: float, dt_max: float,
-                          steps: int):
-    """Build a jitted `(pos, vel) -> (pos, vel, stats)` adaptive rollout.
+def make_adaptive_scan(integrator: str, *, accel_fn=None,
+                       accel_jerk_fn=None, softening, damping,
+                       eta: float, dt_min: float, dt_max: float,
+                       steps: int, mesh_axis=None):
+    """Build an UNJITTED `(pos, vel) -> (pos, vel, stats)` adaptive scan.
 
     stats is a (4,) array [t_total, dt_last, dt_lo, dt_hi]: simulated
     time, the last step's dt, and the smallest/largest dt used. The
@@ -94,6 +99,11 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
     in the module docstring. `accel_fn(pos4) -> (N,3)` for
     euler/leapfrog; `accel_jerk_fn(pos4, vel4) -> ((N,3), (N,3))` for
     hermite.
+
+    `mesh_axis` makes the scan shard_map-composable: the force closures
+    see the LOCAL shard (they carry their own collectives) and the dt
+    criterion pmax/pmin-reduces across the axis, so every device steps
+    with one global dt and the per-device stats are replicated.
     """
     if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(f"unknown integrator {integrator!r}")
@@ -113,14 +123,14 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
 
     if integrator == "euler":
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run(pos, vel):
             damp = jnp.asarray(damping, pos.dtype)
 
             def body(state, _):
                 p, v, stats = state
                 acc = accel_fn(p)
-                dt = accel_timestep(acc, softening, eta, dt_min, dt_max)
+                dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
+                                    mesh_axis=mesh_axis)
                 v3 = (v[:, :3] + acc * dt) * damp
                 p3 = p[:, :3] + v3 * dt
                 np_ = _with_mass(p3, p[:, 3:4])
@@ -136,13 +146,13 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
 
     if integrator == "leapfrog":
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run(pos, vel):
             damp = jnp.asarray(damping, pos.dtype)
 
             def body(state, _):
                 p, v, acc, stats = state
-                dt = accel_timestep(acc, softening, eta, dt_min, dt_max)
+                dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
+                                    mesh_axis=mesh_axis)
                 v_half = v[:, :3] + acc * (dt / 2)
                 p3 = p[:, :3] + v_half * dt
                 np_ = _with_mass(p3, p[:, 3:4])
@@ -158,7 +168,6 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
 
         return run
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def run(pos, vel):
         damp = jnp.asarray(damping, pos.dtype)
 
@@ -166,7 +175,8 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
             p, v, stats = state
             x0, v0 = p[:, :3], v[:, :3]
             a0, j0 = accel_jerk_fn(p, v)
-            dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max)
+            dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max,
+                                  mesh_axis=mesh_axis)
 
             xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
             vp = v0 + a0 * dt + j0 * (dt * dt / 2)
@@ -186,3 +196,16 @@ def make_adaptive_rollout(integrator: str, *, accel_fn=None,
         return pos, vel, stats
 
     return run
+
+
+def make_adaptive_rollout(integrator: str, *, accel_fn=None,
+                          accel_jerk_fn=None, softening, damping,
+                          eta: float, dt_min: float, dt_max: float,
+                          steps: int):
+    """Jitted single-device `(pos, vel) -> (pos, vel, stats)` adaptive
+    rollout (make_adaptive_scan under jit with donated state buffers)."""
+    run = make_adaptive_scan(
+        integrator, accel_fn=accel_fn, accel_jerk_fn=accel_jerk_fn,
+        softening=softening, damping=damping, eta=eta,
+        dt_min=dt_min, dt_max=dt_max, steps=steps)
+    return jax.jit(run, donate_argnums=(0, 1))

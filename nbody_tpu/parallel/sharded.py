@@ -432,6 +432,155 @@ def make_sharded_rollout(step_fn, steps: int):
     return rollout
 
 
+def make_sharded_adaptive_rollout(
+    mesh: Mesh,
+    *,
+    softening,
+    damping,
+    eta: float,
+    dt_min: float,
+    dt_max: float,
+    steps: int,
+    axis: str = BODY_AXIS,
+    kernel: str = "pallas",
+    strategy: str = "auto",
+    integrator: str = "euler",
+    tile_i: int | None = None,
+    tile_j: int | None = None,
+    interpret: bool = False,
+    chunk_size: int | None = None,
+):
+    """Body-sharded adaptive-timestep rollout: (pos, vel) -> (pos, vel,
+    stats), pos/vel sharded P(axis, None), stats the replicated (4,)
+    [t, dt_last, dt_lo, dt_hi] array of ops.adaptive.
+
+    The single-device design (ops/adaptive.py) composes directly with
+    the mesh: each device evaluates forces for its i-shard through the
+    same allgather/ring collectives as make_sharded_step, and the
+    GLOBAL dt criterion needs exactly one extra scalar collective per
+    step — a pmax of the local max |a|² (pmin of |a|/|j| for hermite)
+    over the body axis, bytes-free next to the position gather. Every
+    shard therefore steps with the same dt and the scan stays fully
+    inside one compiled shard_map dispatch. Like the fixed-dt sharded
+    paths, softening/damping are baked (the criterion folds softening
+    into the compiled scan).
+
+    strategy: "allgather", "ring", or "auto" (ring_fused fuses the
+    fixed-dt Euler update into its kernel — not composable here).
+    """
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if strategy not in ("allgather", "ring", "auto"):
+        raise ValueError(
+            "adaptive rollouts support strategies 'allgather'/'ring'/"
+            f"'auto' (got {strategy!r})")
+    from nbody_tpu.ops.adaptive import make_adaptive_scan
+
+    ndev = mesh.shape[axis]
+    explicit_i, explicit_j = tile_i is not None, tile_j is not None
+    tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
+    tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
+
+    def accel_vs(pos_sh, pos_j):
+        if kernel == "pallas":
+            return compute_accel_pallas(
+                pos_sh, pos_j, softening,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        return compute_accel_xla_vs(pos_sh, pos_j, softening,
+                                    chunk_size=chunk_size)
+
+    def local(pos_sh, vel_sh):
+        n_global = pos_sh.shape[0] * ndev
+        use_ring = strategy == "ring" or (
+            strategy == "auto"
+            and choose_strategy(n_global, ndev) == "ring")
+
+        if use_ring:
+            perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+            def accel_fn(p_sh):
+                def hop(carry, _):
+                    jp, acc = carry
+                    acc = acc + accel_vs(p_sh, jp)
+                    jp = jax.lax.ppermute(jp, axis, perm)
+                    return (jp, acc), None
+
+                z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
+                (_, acc), _ = jax.lax.scan(hop, (p_sh, z), None,
+                                           length=ndev)
+                return acc
+        else:
+            def accel_fn(p_sh):
+                p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
+                return accel_vs(p_sh, p_all)
+
+        aj_fn = None
+        if integrator == "hermite":
+            from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+            from nbody_tpu.ops.reference import _accel_jerk_rows
+
+            aj_ti = tile_i if explicit_i else AJ_TILE_I
+            aj_tj = tile_j if explicit_j else AJ_TILE_J
+            eps2 = jnp.asarray(softening, jnp.float32) ** 2
+
+            def aj_vs(p_sh, v_sh, p_j, v_j):
+                if kernel == "pallas":
+                    from nbody_tpu.ops.pallas_kernel import (
+                        compute_accel_jerk_pallas,
+                    )
+
+                    return compute_accel_jerk_pallas(
+                        p_sh, v_sh, p_j, v_j, softening,
+                        tile_i=aj_ti, tile_j=aj_tj, interpret=interpret)
+                return _accel_jerk_rows(
+                    p_sh[:, :3], v_sh[:, :3], p_j[:, :3], v_j[:, :3],
+                    p_j[:, 3], eps2.astype(p_sh.dtype))
+
+            if use_ring:
+                perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+                def aj_fn(p_sh, v_sh):
+                    def hop(carry, _):
+                        jp, jv, acc, jerk = carry
+                        a, jk = aj_vs(p_sh, v_sh, jp, jv)
+                        jp = jax.lax.ppermute(jp, axis, perm)
+                        jv = jax.lax.ppermute(jv, axis, perm)
+                        return (jp, jv, acc + a, jerk + jk), None
+
+                    z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
+                    (_, _, acc, jerk), _ = jax.lax.scan(
+                        hop, (p_sh, v_sh, z, z), None, length=ndev)
+                    return acc, jerk
+            else:
+                def aj_fn(p_sh, v_sh):
+                    p_all = jax.lax.all_gather(p_sh, axis, axis=0,
+                                               tiled=True)
+                    v_all = jax.lax.all_gather(v_sh, axis, axis=0,
+                                               tiled=True)
+                    return aj_vs(p_sh, v_sh, p_all, v_all)
+
+        run = make_adaptive_scan(
+            integrator, accel_fn=accel_fn, accel_jerk_fn=aj_fn,
+            softening=softening, damping=damping, eta=eta,
+            dt_min=dt_min, dt_max=dt_max, steps=steps, mesh_axis=axis)
+        return run(pos_sh, vel_sh)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        # stats are replicated: the criterion pmax/pmin makes every
+        # device's dt (hence its stats carry) identical
+        out_specs=(P(axis, None), P(axis, None), P()),
+        check_vma=False,
+    )
+
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
                          tile_i: int | None = None,
                          tile_j: int | None = None,

@@ -181,14 +181,48 @@ def test_make_adaptive_rollout_validation():
                               eta=0.1, dt_min=1e-5, dt_max=1e-2, steps=3)
 
 
-def test_mesh_rejected():
+def _body_mesh(n=8):
     import jax
     from jax.sharding import Mesh
 
-    devs = np.array(jax.devices()[:8])
-    mesh = Mesh(devs, ("bodies",))
-    bs = BodySystem(256, P, backend="xla", mesh=mesh, seed=10)
-    with pytest.raises(ValueError, match="single-device"):
+    return Mesh(np.array(jax.devices()[:n]), ("bodies",))
+
+
+@pytest.mark.parametrize("integ", ["euler", "leapfrog", "hermite"])
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_sharded_adaptive_matches_single_device(integ, strategy):
+    single = BodySystem(256, P, backend="xla", integrator=integ, seed=10)
+    sharded = BodySystem(256, P, backend="xla", integrator=integ, seed=10,
+                         mesh=_body_mesh(), strategy=strategy)
+    ss = single.update_many_adaptive(20, eta=0.01)
+    ms = sharded.update_many_adaptive(20, eta=0.01)
+    atol = 0.0 if strategy == "allgather" else 1e-5
+    np.testing.assert_allclose(single.positions, sharded.positions,
+                               atol=atol)
+    for k in ("t", "dt_lo", "dt_hi", "dt_last"):
+        assert ss[k] == pytest.approx(ms[k], rel=1e-5), k
+
+
+def test_sharded_adaptive_pallas_interpret():
+    single = BodySystem(256, P, backend="xla", integrator="leapfrog",
+                        seed=11)
+    sharded = BodySystem(256, P, backend="pallas", integrator="leapfrog",
+                         seed=11, mesh=_body_mesh(), strategy="allgather",
+                         interpret=True, tile_i=32, tile_j=256)
+    single.update_many_adaptive(15, eta=0.01)
+    sharded.update_many_adaptive(15, eta=0.01)
+    np.testing.assert_allclose(single.positions, sharded.positions,
+                               atol=2e-5)
+
+
+def test_mesh_solver_and_ring_fused_rejected():
+    bs = BodySystem(512, P, backend="pm", mesh=_body_mesh(), seed=10,
+                    pm_grid=16, integrator="leapfrog")
+    with pytest.raises(ValueError, match="exact kernels"):
+        bs.update_many_adaptive(5)
+    bs = BodySystem(256, P, backend="pallas", mesh=_body_mesh(), seed=10,
+                    strategy="ring_fused", interpret=True)
+    with pytest.raises(ValueError, match="ring_fused"):
         bs.update_many_adaptive(5)
 
 

@@ -219,9 +219,19 @@ def test_adaptive_dt_demo(capsys):
 
 def test_adaptive_dt_rejects_fixed_dt_modes(capsys):
     for extra in (["--benchmark"], ["--qatest"], ["--drift-check", "10"],
-                  ["--selftest"], ["--devices", "2"],
-                  ["--precision", "ds"]):
-        rc = main(["--numbodies", "256", "--kernel", "xla",
+                  ["--selftest"], ["--precision", "ds"],
+                  ["--devices", "2", "--kernel", "pm"],
+                  ["--devices", "2", "--kernel", "pallas",
+                   "--mesh-rows", "2"],
+                  ["--devices", "2", "--strategy", "ring_fused"]):
+        rc = main(["--numbodies", "512", "--kernel", "xla",
                    "--adaptive-dt", *extra])
         assert rc == 1, extra
         assert "error:" in capsys.readouterr().err
+
+
+def test_adaptive_dt_sharded_demo(capsys):
+    rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--adaptive-dt", "0.01", "--devices", "8",
+               "--steps-per-frame", "4"])
+    assert rc == 0
