@@ -138,8 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="simulation steps per rendered frame (scan-fused)")
     p.add_argument("--no-cycle", action="store_true", help="disable 10s demo cycling")
     p.add_argument("--render", action="store_true", help="write PNG frames (demo mode)")
-    p.add_argument("--animate", type=str, default=None, metavar="OUT.png",
-                   help="write the demo as a single animated PNG (APNG)")
+    p.add_argument("--animate", type=str, default=None, metavar="OUT.png|OUT.avi",
+                   help="write the demo as one animation file: lossless "
+                        "APNG by default, uncompressed AVI for a .avi "
+                        "extension")
     p.add_argument("--outdir", type=str, default="frames", help="PNG output directory")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
@@ -745,9 +747,14 @@ def _run_demo(compute, args) -> int:
     if args.render:
         print(f"wrote {frames_done} frames to {args.outdir}/")
     if anim_frames is not None and anim_frames:
-        from nbody_tpu.io.apng import write_apng
+        if args.animate.lower().endswith(".avi"):
+            from nbody_tpu.io.avi import write_avi
 
-        write_apng(anim_frames, args.animate, fps=30)
+            write_avi(anim_frames, args.animate, fps=30)
+        else:
+            from nbody_tpu.io.apng import write_apng
+
+            write_apng(anim_frames, args.animate, fps=30)
         print(f"wrote {len(anim_frames)}-frame animation to {args.animate}")
     return 0
 

@@ -235,3 +235,13 @@ def test_adaptive_dt_sharded_demo(capsys):
                "--no-cycle", "--adaptive-dt", "0.01", "--devices", "8",
                "--steps-per-frame", "4"])
     assert rc == 0
+
+
+def test_animate_avi(tmp_path, capsys):
+    out = tmp_path / "demo.avi"
+    rc = main(["--numbodies", "256", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--animate", str(out), "--width", "64",
+               "--height", "48"])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "

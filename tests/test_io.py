@@ -123,3 +123,44 @@ def test_png_writer(tmp_path):
 
     with pytest.raises(ValueError):
         write_png(np.zeros((8, 16), np.uint8), tmp_path / "bad.png")
+
+
+# ---- AVI writer (ROADMAP "MP4 export" closure: uncompressed RIFF) ----
+
+
+def test_avi_round_trip(tmp_path):
+    import numpy as np
+    import pytest
+
+    from nbody_tpu.io.avi import read_avi, write_avi
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+              for _ in range(5)]
+    path = tmp_path / "clip.avi"
+    write_avi(frames, path, fps=24)
+    back, fps = read_avi(path)
+    assert fps == 24 and len(back) == 5
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
+    # container magic old players check
+    data = path.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert b"idx1" in data
+    with pytest.raises(ValueError, match="no frames"):
+        write_avi([], tmp_path / "empty.avi")
+
+
+def test_avi_odd_width_row_padding(tmp_path):
+    import numpy as np
+
+    from nbody_tpu.io.avi import read_avi, write_avi
+
+    # width 5 -> 15-byte rows pad to a 16-byte stride; the round trip
+    # must strip the padding exactly
+    frame = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    path = tmp_path / "odd.avi"
+    write_avi([frame, frame + 1], path)
+    back, _ = read_avi(path)
+    np.testing.assert_array_equal(back[0], frame)
+    np.testing.assert_array_equal(back[1], frame + 1)
