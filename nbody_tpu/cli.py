@@ -431,6 +431,21 @@ def _main(argv=None) -> int:
         if args.adaptive_dt <= 0:
             print("error: --adaptive-dt eta must be > 0", file=sys.stderr)
             return 1
+        for name, val in (("--dt-min", args.dt_min),
+                          ("--dt-max", args.dt_max)):
+            if val is not None and val <= 0:
+                print(f"error: {name} must be > 0 (got {val})",
+                      file=sys.stderr)
+                return 1
+        if (args.dt_min is not None and args.dt_max is not None
+                and args.dt_min > args.dt_max):
+            print(f"error: --dt-min {args.dt_min} exceeds --dt-max "
+                  f"{args.dt_max}", file=sys.stderr)
+            return 1
+    elif args.dt_min is not None or args.dt_max is not None:
+        print("error: --dt-min/--dt-max only apply with --adaptive-dt",
+              file=sys.stderr)
+        return 1
 
     mesh = None
     if args.mesh_rows is not None and (args.devices is None
@@ -525,6 +540,16 @@ def _main(argv=None) -> int:
         compute.active_params = checkpoint_params
         compute.system.update_params(checkpoint_params)
     if args.adaptive_dt is not None:
+        # an explicit floor must sit under the effective ceiling (the
+        # starting preset's time_step when --dt-max is omitted); demo
+        # cycling re-derives a None ceiling per preset
+        eff_max = (args.dt_max if args.dt_max is not None
+                   else compute.active_params.time_step)
+        if args.dt_min is not None and args.dt_min > eff_max:
+            print(f"error: --dt-min {args.dt_min} exceeds the adaptive "
+                  f"ceiling {eff_max} (the preset's time_step; set "
+                  f"--dt-max)", file=sys.stderr)
+            return 1
         compute.set_adaptive(args.adaptive_dt, args.dt_min, args.dt_max)
     n = compute.num_bodies
     dev = jax.devices()[0]

@@ -91,20 +91,32 @@ def write_avi(frames, path, *, fps: int = 30) -> None:
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
 
-    movi_payload = b"".join(chunk(b"00db", _dib(f, stride)) for f in frames)
-    movi = lst(b"movi", movi_payload)
+    # every size is known up front (fixed frame_bytes, even -> no chunk
+    # pad bytes), so frames stream straight to the file — no whole-video
+    # buffer — and the 32-bit RIFF limit is enforced BEFORE writing
+    movi_payload_len = 4 + n * (8 + frame_bytes)   # 'movi' + 00db chunks
+    idx_len = 16 * n
+    body_len = 4 + len(hdrl) + (8 + movi_payload_len) + (8 + idx_len)
+    if body_len > 0xFFFFFFFF:
+        raise ValueError(
+            f"video too large for the AVI 1.0 32-bit container: "
+            f"{n} frames x {frame_bytes} B = {body_len / 2**30:.1f} GiB "
+            f"(limit 4 GiB) — lower the resolution, write fewer frames, "
+            f"or use the APNG writer")
 
-    # idx1 offsets are relative to the first byte after the 'movi' kind
-    # fourcc; chunks are laid out back to back (even frame_bytes -> no
-    # pad bytes between them)
-    idx = b"".join(
-        struct.pack("<4sIII", b"00db", _AVIIF_KEYFRAME,
-                    4 + i * (8 + frame_bytes), frame_bytes)
-        for i in range(n)
-    )
-    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     with open(path, "wb") as fh:
-        fh.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        fh.write(b"RIFF" + struct.pack("<I", body_len) + b"AVI ")
+        fh.write(hdrl)
+        fh.write(b"LIST" + struct.pack("<I", movi_payload_len) + b"movi")
+        for f in frames:
+            fh.write(b"00db" + struct.pack("<I", frame_bytes))
+            fh.write(_dib(f, stride))
+        # idx1 offsets are relative to the first byte after the 'movi'
+        # kind fourcc; chunks are laid out back to back
+        fh.write(b"idx1" + struct.pack("<I", idx_len))
+        for i in range(n):
+            fh.write(struct.pack("<4sIII", b"00db", _AVIIF_KEYFRAME,
+                                 4 + i * (8 + frame_bytes), frame_bytes))
 
 
 def read_avi(path):

@@ -894,6 +894,8 @@ class BodySystem:
         if not (0.0 < dt_min <= dt_max):
             raise ValueError(f"need 0 < dt_min <= dt_max, got "
                              f"[{dt_min}, {dt_max}]")
+        if not eta > 0.0:   # also rejects NaN
+            raise ValueError(f"need eta > 0, got {eta}")
         host = self.placement == "host"
         totals = {"t": 0.0, "dt_last": float(dt_max),
                   "dt_lo": float("inf"), "dt_hi": 0.0, "steps": steps}

@@ -169,6 +169,8 @@ def make_adaptive_scan(integrator: str, *, accel_fn=None,
         return run
 
     def run(pos, vel):
+        from nbody_tpu.ops.reference import hermite_correct, hermite_predict
+
         damp = jnp.asarray(damping, pos.dtype)
 
         def body(state, _):
@@ -178,15 +180,12 @@ def make_adaptive_scan(integrator: str, *, accel_fn=None,
             dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max,
                                   mesh_axis=mesh_axis)
 
-            xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
-            vp = v0 + a0 * dt + j0 * (dt * dt / 2)
+            xp, vp = hermite_predict(x0, v0, a0, j0, dt)
             pos_p = _with_mass(xp, p[:, 3:4])
             vel_p = _with_mass(vp, v[:, 3:4])
             a1, j1 = accel_jerk_fn(pos_p, vel_p)
 
-            v1 = (v0 + (dt / 2) * (a0 + a1)
-                  + (dt * dt / 12) * (j0 - j1)) * damp
-            x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)
+            x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, dt, damp)
             np_ = _with_mass(x1, p[:, 3:4])
             nv_ = _with_mass(v1, v[:, 3:4])
             return (np_, nv_, stats_update(stats, dt)), None

@@ -198,17 +198,32 @@ def nbody_step_hermite(pos, vel, dt, softening, damping,
     x0, v0 = pos[:, :3], vel[:, :3]
     a0, j0 = accel_jerk_fn(pos, vel)
 
-    xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
-    vp = v0 + a0 * dt + j0 * (dt * dt / 2)
+    xp, vp = hermite_predict(x0, v0, a0, j0, dt)
     pos_p = jnp.concatenate([xp, pos[:, 3:4]], axis=1)
     vel_p = jnp.concatenate([vp, vel[:, 3:4]], axis=1)
     a1, j1 = accel_jerk_fn(pos_p, vel_p)
 
-    v1 = (v0 + (dt / 2) * (a0 + a1) + (dt * dt / 12) * (j0 - j1)) * damping
-    x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)
+    x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, dt, damping)
     new_pos = jnp.concatenate([x1, pos[:, 3:4]], axis=1)
     new_vel = jnp.concatenate([v1, vel[:, 3:4]], axis=1)
     return new_pos, new_vel
+
+
+def hermite_predict(x0, v0, a0, j0, dt):
+    """Hermite P(EC) predictor (the Taylor expansion through the jerk) —
+    the ONE home of these polynomials; the adaptive scan
+    (ops/adaptive.py) composes the same helpers with an in-scan dt."""
+    xp = x0 + v0 * dt + a0 * (dt * dt / 2) + j0 * (dt * dt * dt / 6)
+    vp = v0 + a0 * dt + j0 * (dt * dt / 2)
+    return xp, vp
+
+
+def hermite_correct(x0, v0, a0, j0, a1, j1, dt, damping):
+    """Hermite P(EC) corrector, with the reference's damping multiplier
+    applied to the corrected velocity (interface parity)."""
+    v1 = (v0 + (dt / 2) * (a0 + a1) + (dt * dt / 12) * (j0 - j1)) * damping
+    x1 = x0 + (dt / 2) * (v0 + v1) + (dt * dt / 12) * (a0 - a1)
+    return x1, v1
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "chunk_size"), donate_argnums=(0, 1))

@@ -73,6 +73,68 @@ def choose_strategy(num_bodies: int, ndev: int) -> str:
     return "ring" if num_bodies // ndev >= RING_AUTO_MIN_SHARD else "allgather"
 
 
+def _allgather_accel_fn(accel_vs, axis):
+    """`accel_fn(p_sh) -> (nloc, 3)`: gather the full j-set over ICI,
+    one kernel call. `accel_vs(p_sh, p_j) -> (nloc, 3)`."""
+    def accel_fn(p_sh):
+        p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
+        return accel_vs(p_sh, p_all)
+
+    return accel_fn
+
+
+def _ring_accel_fn(accel_vs, axis, ndev):
+    """`accel_fn(p_sh) -> (nloc, 3)`: the j-shard rotates via ppermute
+    inside a scan, partial forces accumulate per hop (async
+    collective-permute overlaps hop k+1's transfer with hop k's tile)."""
+    perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+    def accel_fn(p_sh):
+        def hop(carry, _):
+            jp, acc = carry
+            acc = acc + accel_vs(p_sh, jp)
+            jp = jax.lax.ppermute(jp, axis, perm)
+            return (jp, acc), None
+
+        z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
+        (_, acc), _ = jax.lax.scan(hop, (p_sh, z), None, length=ndev)
+        return acc
+
+    return accel_fn
+
+
+def _allgather_aj_fn(aj_vs, axis):
+    """`aj_fn(p_sh, v_sh) -> ((nloc,3), (nloc,3))`: hermite's force
+    evaluation — positions AND velocities gather (the jerk needs both).
+    `aj_vs(p_sh, v_sh, p_j, v_j) -> (acc, jerk)`."""
+    def aj_fn(p_sh, v_sh):
+        p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
+        v_all = jax.lax.all_gather(v_sh, axis, axis=0, tiled=True)
+        return aj_vs(p_sh, v_sh, p_all, v_all)
+
+    return aj_fn
+
+
+def _ring_aj_fn(aj_vs, axis, ndev):
+    """Ring form of _allgather_aj_fn: (jpos, jvel) rotate together."""
+    perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+    def aj_fn(p_sh, v_sh):
+        def hop(carry, _):
+            jp, jv, acc, jerk = carry
+            a, jk = aj_vs(p_sh, v_sh, jp, jv)
+            jp = jax.lax.ppermute(jp, axis, perm)
+            jv = jax.lax.ppermute(jv, axis, perm)
+            return (jp, jv, acc + a, jerk + jk), None
+
+        z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
+        (_, _, acc, jerk), _ = jax.lax.scan(
+            hop, (p_sh, v_sh, z, z), None, length=ndev)
+        return acc, jerk
+
+    return aj_fn
+
+
 def make_sharded_step(
     mesh: Mesh,
     *,
@@ -154,18 +216,9 @@ def make_sharded_step(
         new_vel = jnp.concatenate([v3, vel_sh[:, 3:4]], axis=1)
         return new_pos, new_vel
 
-    def _ring_accel(pos_i, jpos0, soft):
-        perm = [(d, (d + 1) % ndev) for d in range(ndev)]
-
-        def hop(carry, _):
-            jpos, acc = carry
-            acc = acc + accel_vs(pos_i, jpos, soft)
-            jpos = jax.lax.ppermute(jpos, axis, perm)
-            return (jpos, acc), None
-
-        acc0 = jnp.zeros((pos_i.shape[0], 3), pos_i.dtype)
-        (_, acc), _ = jax.lax.scan(hop, (jpos0, acc0), None, length=ndev)
-        return acc
+    def _ring_accel(pos_i, soft):
+        fn = _ring_accel_fn(lambda p, j: accel_vs(p, j, soft), axis, ndev)
+        return fn(pos_i)
 
     def _hermite(pos_sh, vel_sh, dt, soft, damp, *, use_ring: bool):
         from nbody_tpu.ops.reference import (
@@ -192,27 +245,8 @@ def make_sharded_step(
             return _accel_jerk_rows(p_sh[:, :3], v_sh[:, :3],
                                     p_j[:, :3], v_j[:, :3], p_j[:, 3], eps2)
 
-        if use_ring:
-            perm = [(d, (d + 1) % ndev) for d in range(ndev)]
-
-            def aj(p_sh, v_sh):
-                def hop(carry, _):
-                    jp, jv, acc, jerk = carry
-                    a, jk = aj_vs(p_sh, v_sh, jp, jv)
-                    jp = jax.lax.ppermute(jp, axis, perm)
-                    jv = jax.lax.ppermute(jv, axis, perm)
-                    return (jp, jv, acc + a, jerk + jk), None
-
-                z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
-                (_, _, acc, jerk), _ = jax.lax.scan(
-                    hop, (p_sh, v_sh, z, z), None, length=ndev)
-                return acc, jerk
-        else:
-            def aj(p_sh, v_sh):
-                p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
-                v_all = jax.lax.all_gather(v_sh, axis, axis=0, tiled=True)
-                return aj_vs(p_sh, v_sh, p_all, v_all)
-
+        aj = (_ring_aj_fn(aj_vs, axis, ndev) if use_ring
+              else _allgather_aj_fn(aj_vs, axis))
         return nbody_step_hermite(pos_sh, vel_sh, dt, soft, damp,
                                   accel_jerk_fn=aj)
 
@@ -221,8 +255,8 @@ def make_sharded_step(
             return _hermite(pos_sh, vel_sh, dt, soft, damp, use_ring=False)
         if integrator == "leapfrog":
             pos_half = _drift_half(pos_sh, vel_sh, dt)
-            all_half = jax.lax.all_gather(pos_half, axis, axis=0, tiled=True)
-            acc = accel_vs(pos_half, all_half, soft)
+            acc = _allgather_accel_fn(
+                lambda p, j: accel_vs(p, j, soft), axis)(pos_half)
             return _kick_drift(pos_half, vel_sh, acc, dt, damp)
         all_pos = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
         return step_vs(pos_sh, vel_sh, all_pos, dt, soft, damp)
@@ -232,9 +266,9 @@ def make_sharded_step(
             return _hermite(pos_sh, vel_sh, dt, soft, damp, use_ring=True)
         if integrator == "leapfrog":
             pos_half = _drift_half(pos_sh, vel_sh, dt)
-            acc = _ring_accel(pos_half, pos_half, soft)
+            acc = _ring_accel(pos_half, soft)
             return _kick_drift(pos_half, vel_sh, acc, dt, damp)
-        acc = _ring_accel(pos_sh, pos_sh, soft)
+        acc = _ring_accel(pos_sh, soft)
         return integrate(pos_sh, vel_sh, acc, dt, damp)
 
     def local_ring_fused(pos_sh, vel_sh, dt, soft, damp):
@@ -498,24 +532,8 @@ def make_sharded_adaptive_rollout(
             strategy == "auto"
             and choose_strategy(n_global, ndev) == "ring")
 
-        if use_ring:
-            perm = [(d, (d + 1) % ndev) for d in range(ndev)]
-
-            def accel_fn(p_sh):
-                def hop(carry, _):
-                    jp, acc = carry
-                    acc = acc + accel_vs(p_sh, jp)
-                    jp = jax.lax.ppermute(jp, axis, perm)
-                    return (jp, acc), None
-
-                z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
-                (_, acc), _ = jax.lax.scan(hop, (p_sh, z), None,
-                                           length=ndev)
-                return acc
-        else:
-            def accel_fn(p_sh):
-                p_all = jax.lax.all_gather(p_sh, axis, axis=0, tiled=True)
-                return accel_vs(p_sh, p_all)
+        accel_fn = (_ring_accel_fn(accel_vs, axis, ndev) if use_ring
+                    else _allgather_accel_fn(accel_vs, axis))
 
         aj_fn = None
         if integrator == "hermite":
@@ -524,7 +542,6 @@ def make_sharded_adaptive_rollout(
 
             aj_ti = tile_i if explicit_i else AJ_TILE_I
             aj_tj = tile_j if explicit_j else AJ_TILE_J
-            eps2 = jnp.asarray(softening, jnp.float32) ** 2
 
             def aj_vs(p_sh, v_sh, p_j, v_j):
                 if kernel == "pallas":
@@ -535,32 +552,15 @@ def make_sharded_adaptive_rollout(
                     return compute_accel_jerk_pallas(
                         p_sh, v_sh, p_j, v_j, softening,
                         tile_i=aj_ti, tile_j=aj_tj, interpret=interpret)
+                # square in the STATE dtype (an fp64 run must keep eps^2
+                # at fp64, matching the fixed-dt sharded hermite)
+                eps2 = jnp.asarray(softening, p_sh.dtype) ** 2
                 return _accel_jerk_rows(
                     p_sh[:, :3], v_sh[:, :3], p_j[:, :3], v_j[:, :3],
-                    p_j[:, 3], eps2.astype(p_sh.dtype))
+                    p_j[:, 3], eps2)
 
-            if use_ring:
-                perm = [(d, (d + 1) % ndev) for d in range(ndev)]
-
-                def aj_fn(p_sh, v_sh):
-                    def hop(carry, _):
-                        jp, jv, acc, jerk = carry
-                        a, jk = aj_vs(p_sh, v_sh, jp, jv)
-                        jp = jax.lax.ppermute(jp, axis, perm)
-                        jv = jax.lax.ppermute(jv, axis, perm)
-                        return (jp, jv, acc + a, jerk + jk), None
-
-                    z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
-                    (_, _, acc, jerk), _ = jax.lax.scan(
-                        hop, (p_sh, v_sh, z, z), None, length=ndev)
-                    return acc, jerk
-            else:
-                def aj_fn(p_sh, v_sh):
-                    p_all = jax.lax.all_gather(p_sh, axis, axis=0,
-                                               tiled=True)
-                    v_all = jax.lax.all_gather(v_sh, axis, axis=0,
-                                               tiled=True)
-                    return aj_vs(p_sh, v_sh, p_all, v_all)
+            aj_fn = (_ring_aj_fn(aj_vs, axis, ndev) if use_ring
+                     else _allgather_aj_fn(aj_vs, axis))
 
         run = make_adaptive_scan(
             integrator, accel_fn=accel_fn, accel_jerk_fn=aj_fn,

@@ -106,11 +106,13 @@ def test_adaptive_tracks_collapse():
 
 
 def test_stats_accumulate_across_segments(monkeypatch):
-    bs = BodySystem(64, P, backend="xla", integrator="euler", seed=7)
+    # the reference run must be UNSEGMENTED (one 40-step rollout) so the
+    # segmented run's cross-segment merging is actually exercised
     ref = BodySystem(64, P, backend="xla", integrator="euler", seed=7)
+    ref_stats = ref.update_many_adaptive(40, eta=0.01)
+    bs = BodySystem(64, P, backend="xla", integrator="euler", seed=7)
     monkeypatch.setattr(BodySystem, "_segment_steps", lambda self: 13)
     stats = bs.update_many_adaptive(40, eta=0.01)
-    ref_stats = ref.update_many_adaptive(40, eta=0.01)
     np.testing.assert_array_equal(bs.positions, ref.positions)
     for k in ("t", "dt_lo", "dt_hi", "dt_last"):
         assert stats[k] == pytest.approx(ref_stats[k], rel=1e-5), k
@@ -240,3 +242,10 @@ def test_compute_adaptive_stats_accumulate():
     assert st["steps"] == 5
     assert st["t"] > 0
     assert st["dt_lo"] <= st["dt_last"] <= st["dt_hi"]
+
+
+def test_bad_eta_raises():
+    bs = BodySystem(64, P, backend="xla", seed=9)
+    for eta in (0.0, -0.1, float("nan")):
+        with pytest.raises(ValueError, match="eta"):
+            bs.update_many_adaptive(5, eta=eta)

@@ -245,3 +245,19 @@ def test_animate_avi(tmp_path, capsys):
     assert rc == 0
     data = out.read_bytes()
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def test_adaptive_dt_window_validation(capsys):
+    bad = (["--dt-min", "-1"], ["--dt-max", "0"],
+           ["--dt-min", "0.1", "--dt-max", "0.01"],
+           ["--dt-min", "0.1"])  # floor above the preset's time_step
+    for extra in bad:
+        rc = main(["--numbodies", "256", "--kernel", "xla",
+                   "--adaptive-dt", "--frames", "1", *extra])
+        assert rc == 1, extra
+        assert "error:" in capsys.readouterr().err
+    # --dt-min/--dt-max without --adaptive-dt is an error, not a no-op
+    rc = main(["--numbodies", "256", "--kernel", "xla", "--frames", "1",
+               "--dt-min", "0.001"])
+    assert rc == 1
+    assert "--adaptive-dt" in capsys.readouterr().err

@@ -164,3 +164,16 @@ def test_avi_odd_width_row_padding(tmp_path):
     back, _ = read_avi(path)
     np.testing.assert_array_equal(back[0], frame)
     np.testing.assert_array_equal(back[1], frame + 1)
+
+
+def test_avi_rejects_over_4gib(tmp_path):
+    import numpy as np
+    import pytest
+
+    from nbody_tpu.io.avi import write_avi
+
+    # broadcast views: 100 x (4096, 4096, 3) frames (~5 GiB of video)
+    # without allocating them — the size guard must fire before writing
+    frame = np.broadcast_to(np.zeros((1, 1, 3), np.uint8), (4096, 4096, 3))
+    with pytest.raises(ValueError, match="AVI 1.0"):
+        write_avi([frame] * 100, tmp_path / "big.avi")
