@@ -79,3 +79,46 @@ def test_fuzz_pallas_vs_oracle(config, seed):
             tile_i=64, tile_j=128, interpret=True, variant=variant,
         )
         assert_state_close(p1, ref_pos)
+
+
+def _angular_momentum(pos, vel):
+    return np.cross(pos[:, :3], pos[:, 3:4] * vel[:, :3]).sum(axis=0)
+
+
+def test_angular_momentum_conserved():
+    """Central pairwise forces exert zero net torque: total L = sum m r x v
+    is conserved (damping=1). Complements the linear-momentum test — a
+    force-symmetry bug that preserves sum F can still break sum r x F."""
+    from nbody_tpu.models.body_system import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    bs = BodySystem(512, NBodyParams(softening=SOFT, damping=1.0),
+                    backend="xla", integrator="leapfrog", seed=3)
+    L0 = _angular_momentum(bs.positions, bs.velocities)
+    bs.update_many(100, 1e-3)
+    L1 = _angular_momentum(bs.positions, bs.velocities)
+    scale = np.abs(np.cross(bs.positions[:, :3],
+                            bs.positions[:, 3:4] * bs.velocities[:, :3])).sum()
+    assert np.abs(L1 - L0).max() / scale < 1e-5
+
+
+def test_leapfrog_time_reversible():
+    """The symplectic DKD step is time-reversible: integrate forward k
+    steps, flip velocities, integrate k more, flip back -> the initial
+    state, up to fp32 roundoff. Euler is NOT reversible (the velocity
+    update uses the new acceleration asymmetrically) — this pins the
+    structural property that distinguishes the integrators."""
+    from nbody_tpu.models.body_system import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    P = NBodyParams(softening=SOFT, damping=1.0)
+    bs = BodySystem(256, P, backend="xla", integrator="leapfrog", seed=4)
+    p0, v0 = bs.positions.copy(), bs.velocities.copy()
+    bs.update_many(20, 1e-3)
+    vel = bs.velocities.copy()
+    vel[:, :3] *= -1.0
+    bs.set_velocities(vel)
+    bs.update_many(20, 1e-3)
+    scale = np.abs(p0[:, :3]).max()
+    assert np.abs(bs.positions[:, :3] - p0[:, :3]).max() / scale < 1e-5
+    assert np.abs(bs.velocities[:, :3] + v0[:, :3]).max() < 1e-4
