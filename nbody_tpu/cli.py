@@ -128,10 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive dt ceiling (default: the preset's "
                         "time_step)")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
-    p.add_argument("--config", choices=["shell", "random", "expand", "galaxy"],
+    p.add_argument("--config",
+                   choices=["shell", "random", "expand", "plummer", "galaxy"],
                    default="shell",
                    help="initial condition (galaxy = synthesized two-disk "
-                        "collision, the tipsy-demo analogue)")
+                        "collision, the tipsy-demo analogue; plummer = "
+                        "self-consistent equilibrium sphere)")
     p.add_argument("--demo", type=int, default=0, help="start at demo preset [0..6]")
     p.add_argument("--frames", type=int, default=120, help="demo frames to simulate")
     p.add_argument("--steps-per-frame", type=int, default=1,
@@ -566,11 +568,21 @@ def _main(argv=None) -> int:
         raise ValueError(
             f"--demo {args.demo} out of range (presets 0..{len(DEMO_PARAMS) - 1})"
         )
+    def _with_config_scales(params):
+        if args.config != "plummer":
+            return params
+        # equilibrium model: cluster_scale is the Plummer scale radius and
+        # velocity_scale is in units of the self-consistent speed (1.0 =
+        # virial equilibrium) — the shell/random N-bucket tuning and demo
+        # scales do not apply. --set still overrides below.
+        return params.replace(cluster_scale=1.0, velocity_scale=1.0)
+
     if args.demo != 0 and tipsy_state is None:
         compute.active_demo = args.demo
-        compute.active_params = DEMO_PARAMS[args.demo]
+        compute.active_params = _with_config_scales(DEMO_PARAMS[args.demo])
         compute.reset(NBodyConfig.parse(args.config))
     elif tipsy_state is None and args.config not in ("shell", "galaxy"):
+        compute.active_params = _with_config_scales(compute.active_params)
         compute.reset(NBodyConfig.parse(args.config))
 
     if args.set_params:

@@ -22,8 +22,15 @@ Scale rules (per generator, matching the reference):
 * EXPAND: scale = cluster_scale * N/1024, falling back to cluster_scale when
   that is < 1; vscale = scale * velocity_scale; velocity is radial: point *
   vscale.
+* PLUMMER (beyond the reference): self-consistent isotropic equilibrium
+  sphere, scale radius a = cluster_scale, total mass 1 (per-body mass 1/N —
+  the reference trio uses unit masses; an equilibrium model needs a fixed
+  total mass so its dynamical time is N-independent). velocity_scale is in
+  units of the equilibrium speed: 1.0 = virial equilibrium (the natural
+  value; the CLI defaults both scales to 1.0 for --config plummer), 0 = cold
+  collapse, sqrt(2) = marginally unbound.
 
-All bodies have mass 1 (pos[:, 3]); vel[:, 3] is 0.
+The reference trio has mass 1 for all bodies (pos[:, 3]); vel[:, 3] is 0.
 Returns AoS float arrays pos (N, 4), vel (N, 4).
 """
 
@@ -112,10 +119,66 @@ def generate(
         pos[:, :3] = point * dtype(scale)
         vel[:, :3] = point * dtype(vscale)
 
+    elif config == NBodyConfig.PLUMMER:
+        p3, v3, m = _plummer(rng, n, a=cluster_scale, vscale=velocity_scale)
+        pos[:, :3] = p3.astype(dtype)
+        pos[:, 3] = m.astype(dtype)
+        vel[:, :3] = v3.astype(dtype)
+
     else:  # pragma: no cover
         raise ValueError(f"unknown config {config}")
 
     return pos, vel
+
+
+# Truncation radius of the Plummer sampler, in scale radii. 10a encloses
+# 98.5% of the total mass; cutting the tail keeps fp32 coordinates and the
+# demo camera sane (the untruncated r distribution has infinite variance).
+_PLUMMER_RMAX = 10.0
+
+
+def _plummer(
+    rng: np.random.Generator, n: int, *, a: float, vscale: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Isotropic Plummer sphere in equilibrium (Aarseth, Henon & Wielen 1974).
+
+    Density rho(r) ∝ (1 + r²/a²)^(-5/2); enclosed-mass fraction
+    f(r) = (r/a)³ / (1 + (r/a)²)^(3/2), inverted analytically for radius
+    sampling. Speeds are drawn from the self-consistent distribution
+    function: q = v/v_esc with pdf ∝ q²(1-q²)^(7/2) (rejection sampling),
+    v_esc(r) = sqrt(2 M) (r²+a²)^(-1/4) with G = 1, M = 1.
+
+    Returns (pos3, vel3, mass) in float64; the sphere is recentred so the
+    centre of mass sits at the origin with zero net momentum (otherwise the
+    sampled COM random-walks at O(N^-1/2), polluting drift checks).
+    """
+    m_tot = 1.0
+    x_max = _PLUMMER_RMAX
+    f_max = x_max**3 / (1.0 + x_max * x_max) ** 1.5  # mass fraction inside
+
+    u = rng.uniform(0.0, f_max, size=n)
+    r = a / np.sqrt(u ** (-2.0 / 3.0) - 1.0)
+    p3 = _unit_sphere(rng, n, np.float64) * r[:, None]
+
+    # rejection-sample q = v / v_esc from g(q) = q²(1-q²)^(7/2);
+    # max g = (2/9)(7/9)^(7/2) ≈ 0.0920, so envelope 0.1 accepts ~46%
+    q = np.empty(n, dtype=np.float64)
+    filled = 0
+    while filled < n:
+        need = n - filled
+        cand = rng.uniform(0.0, 1.0, size=int(need * 2.4) + 16)
+        y = rng.uniform(0.0, 0.1, size=cand.shape)
+        acc = cand[y < cand * cand * (1.0 - cand * cand) ** 3.5][:need]
+        q[filled : filled + len(acc)] = acc
+        filled += len(acc)
+
+    v_esc = np.sqrt(2.0 * m_tot) * (r * r + a * a) ** -0.25
+    v3 = _unit_sphere(rng, n, np.float64) * (q * v_esc * vscale)[:, None]
+
+    mass = np.full(n, m_tot / n)
+    p3 -= p3.mean(axis=0)  # equal masses: COM = plain mean
+    v3 -= v3.mean(axis=0)
+    return p3, v3, mass
 
 
 def galaxy_disk(

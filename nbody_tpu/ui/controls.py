@@ -95,6 +95,11 @@ class Controls:
             c.reset(NBodyConfig.RANDOM)
         elif key == "3":
             c.reset(NBodyConfig.EXPAND)
+        # "4" extends the reference's 1/2/3 reset keys
+        # (/root/reference/src/nbody/controls.cpp:133-149) with the
+        # equilibrium model the reference lacks
+        elif key == "4":
+            c.reset(NBodyConfig.PLUMMER)
         # terminal camera nudges (the reference uses mouse drags)
         elif self.camera is not None and key == "w":
             self.camera.zoom(10.0)

@@ -261,3 +261,20 @@ def test_adaptive_dt_window_validation(capsys):
                "--dt-min", "0.001"])
     assert rc == 1
     assert "--adaptive-dt" in capsys.readouterr().err
+
+
+def test_config_plummer_equilibrium_scales(capsys):
+    """--config plummer runs end to end, overrides the N-bucket scale tuning
+    with the equilibrium (1.0, 1.0), and --set still wins."""
+    rc = main(["--numbodies", "256", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--config", "plummer", "--print-params"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # print_values emits { dt, cluster_scale, velocity_scale, ... }
+    assert ", 1.0, 1.0," in out
+
+    rc = main(["--numbodies", "256", "--frames", "1", "--kernel", "xla",
+               "--no-cycle", "--config", "plummer",
+               "--set", "velocity_scale=0.5"])
+    assert rc == 0
+    assert "velocity_scale" in capsys.readouterr().out

@@ -21,7 +21,11 @@ def test_shapes_masses_wlane(config):
     pos, vel = ic.generate(config, 300, 1.0, 2.0, seed=0)
     assert pos.shape == (300, 4) and vel.shape == (300, 4)
     assert pos.dtype == np.float32
-    np.testing.assert_array_equal(pos[:, 3], 1.0)  # unit masses
+    if config is NBodyConfig.PLUMMER:
+        # equilibrium model: total mass 1, equal per-body masses
+        np.testing.assert_allclose(pos[:, 3], 1.0 / 300, rtol=1e-6)
+    else:
+        np.testing.assert_array_equal(pos[:, 3], 1.0)  # unit masses
     np.testing.assert_array_equal(vel[:, 3], 0.0)
 
 
@@ -101,3 +105,77 @@ def test_galaxy_deterministic():
 def test_fp64_dtype():
     pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.0, 1.0, seed=1, dtype=np.float64)
     assert pos.dtype == np.float64 and vel.dtype == np.float64
+
+
+# ---- Plummer equilibrium sphere ----
+
+
+def _chunked_potential(p3, m, chunk=512):
+    """Exact (unsoftened) pairwise potential in f64, chunked to bound memory."""
+    p3 = p3.astype(np.float64)
+    m = m.astype(np.float64)
+    n = len(p3)
+    W = 0.0
+    for i0 in range(0, n, chunk):
+        d = p3[i0 : i0 + chunk, None, :] - p3[None, :, :]
+        d2 = (d * d).sum(-1)
+        inv = 1.0 / np.sqrt(np.where(d2 > 0, d2, 1.0))
+        idx = np.arange(i0, min(i0 + chunk, n))
+        inv[np.arange(len(idx)), idx] = 0.0
+        W -= 0.5 * (m[i0 : i0 + chunk, None] * m[None, :] * inv).sum()
+    return W
+
+
+def test_plummer_half_mass_radius():
+    """Truncated-at-10a Plummer: r_half = 1.287a analytically (the classic
+    1.3048a shifts slightly because r_half is where HALF THE KEPT MASS sits:
+    f(r) = f(10a)/2 -> r = 1.287a)."""
+    pos, _ = ic.generate(NBodyConfig.PLUMMER, 8192, 1.0, 1.0, seed=2)
+    r = np.linalg.norm(pos[:, :3].astype(np.float64), axis=1)
+    r_half = np.median(r)  # equal masses: half-mass radius = median radius
+    assert 1.18 < r_half < 1.40, r_half
+    assert r.max() <= 10.0 * (1 + 1e-5)  # truncation radius
+    # scale radius scales linearly
+    pos2, _ = ic.generate(NBodyConfig.PLUMMER, 8192, 2.0, 1.0, seed=2)
+    r2 = np.median(np.linalg.norm(pos2[:, :3].astype(np.float64), axis=1))
+    np.testing.assert_allclose(r2, 2.0 * r_half, rtol=1e-5)
+
+
+def test_plummer_virial_equilibrium():
+    """velocity_scale=1 gives 2T/|W| ~ 1 (measured 0.975-0.997 over seeds at
+    N>=4096; slight deficit is the 10a truncation)."""
+    pos, vel = ic.generate(NBodyConfig.PLUMMER, 8192, 1.0, 1.0, seed=5)
+    m = pos[:, 3].astype(np.float64)
+    v3 = vel[:, :3].astype(np.float64)
+    T = 0.5 * (m * (v3 * v3).sum(1)).sum()
+    W = _chunked_potential(pos[:, :3], m)
+    ratio = 2.0 * T / abs(W)
+    assert 0.90 < ratio < 1.05, ratio
+    # velocity_scale scales speeds linearly: 0 = cold
+    pos0, vel0 = ic.generate(NBodyConfig.PLUMMER, 256, 1.0, 0.0, seed=5)
+    np.testing.assert_array_equal(vel0[:, :3], 0.0)
+
+
+def test_plummer_centred():
+    """COM and net momentum are exactly removed (drift checks rely on it)."""
+    pos, vel = ic.generate(NBodyConfig.PLUMMER, 4096, 1.3, 1.0, seed=8)
+    assert np.abs(pos[:, :3].mean(0)).max() < 1e-6
+    assert np.abs((pos[:, 3:4] * vel[:, :3]).sum(0)).max() < 1e-6
+
+
+def test_plummer_is_dynamically_stable():
+    """The equilibrium survives a leapfrog rollout: r_half moves <10% over
+    100 steps (~2.6 dynamical times). This is the end-to-end physics check
+    the SHELL/EXPAND transients cannot provide (measured 2.5% at this
+    config)."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.ops.reference import nbody_step_leapfrog
+
+    pos, vel = ic.generate(NBodyConfig.PLUMMER, 2048, 1.0, 1.0, seed=3)
+    r0 = np.median(np.linalg.norm(pos[:, :3], axis=1))
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    for _ in range(100):
+        p, v = nbody_step_leapfrog(p, v, 0.05, 0.05, 1.0)
+    r1 = np.median(np.linalg.norm(np.asarray(p)[:, :3], axis=1))
+    assert abs(r1 - r0) / r0 < 0.10, (r0, r1)

@@ -122,3 +122,72 @@ def test_leapfrog_time_reversible():
     scale = np.abs(p0[:, :3]).max()
     assert np.abs(bs.positions[:, :3] - p0[:, :3]).max() / scale < 1e-5
     assert np.abs(bs.velocities[:, :3] + v0[:, :3]).max() < 1e-4
+
+
+# ---- Kepler two-body convergence orders ----
+#
+# Two equal masses on a mutual circular orbit have an ANALYTIC solution even
+# with Plummer softening: accel magnitude = m_other * r / (r^2+eps^2)^(3/2),
+# so with total mass 1 and separation 1 the angular rate is
+# omega = (1 + eps^2)^(-3/4). Measuring max position error at fixed total
+# time for halving dt pins each integrator's global convergence order —
+# euler (semi-implicit) 1st, leapfrog (DKD) 2nd, hermite (P(EC)) 4th.
+# Calibrated in f64: measured orders 0.99 / 2.00 / 3.90-3.95.
+
+
+_KEPLER_EPS = 1e-3
+_KEPLER_OMEGA = (1.0 + _KEPLER_EPS**2) ** -0.75
+
+
+def _kepler_init():
+    pos = np.zeros((2, 4), np.float64)
+    vel = np.zeros((2, 4), np.float64)
+    pos[0, 0], pos[1, 0] = 0.5, -0.5
+    pos[:, 3] = 0.5
+    vy = _KEPLER_OMEGA * 0.5
+    vel[0, 1], vel[1, 1] = vy, -vy
+    return pos, vel
+
+
+def _kepler_error(step_fn, dt, total_time):
+    pos, vel = _kepler_init()
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    n = int(round(total_time / dt))
+    for _ in range(n):
+        p, v = step_fn(p, v, dt, _KEPLER_EPS, 1.0)
+    t = n * dt
+    c, s = np.cos(_KEPLER_OMEGA * t), np.sin(_KEPLER_OMEGA * t)
+    exact = np.array([[0.5 * c, 0.5 * s, 0.0], [-0.5 * c, -0.5 * s, 0.0]])
+    return float(np.abs(np.asarray(p)[:, :3] - exact).max())
+
+
+@pytest.mark.parametrize(
+    "integrator,dts,lo,hi",
+    [
+        ("euler", (0.04, 0.02, 0.01), 0.7, 1.3),
+        ("leapfrog", (0.04, 0.02, 0.01), 1.7, 2.3),
+        ("hermite", (0.2, 0.1, 0.05), 3.4, 4.4),
+    ],
+)
+def test_integrator_convergence_order(integrator, dts, lo, hi):
+    import jax
+
+    from nbody_tpu.ops.reference import (
+        nbody_step_hermite,
+        nbody_step_leapfrog,
+    )
+
+    step = {
+        "euler": nbody_step_xla,
+        "leapfrog": nbody_step_leapfrog,
+        "hermite": nbody_step_hermite,
+    }[integrator]
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        errs = [_kepler_error(step, dt, total_time=2.0) for dt in dts]
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    for p in orders:
+        assert lo <= p <= hi, (integrator, errs, orders)

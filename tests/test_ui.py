@@ -49,6 +49,8 @@ def test_digit_resets_config():
     ctl.handle("3")
     assert c.system.config == NBodyConfig.EXPAND
     assert not np.allclose(c.system.positions, p0)
+    ctl.handle("4")
+    assert c.system.config == NBodyConfig.PLUMMER
 
 
 def test_p_cycles_display_mode():
