@@ -114,7 +114,9 @@ def main() -> int:
                    warmup=1 if i == 0 else 0)[0]
         for i in range(rolls)
     )
-    ms = ms_b - ms_a  # time of (5*iters - iters) = 4*iters marginal steps
+    # floor like Compute.run_benchmark: the two minima are independent, so
+    # one-sided noise could make the delta non-positive
+    ms = max(ms_b - ms_a, 1e-6)  # time of 4*iters marginal steps
     steps_per_s = 4 * iters * 1000.0 / ms
     interactions = n * n * 1e-9 * steps_per_s
     gflops = interactions * 20.0

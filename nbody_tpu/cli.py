@@ -716,14 +716,7 @@ def _run_demo(compute, args) -> int:
                 if not controls.handle(key):
                     print("quit")
                     quit_requested = True
-        compute.update_simulation(camera)
-        if args.steps_per_frame > 1 and not compute.paused:
-            if compute.adaptive is not None:
-                compute.step_adaptive(args.steps_per_frame - 1)
-            else:
-                compute.system.update_many(
-                    args.steps_per_frame - 1, compute.active_params.time_step
-                )
+        compute.update_simulation(camera, steps=args.steps_per_frame)
         if renderer is not None and (controls is None or controls.display_enabled):
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}

@@ -162,16 +162,22 @@ class Compute:
     def pause(self) -> None:
         self.paused = not self.paused
 
-    def update_simulation(self, camera=None) -> None:
-        """Advance one frame: auto-cycle demos every DEMO_TIME_S, then step
-        (fixed dt, or the adaptive criterion when set_adaptive is on)."""
+    def update_simulation(self, camera=None, steps: int = 1) -> None:
+        """Advance one frame of `steps` simulation steps: auto-cycle demos
+        every DEMO_TIME_S, then step (fixed dt, or the adaptive criterion
+        when set_adaptive is on). Multi-step frames go out as ONE rollout
+        dispatch — for adaptive stepping that also amortizes the rollout's
+        initial force evaluation over the whole frame (splitting a frame
+        into 1-step calls would double the per-step force work)."""
         if self.cycle_demo and time.monotonic() - self._demo_reset_time > DEMO_TIME_S:
             self.next_demo(camera)
         if not self.paused:
             if self.adaptive is not None:
-                self.step_adaptive(1)
-            else:
+                self.step_adaptive(steps)
+            elif steps == 1:
                 self.system.update(self.active_params.time_step)
+            else:
+                self.system.update_many(steps, self.active_params.time_step)
 
     def set_adaptive(self, eta: float, dt_min: Optional[float] = None,
                      dt_max: Optional[float] = None) -> None:

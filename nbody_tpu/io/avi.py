@@ -39,6 +39,9 @@ def write_avi(frames, path, *, fps: int = 30) -> None:
     frames = [np.asarray(f) for f in frames]
     if not frames:
         raise ValueError("no frames")
+    if frames[0].ndim != 3 or frames[0].shape[2] != 3:
+        raise ValueError(
+            f"frames must be (H, W, 3) RGB; got shape {frames[0].shape}")
     h, w = frames[0].shape[:2]
     for f in frames:
         if f.shape != frames[0].shape or f.dtype != np.uint8:

@@ -868,6 +868,13 @@ class BodySystem:
         segments; the p3m contract is probed at segment boundaries (the
         in-scan breach carry is a fixed-dt rollout feature).
 
+        Each CALL evaluates the initial acceleration once to seed the
+        carried-acceleration scan, so adapting is eval-neutral *within* a
+        rollout (1/steps amortized overhead per call) — batch interactive
+        frames into one call per frame (Compute.update_simulation does)
+        rather than looping 1-step calls, which would double the per-step
+        force work.
+
         Mesh-capable for the exact kernels over the 1-D body mesh: the
         dt criterion adds ONE scalar pmax/pmin collective per step
         (parallel.sharded.make_sharded_adaptive_rollout); pm/p3m and

@@ -505,8 +505,13 @@ def nbody_rollout_pallas(
 ):
     """`steps` fused vpu steps in ONE compiled scan, carrying the j-side
     transposed positions ACROSS steps (the kernel emits them; see
-    _step_kernel_t) so no per-step (N,4)->(4,N) transpose runs. This is the
-    fast path BodySystem.update_many and bench.py use on TPU.
+    _step_kernel_t) so no per-step (N,4)->(4,N) transpose runs.
+
+    RECORDED NEGATIVE RESULT — NOT a production path: measured SLOWER than
+    scanning `nbody_step_pallas` (whose per-step transpose XLA fuses for
+    free), so BodySystem.update_many and bench.py do NOT use it; it is kept,
+    tested, as the measured rejection of the carried-transpose idea
+    (docs/ARCHITECTURE.md variant table).
 
     State is padded once to a common tile multiple; padding bodies have
     zero mass (exert nothing) and merely coast, so slicing [:n] at the end
@@ -559,7 +564,13 @@ def nbody_rollout_pallas(
         out_shape=out_shape,
         scratch_shapes=_scratch(tile_i),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # i must be "arbitrary" here (unlike the step kernels): when
+            # tile_i < t_blk, consecutive i-iterations each write HALF of
+            # the same 128-lane transposed output block (the sub_r
+            # predicate in _step_kernel_t) — a megacore part splitting a
+            # "parallel" i across cores would leave the other core's lanes
+            # uninitialized in each copy-out
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=cost,
         interpret=interpret,

@@ -31,6 +31,7 @@ deposit/gather scale 1/D, the only collective is the grid reduction.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -201,42 +202,82 @@ def _optimal_influence_factor(grid: int, sigma_cells, window_exp: int):
     import numpy as np
 
     gp = 2 * grid
+    nz = gp // 2 + 1
     sc = float(sigma_cells) if sigma_cells is not None else 0.0
     p = int(window_exp)
+
+    # disk cache next to the XLA compilation cache: the table is pure math
+    # keyed by (grid, sigma/h, p) but costs ~25 s of host churn at G=128
+    # (scaling ~G^3) — pay it once per machine, not per process. Opt out /
+    # relocate with the same env vars the compilation cache honors.
+    cache_file = None
+    if not os.environ.get("NBODY_NO_COMPILE_CACHE"):
+        cache_dir = os.path.join(
+            os.environ.get("NBODY_COMPILE_CACHE_DIR")
+            or os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "nbody_tpu"),
+            "influence")
+        cache_file = os.path.join(
+            cache_dir, f"g{grid}_s{sc!r}_p{p}_v1.npy")
+        try:
+            tab = np.load(cache_file)
+            if tab.shape == (gp, gp, nz) and tab.dtype == np.float32:
+                return tab
+        except (OSError, ValueError):
+            pass
     fx = np.fft.fftfreq(gp)                      # dimensionless ∈ [-0.5, 0.5)
     fz = np.fft.rfftfreq(gp)
-    f3 = (fx[:, None, None], fx[None, :, None], fz[None, None, :])
 
     def g_hat(q2):
         with np.errstate(divide="ignore", invalid="ignore"):
             g = 4.0 * np.pi * np.exp(-0.5 * sc * sc * q2) / q2
         return np.where(q2 > 0, g, 0.0)
 
-    k0 = [2.0 * np.pi * f for f in f3]
-    k0_sq = sum(k * k for k in k0)
-    num = np.zeros((gp, gp, gp // 2 + 1))
-    s_sum = np.zeros_like(num)
-    for mx in (-1, 0, 1):
-        for my in (-1, 0, 1):
-            for mz in (-1, 0, 1):
-                km = [2.0 * np.pi * (f3[0] + mx),
-                      2.0 * np.pi * (f3[1] + my),
-                      2.0 * np.pi * (f3[2] + mz)]
-                u2 = (np.sinc(f3[0] + mx) * np.sinc(f3[1] + my)
-                      * np.sinc(f3[2] + mz)) ** (2 * p)
-                km_sq = sum(k * k for k in km)
-                k_dot = sum(a * b for a, b in zip(k0, km))
-                num += u2 * k_dot * g_hat(km_sq)
-                s_sum += u2
-    denom = k0_sq * s_sum * s_sum * g_hat(k0_sq)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        f_opt = num / denom
-    # k=0: forces carry no DC component (i*k kills it) — any finite value
-    # works; 1.0 keeps the kernel's own DC convention
-    f_opt = np.where(denom > 0, f_opt, 1.0)
+    # x-plane chunks bound the f64 temporaries: the 27-image loop
+    # materializes several (cx, gp, nz) arrays per image, which at G=256
+    # would be ~540 MB EACH unchunked (multi-GB peak, minutes of churn,
+    # at first trace of every large-grid p3m run — this table is the
+    # silent default there). cx caps each temporary at ~32 MB.
+    cx = max(1, min(gp, (1 << 22) // max(1, gp * nz)))
+    out = np.empty((gp, gp, nz), np.float32)
+    for x0 in range(0, gp, cx):
+        f3 = (fx[x0 : x0 + cx, None, None], fx[None, :, None],
+              fz[None, None, :])
+        k0 = [2.0 * np.pi * f for f in f3]
+        k0_sq = sum(k * k for k in k0)
+        num = np.zeros((f3[0].shape[0], gp, nz))
+        s_sum = np.zeros_like(num)
+        for mx in (-1, 0, 1):
+            for my in (-1, 0, 1):
+                for mz in (-1, 0, 1):
+                    km = [2.0 * np.pi * (f3[0] + mx),
+                          2.0 * np.pi * (f3[1] + my),
+                          2.0 * np.pi * (f3[2] + mz)]
+                    u2 = (np.sinc(f3[0] + mx) * np.sinc(f3[1] + my)
+                          * np.sinc(f3[2] + mz)) ** (2 * p)
+                    km_sq = sum(k * k for k in km)
+                    k_dot = sum(a * b for a, b in zip(k0, km))
+                    num += u2 * k_dot * g_hat(km_sq)
+                    s_sum += u2
+        denom = k0_sq * s_sum * s_sum * g_hat(k0_sq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f_opt = num / denom
+        # k=0: forces carry no DC component (i*k kills it) — any finite
+        # value works; 1.0 keeps the kernel's own DC convention
+        out[x0 : x0 + cx] = np.where(denom > 0, f_opt, 1.0)
+    if cache_file is not None:
+        try:  # cache is an optimization, never a failure mode
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{cache_file}.tmp{os.getpid()}.npy"
+            np.save(tmp, out)  # np.save keeps the name (already .npy)
+            os.replace(tmp, cache_file)
+        except OSError:
+            pass
     # return HOST memory (NumPy): an lru_cached jnp array created inside a
     # trace would leak that trace's tracer into later ones
-    return f_opt.astype(np.float32)
+    return out
 
 
 def _apply_deconvolution(conv_k, deconvolve, grid, h, window_exp,

@@ -177,3 +177,17 @@ def test_avi_rejects_over_4gib(tmp_path):
     frame = np.broadcast_to(np.zeros((1, 1, 3), np.uint8), (4096, 4096, 3))
     with pytest.raises(ValueError, match="AVI 1.0"):
         write_avi([frame] * 100, tmp_path / "big.avi")
+
+
+def test_avi_rejects_non_rgb_frames(tmp_path):
+    import numpy as np
+    import pytest
+
+    from nbody_tpu.io.avi import write_avi
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        write_avi([rgba, rgba], tmp_path / "rgba.avi")
+    gray = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        write_avi([gray], tmp_path / "gray.avi")
