@@ -159,6 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="splat additive intensity (source-alpha analogue)")
     p.add_argument("--checkpoint-save", type=str, default=None)
     p.add_argument("--checkpoint-load", type=str, default=None)
+    p.add_argument("--autosave", type=int, default=None, metavar="N",
+                   help="in demo mode, atomically rewrite --checkpoint-save "
+                        "every N frames (crash-safe resume point for long "
+                        "unattended runs)")
     p.add_argument("--energy", action="store_true",
                    help="report total-energy drift over the run")
     p.add_argument("--drift-check", type=int, default=None, metavar="STEPS",
@@ -500,7 +504,18 @@ def _main(argv=None) -> int:
         tipsy_state = (tpos.astype(dt), tvel.astype(dt))
         print(f"Read {tipsy_state[0].shape[0]} bodies from {args.tipsy}")
 
+    if args.autosave is not None:
+        if args.autosave <= 0:
+            print("error: --autosave needs a positive frame interval",
+                  file=sys.stderr)
+            return 1
+        if not args.checkpoint_save:
+            print("error: --autosave needs --checkpoint-save PATH (the "
+                  "file it rewrites)", file=sys.stderr)
+            return 1
+
     checkpoint_params = None
+    resume_step = 0
     if args.checkpoint_load:
         from nbody_tpu.io import load_checkpoint
         import numpy as np
@@ -509,7 +524,8 @@ def _main(argv=None) -> int:
         dt = np.float64 if args.fp64 else np.float32
         tipsy_state = (cpos.astype(dt), cvel.astype(dt))
         checkpoint_params = cparams
-        print(f"Resumed {cpos.shape[0]} bodies at step {meta['step']} "
+        resume_step = int(meta.get("step", 0))
+        print(f"Resumed {cpos.shape[0]} bodies at step {resume_step} "
               f"from {args.checkpoint_load}")
 
     backend = args.kernel
@@ -541,6 +557,7 @@ def _main(argv=None) -> int:
         # resume with the exact parameters the checkpoint was written with
         compute.active_params = checkpoint_params
         compute.system.update_params(checkpoint_params)
+    compute.steps_taken = resume_step  # checkpoint step counter continuity
     if args.adaptive_dt is not None:
         # an explicit floor must sit under the effective ceiling (the
         # starting preset's time_step when --dt-max is omitted); demo
@@ -647,9 +664,12 @@ def _main(argv=None) -> int:
             compute.system.positions,
             compute.system.velocities,
             compute.active_params,
-            step=args.frames,
+            step=compute.steps_taken,
+            config=compute.system.config,
+            atomic=True,
         )
-        print(f"Checkpoint written to {args.checkpoint_save}")
+        print(f"Checkpoint written to {args.checkpoint_save} "
+              f"(step {compute.steps_taken})")
 
     return status
 
@@ -732,6 +752,18 @@ def _run_demo(compute, args) -> int:
             if anim_frames is not None:
                 anim_frames.append(frame)
         frames_done += 1
+        if args.autosave and frames_done % args.autosave == 0:
+            from nbody_tpu.io import save_checkpoint
+
+            save_checkpoint(
+                args.checkpoint_save,
+                compute.system.positions,
+                compute.system.velocities,
+                compute.active_params,
+                step=compute.steps_taken,
+                config=compute.system.config,
+                atomic=True,  # a crash mid-write must not eat the last good save
+            )
         frames_since_report += 1
         now = time.monotonic()
         if now - last_report >= 1.0:

@@ -96,6 +96,9 @@ class Compute:
         self._tipsy_state = tipsy_state
         self.adaptive = None        # {"eta", "dt_min", "dt_max"} when on
         self.adaptive_stats = None  # accumulated {"t", "dt_last", ...}
+        # simulation steps taken through update_simulation (checkpoint
+        # metadata); a resumed run seeds this with the loaded step counter
+        self.steps_taken = 0
 
         if tipsy_state is not None:
             num_bodies = tipsy_state[0].shape[0]
@@ -178,6 +181,7 @@ class Compute:
                 self.system.update(self.active_params.time_step)
             else:
                 self.system.update_many(steps, self.active_params.time_step)
+            self.steps_taken += steps
 
     def set_adaptive(self, eta: float, dt_min: Optional[float] = None,
                      dt_max: Optional[float] = None) -> None:

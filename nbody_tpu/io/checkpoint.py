@@ -19,7 +19,13 @@ FORMAT_VERSION = 1
 
 
 def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
-                    config: NBodyConfig | None = None, extra: dict | None = None) -> None:
+                    config: NBodyConfig | None = None, extra: dict | None = None,
+                    atomic: bool = False) -> None:
+    """``atomic=True`` writes to a sibling temp file and ``os.replace``s it
+    into place, so a crash mid-write (the case periodic autosave exists
+    for) can never leave a truncated checkpoint under the real name."""
+    import os
+
     meta = {
         "version": FORMAT_VERSION,
         "params": dataclasses.asdict(params),
@@ -27,15 +33,18 @@ def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
         "config": config.value if config is not None else None,
         "extra": extra or {},
     }
+    target = f"{path}.tmp{os.getpid()}" if atomic else path
     # write through an open handle: np.savez silently appends ".npz" to bare
     # paths, which would break save/load round trips under the same name
-    with open(path, "wb") as f:
+    with open(target, "wb") as f:
         np.savez(
             f,
             pos=np.asarray(pos),
             vel=np.asarray(vel),
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
         )
+    if atomic:
+        os.replace(target, path)
 
 
 def load_checkpoint(path):

@@ -278,3 +278,35 @@ def test_config_plummer_equilibrium_scales(capsys):
                "--set", "velocity_scale=0.5"])
     assert rc == 0
     assert "velocity_scale" in capsys.readouterr().out
+
+
+def test_autosave_periodic_and_step_continuity(tmp_path, capsys):
+    from nbody_tpu.io import load_checkpoint
+
+    ck = tmp_path / "auto.npz"
+    rc = main(["--numbodies", "128", "--frames", "3", "--kernel", "xla",
+               "--no-cycle", "--steps-per-frame", "4",
+               "--checkpoint-save", str(ck), "--autosave", "1"])
+    assert rc == 0
+    _, _, _, meta = load_checkpoint(ck)
+    assert meta["step"] == 12  # 3 frames x 4 steps
+    assert meta["config"] == "shell"
+    assert not list(tmp_path.glob("*.tmp*"))  # atomic replace, no leftovers
+
+    # resume: the step counter continues from the loaded checkpoint
+    ck2 = tmp_path / "auto2.npz"
+    rc = main(["--frames", "2", "--kernel", "xla", "--no-cycle",
+               "--checkpoint-load", str(ck), "--checkpoint-save", str(ck2)])
+    assert rc == 0
+    _, _, _, meta2 = load_checkpoint(ck2)
+    assert meta2["step"] == 14
+
+
+def test_autosave_requires_checkpoint_save(capsys):
+    assert main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+                 "--no-cycle", "--autosave", "1"]) == 1
+    assert "error: --autosave needs --checkpoint-save" in capsys.readouterr().err
+    assert main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
+                 "--no-cycle", "--autosave", "0", "--checkpoint-save",
+                 "x.npz"]) == 1
+    assert "positive frame interval" in capsys.readouterr().err
