@@ -173,7 +173,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "and exit (0 = all pass)")
     p.add_argument("--interactive", action="store_true",
                    help="read reference key bindings from stdin during the "
-                        "demo loop (space=pause, [ ]=demos, 1/2/3=reset, "
+                        "demo loop (space=pause, [ ]=demos, 1/2/3/4=reset, "
                         "enter=precision, q=quit, ...)")
     p.add_argument("--set", dest="set_params", type=str, default=None,
                    metavar="NAME=VAL[,NAME=VAL...]",
@@ -713,7 +713,7 @@ def _run_demo(compute, args) -> int:
 
         controls = Controls(compute, camera)
         print("interactive: space=pause q=quit enter=precision [ ]=demos "
-              "1/2/3=reset c=cycle p=mode o=params w/s=zoom a/e=rotate "
+              "1/2/3/4=reset c=cycle p=mode o=params w/s=zoom a/e=rotate "
               "H/J/K/L=translate")
 
     if not args.no_hud:

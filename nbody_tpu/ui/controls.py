@@ -4,7 +4,7 @@ Same key map as the reference (/root/reference/src/nbody/controls.cpp:75-149):
 space=pause, q/Esc=quit, Enter=precision toggle, backquote=sliders panel,
 g=GFLOPs<->interactions HUD toggle, p=display mode cycle, c=toggle demo
 cycling, [ / ]=previous/next demo, d=display off, o=print params,
-1/2/3=reset shell/random/expand. Mouse camera control maps to keys since
+1/2/3/4=reset shell/random/expand/plummer. Mouse camera control maps to keys since
 the host is a terminal: w/s=zoom, a/e=rotate, and SHIFT+H/J/K/L=translate
 (the reference's shift/middle-drag, controls.cpp:38-55).
 
