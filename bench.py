@@ -5,11 +5,15 @@ init, demo-0 params (dt=0.016, softening=0.1, damping=1.0), reporting
 GFLOP/s at the reference's 20-flops-per-interaction convention
 (/root/reference/src/nbody/compute.cpp:16-18,118-120).
 
-The kernel is the exact-fp32 `vpu` variant — deliberately NOT the faster
-mxu_bf16 mode: the measured drift table (PARITY.md) shows bf16-reduction
-force noise makes the simulation explode by 10k steps, so its throughput
-would be for a different simulation than the reference runs. vpu is
-measured at 96-100%+ of the chip's VPU roofline (docs/ARCHITECTURE.md).
+The kernel is the exact-fp32 Newton's-third-law `sym` variant
+(ops/symmetric_kernel.py): each pair evaluated ONCE, both sides
+accumulated — same math as the one-sided vpu kernel to reduction-order
+rounding (measured 285.3 vs 221.2 G int/s at this shape, 1.29x;
+drift-faithful by construction since the arithmetic is identical exact
+fp32). Deliberately NOT the faster mxu_bf16 mode: the measured drift
+table (PARITY.md) shows bf16-reduction force noise makes the simulation
+explode by 10k steps, so its throughput would be for a different
+simulation than the reference runs.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is a nominal 2000 fp32 GFLOP/s — the ballpark a modern desktop
@@ -68,14 +72,15 @@ def main() -> int:
     p, v = jnp.asarray(pos), jnp.asarray(vel)
 
     if on_tpu:
-        from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+        from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric
 
         # fastest DRIFT-FAITHFUL configuration measured on v5e: the exact
-        # fp32 vpu kernel at ti=64 / tj=32768 (r2 tile sweep, 197 G int/s)
+        # fp32 Newton's-third-law kernel at (64, 4096) — 285.3 G int/s vs
+        # the one-sided vpu champion's 221.2 (scripts/tpu_r3_symmetric.py)
         def step(p, v):
-            return nbody_step_pallas(p, v, params.time_step, params.softening,
-                                     params.damping, tile_i=64, tile_j=32768,
-                                     variant="vpu")
+            return nbody_step_symmetric(p, v, params.time_step,
+                                        params.softening, params.damping,
+                                        tile_i=64, tile_j=4096)
     else:  # CPU fallback so the bench always reports something
         from nbody_tpu.ops.reference import nbody_step_xla
 

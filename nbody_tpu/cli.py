@@ -89,13 +89,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "cell capacity / pair budget), rewind to the "
                         "breach step, re-size from that state, and resume "
                         "automatically (recompiles) instead of warning")
-    p.add_argument("--variant", choices=["vpu", "mxu", "mxu_bf16", "auto"],
+    p.add_argument("--variant",
+                   choices=["vpu", "sym", "mxu", "mxu_bf16", "auto"],
                    default="auto",
-                   help="pallas kernel variant (mxu* offload the force "
-                        "reduction to the MXU; mxu_bf16 is fastest but "
-                        "drift-unfaithful past ~1k steps — see PARITY.md; "
-                        "auto = drift-gated autotuner cache when present, "
-                        "else vpu)")
+                   help="pallas kernel variant (sym = Newton's-third-law "
+                        "kernel, each pair once — 1.29x vpu at N=65536, "
+                        "exact fp32, single-device N<=65536; mxu* offload "
+                        "the force reduction to the MXU; mxu_bf16 is "
+                        "fastest but drift-unfaithful past ~1k steps — see "
+                        "PARITY.md; auto = drift-gated autotuner cache "
+                        "when present, else sym where it applies, else "
+                        "vpu)")
     p.add_argument("--mesh-rows", type=int, default=None,
                    help="with --devices D: use the 2-D (rows x D/rows) "
                         "force decomposition instead of the 1-D body "

@@ -169,6 +169,28 @@ class BodySystem:
         # block-size multiple, /root/reference/src/nbody/compute_cuda.cpp:103-107)
         self.num_bodies = _round_up(int(num_bodies), ndev)
 
+        if variant == "sym":
+            # Newton's-third-law kernel: single-device pallas, exact-force
+            # integrators, N bounded by its VMEM reaction scratch
+            # (ops/symmetric_kernel.py)
+            from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+
+            if backend != "pallas":
+                raise ValueError("variant='sym' needs backend='pallas'")
+            if mesh is not None:
+                raise ValueError(
+                    "variant='sym' is single-device (the reaction "
+                    "accumulator is chip-local); drop mesh= or use 'vpu'")
+            if integrator == "hermite":
+                raise ValueError(
+                    "variant='sym' has no symmetric jerk kernel; use "
+                    "euler/leapfrog, or variant='vpu' for hermite")
+            if self.num_bodies > SYM_MAX_N:
+                raise ValueError(
+                    f"variant='sym' holds an (8, N) reaction scratch in "
+                    f"VMEM: N={self.num_bodies} > {SYM_MAX_N}; use "
+                    f"variant='vpu' (its rate is flat in N)")
+
         if variant == "auto":
             # use the autotuner's cached winner for this chip/N if present
             resolved = None
@@ -192,7 +214,14 @@ class BodySystem:
                 if not explicit_tile_j:
                     self.tile_j = tile_j = resolved["tile_j"]
             else:
-                variant = "vpu"
+                from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+
+                # no cache: the Newton's-third-law kernel where it applies
+                # (exact fp32, 1.29x vpu at N=65536 — PARITY.md), else vpu
+                sym_ok = (backend == "pallas" and mesh is None
+                          and integrator != "hermite"
+                          and self.num_bodies <= SYM_MAX_N)
+                variant = "sym" if sym_ok else "vpu"
             self.variant = variant
 
         self._rollout_cache: dict = {}
@@ -452,6 +481,24 @@ class BodySystem:
         if self.backend == "pallas":
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             variant = self.variant
+            if variant == "sym":
+                from nbody_tpu.ops.symmetric_kernel import (
+                    DEFAULT_TILE_J_SYM,
+                    TI,
+                    nbody_step_symmetric,
+                )
+
+                # the sym kernel has its own tuned defaults ((64, 4096)
+                # champion); only explicit user tiles override them
+                s_ti = tile_i if self._explicit_tiles[0] else TI
+                s_tj = tile_j if self._explicit_tiles[1] else DEFAULT_TILE_J_SYM
+
+                def step(pos, vel, dt, soft, damp):
+                    return nbody_step_symmetric(
+                        pos, vel, dt, soft, damp,
+                        tile_i=s_ti, tile_j=s_tj, interpret=interpret)
+
+                return step
 
             def step(pos, vel, dt, soft, damp):
                 return nbody_step_pallas(
@@ -497,6 +544,22 @@ class BodySystem:
             from nbody_tpu.ops.pallas_kernel import compute_accel_pallas
 
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
+            if self.variant == "sym":
+                from nbody_tpu.ops.symmetric_kernel import (
+                    DEFAULT_TILE_J_SYM,
+                    TI,
+                    compute_accel_symmetric,
+                )
+
+                s_ti = tile_i if self._explicit_tiles[0] else TI
+                s_tj = tile_j if self._explicit_tiles[1] else DEFAULT_TILE_J_SYM
+
+                def accel_sym(p4, soft):
+                    return compute_accel_symmetric(
+                        p4, soft, tile_i=s_ti, tile_j=s_tj,
+                        interpret=interpret)
+
+                return accel_sym
 
             def accel(p4, soft):
                 return compute_accel_pallas(

@@ -1,0 +1,262 @@
+"""Newton's-third-law Pallas kernel: each pair computed ONCE.
+
+The production vpu kernel (ops/pallas_kernel.py) evaluates the interaction
+matrix twice — body i accumulates m_j/r³·d and, in a later grid step, body
+j independently recomputes the same d, r², rsqrt to accumulate m_i/r³·(−d).
+The reference's CUDA kernel does the same (one thread per body,
+/root/reference/src/nbody/bodysystemcuda.cu:125-146): on a GPU the reaction
+write would be a cross-thread scatter. On a single-core TPU the grid is
+sequential, so the reaction can be ACCUMULATED IN VMEM with no contention
+at all — this kernel walks only the strict upper triangle of the pair-block
+matrix and emits both sides of every pair:
+
+* grid: 1-D over live (64-row i-block, tile_j-col j-block) pairs with
+  j-block ≥ the block containing the row (scalar-prefetch row/col tables —
+  the megablox pattern ops/p3m_kernel.py uses); no wasted grid steps,
+* i-side: identical to the production kernel — (64, 128) register-resident
+  accumulators, lane-reduced once per row,
+* j-side (the new half): reaction −m_i/r³·d reduced 64→8 sublane-rows with
+  seven explicit vreg adds (NO cross-lane relayout — the pattern the p3m
+  lane-scratch experiment measured 3× slower is avoided) and accumulated
+  into a persistent (8, n_pad) f32 VMEM scratch per coordinate; summed 8→1
+  and emitted once at the final grid step,
+* the diagonal-straddling block (exactly the first block of each row) runs
+  a masked copy of the chunk loop (keep = j_global > i_global, which also
+  drops the self pair); every other block is mask-free by construction
+  (tile_j is a multiple of 64, so col > first-col ⇒ all j > all i).
+
+Shared per pair: d (3), r²+ε² (4), rsqrt, inv³ (2) — the expensive half —
+plus 4 ops per side instead of 2×(shared+side). The cost is the (8, n_pad)
+reaction scratch: 96·n_pad bytes of VMEM, which caps this kernel at
+N ≤ SYM_MAX_N — covering the official bench shape (N=65536, BASELINE
+configs[1]); larger N stays on the one-sided kernel (whose rate is flat in
+N, PARITY.md).
+
+Exact fp32, same math as the one-sided kernel — results agree to
+reduction-order rounding (each body's sum is split into an i-side partial
+and a reaction partial added at the end).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.ops.pallas_kernel import LANES, _round_up
+
+TI = 64            # i-rows per block (register-resident accumulators)
+SUB = 8            # f32 sublanes per vreg: the reaction's deferred depth
+SYM_MAX_N = 65536  # (8, n_pad) f32 reaction scratch ×3 must fit VMEM
+# measured champion on v5e at N=65536 (scripts/tpu_r3_symmetric.py):
+# (ti, tj) -> G int/s: (64,4096) 285.3 | (64,2048) 272.9 | (64,8192) 277.9
+# (64,16384) 252.2 | (128,4096) 262.8 | (256,4096) 223.8 — ti=64 keeps the
+# i-accumulators register-resident (as in the one-sided kernel); tj=4096
+# balances diagonal-block mask waste (~tj/2 lanes per row) against
+# grid-step overhead. One-sided champion on the same day: 221.2.
+DEFAULT_TILE_J_SYM = 4096
+
+
+def _sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
+                posi_ref, post_ref, acc_ref, react_ref,
+                ax, ay, az, rx, ry, rz, *, tile_i: int, tile_j: int,
+                n_steps: int):
+    p = pl.program_id(0)
+    eps2 = meta_ref[0]
+    first = first_ref[p]
+
+    @pl.when(p == 0)
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rx)
+        rx[:] = zeros
+        ry[:] = zeros
+        rz[:] = zeros
+
+    @pl.when(first == 1)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(ax)
+        ax[:] = zeros
+        ay[:] = zeros
+        az[:] = zeros
+
+    xi = posi_ref[:, 0:1]  # (TI, 1)
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    mi = posi_ref[:, 3:4]
+    j_base = cols_ref[p] * tile_j
+
+    def chunk_loop(masked: bool):
+        if masked:
+            ig = rows_ref[p] * tile_i + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_i, 1), 0)
+        for k in range(tile_j // LANES):
+            sl = slice(k * LANES, (k + 1) * LANES)
+            xj = post_ref[0:1, sl]  # (1, LANES)
+            yj = post_ref[1:2, sl]
+            zj = post_ref[2:3, sl]
+            mj = post_ref[3:4, sl]
+            dx = xj - xi  # (TI, LANES)
+            dy = yj - yi
+            dz = zj - zi
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            inv = jax.lax.rsqrt(r2)
+            c = inv * inv * inv
+            s = mj * c  # accel of i per unit of d
+            t = mi * c  # reaction magnitude on j
+            if masked:
+                jg = j_base + k * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1)
+                keep = jg > ig  # strict upper triangle (drops self pair)
+                s = jnp.where(keep, s, 0.0)
+                t = jnp.where(keep, t, 0.0)
+            ax[:] += s * dx
+            ay[:] += s * dy
+            az[:] += s * dz
+            # reaction: reduce TI->SUB rows with explicit slice adds (plain
+            # vreg adds, no relayout), then RMW the scratch columns
+            for rref, d in ((rx, dx), (ry, dy), (rz, dz)):
+                u = t * d
+                r8 = u[0:SUB]
+                for q in range(1, tile_i // SUB):
+                    r8 = r8 + u[q * SUB:(q + 1) * SUB]
+                idx = (slice(0, SUB), pl.ds(j_base + k * LANES, LANES))
+                rref[idx] = rref[idx] - r8
+
+    @pl.when(first == 1)
+    def _diag_block():
+        chunk_loop(masked=True)
+
+    @pl.when(first == 0)
+    def _off_diag_block():
+        chunk_loop(masked=False)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize_row():
+        acc_ref[:, 0:1] = jnp.sum(ax[:], axis=1, keepdims=True)
+        acc_ref[:, 1:2] = jnp.sum(ay[:], axis=1, keepdims=True)
+        acc_ref[:, 2:3] = jnp.sum(az[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+
+    @pl.when(p == n_steps - 1)
+    def _emit_reaction():
+        for c_idx, rref in enumerate((rx, ry, rz)):
+            v = rref[0:1, :]
+            for q in range(1, SUB):
+                v = v + rref[q:q + 1, :]
+            react_ref[c_idx:c_idx + 1, :] = v
+
+
+def _pair_tables(n_pad: int, tile_i: int, tile_j: int):
+    """Static upper-triangle worklist: (rows, cols, first, last) int32."""
+    nrows = n_pad // tile_i
+    njt = n_pad // tile_j
+    rows, cols, first, last = [], [], [], []
+    for r in range(nrows):
+        jb0 = (r * tile_i) // tile_j
+        for jb in range(jb0, njt):
+            rows.append(r)
+            cols.append(jb)
+            first.append(1 if jb == jb0 else 0)
+            last.append(1 if jb == njt - 1 else 0)
+    as_i32 = functools.partial(np.asarray, dtype=np.int32)
+    return as_i32(rows), as_i32(cols), as_i32(first), as_i32(last)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_symmetric(pos, softening, *, tile_i: int = TI,
+                            tile_j: int = DEFAULT_TILE_J_SYM,
+                            interpret: bool = False):
+    """(N, 4) -> (N, 3) accelerations of the set on itself, each pair
+    evaluated once (see module docstring). N ≤ SYM_MAX_N."""
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    n = pos.shape[0]
+    if n > SYM_MAX_N:
+        raise ValueError(
+            f"symmetric kernel holds an (8, N) reaction scratch in VMEM: "
+            f"N={n} > {SYM_MAX_N}; use the one-sided kernel")
+    f32 = jnp.float32
+    tile_j = min(tile_j, _round_up(n, LANES))
+    if tile_i % SUB:
+        raise ValueError(f"tile_i must be a multiple of {SUB}, got {tile_i}")
+    if tile_j % tile_i:
+        raise ValueError(
+            f"tile_j must be a multiple of tile_i, got {tile_i}, {tile_j}")
+    n_pad = _round_up(n, tile_j)
+    pos_p = jnp.pad(pos.astype(f32), ((0, n_pad - n), (0, 0)))
+    post = pos_p.T  # (4, n_pad), like the one-sided kernel
+
+    rows, cols, first, last = _pair_tables(n_pad, tile_i, tile_j)
+    n_steps = int(rows.shape[0])
+    meta = jnp.asarray(softening, f32).reshape(1) ** 2
+
+    acc, react = pl.pallas_call(
+        functools.partial(_sym_kernel, tile_i=tile_i, tile_j=tile_j,
+                          n_steps=n_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             (rows[p], 0)),
+                pl.BlockSpec((4, tile_j),
+                             lambda p, meta, rows, cols, first, last:
+                             (0, cols[p])),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             (rows[p], 0)),
+                pl.BlockSpec((3, n_pad),
+                             lambda p, meta, rows, cols, first, last:
+                             (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((SUB, n_pad), f32),
+                pltpu.VMEM((SUB, n_pad), f32),
+                pltpu.VMEM((SUB, n_pad), f32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 4), f32),
+            jax.ShapeDtypeStruct((3, n_pad), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the grid is a sequential triangle walk: rows share the
+            # reaction scratch, so no dimension is parallelizable
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_pad * n_pad,  # ~half the one-sided 20/pair ×2 sides
+            bytes_accessed=n_steps * (TI + tile_j) * 16,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(meta, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(first),
+      jnp.asarray(last), pos_p, post)
+
+    return acc[:n, :3] + react[:, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_symmetric(pos, vel, dt, softening, damping, *, tile_i: int = TI,
+                         tile_j: int = DEFAULT_TILE_J_SYM,
+                         interpret: bool = False):
+    """One damped semi-implicit Euler step via the symmetric kernel.
+
+    Integration runs at the XLA level: it is O(N) next to the O(N²/2)
+    kernel, and fusing it would force the row-finalize to wait for
+    reactions that only complete at the last grid step."""
+    from nbody_tpu.ops.reference import integrate
+
+    acc = compute_accel_symmetric(pos, softening, tile_i=tile_i,
+                                  tile_j=tile_j, interpret=interpret)
+    return integrate(pos, vel, acc, dt, damping)

@@ -19,6 +19,8 @@ import pathlib
 import time
 
 DEFAULT_CANDIDATES = (
+    ("sym", 64, 4096),      # Newton's-third-law kernel (N <= SYM_MAX_N)
+    ("sym", 64, 8192),
     ("vpu", 64, 32768),
     ("vpu", 64, 8192),
     ("vpu", 128, 4096),
@@ -130,11 +132,24 @@ def autotune(n: int = 65536, *, steps: int = 20,
     p, v = jnp.asarray(pos), jnp.asarray(vel)
 
     def make_roll(variant, ti, tj, length):
+        if variant == "sym":
+            from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric
+
+            # n > SYM_MAX_N raises inside the jitted roll at trace time,
+            # which the candidate loop's try treats as "skip this config"
+
+            def step(pp, vv):
+                return nbody_step_symmetric(pp, vv, 0.016, 0.1, 1.0,
+                                            tile_i=ti, tile_j=tj)
+        else:
+            def step(pp, vv):
+                return nbody_step_pallas(pp, vv, 0.016, 0.1, 1.0,
+                                         tile_i=ti, tile_j=tj,
+                                         variant=variant)
+
         def roll_fn(pp, vv):
             def body(s, _):
-                return nbody_step_pallas(
-                    *s, 0.016, 0.1, 1.0, tile_i=ti, tile_j=tj, variant=variant
-                ), None
+                return step(*s), None
             (pp, vv), _ = jax.lax.scan(body, (pp, vv), None, length=length)
             return pp, vv
         return jax.jit(roll_fn)

@@ -35,7 +35,9 @@ MODULES = [
     "nbody_tpu.compute",
     "nbody_tpu.ops.reference",
     "nbody_tpu.ops.pallas_kernel",
+    "nbody_tpu.ops.symmetric_kernel",
     "nbody_tpu.ops.ds_kernel",
+    "nbody_tpu.ops.adaptive",
     "nbody_tpu.ops.pm",
     "nbody_tpu.ops.p3m",
     "nbody_tpu.ops.p3m_kernel",
@@ -48,6 +50,7 @@ MODULES = [
     "nbody_tpu.io.tipsy",
     "nbody_tpu.io.checkpoint",
     "nbody_tpu.io.apng",
+    "nbody_tpu.io.avi",
     "nbody_tpu.io.png",
     "nbody_tpu.render.camera",
     "nbody_tpu.render.rasterizer",

@@ -1,0 +1,124 @@
+"""Newton's-third-law (symmetric) kernel tests — interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import NBodyConfig, ic
+from nbody_tpu.ops.reference import compute_accel_xla, nbody_step_xla
+from nbody_tpu.ops.symmetric_kernel import (
+    SYM_MAX_N,
+    compute_accel_symmetric,
+    nbody_step_symmetric,
+)
+
+from conftest import assert_state_close
+
+SOFT = 0.1
+
+
+@pytest.mark.parametrize("n", [128, 384, 1000])  # incl. non-multiple N
+@pytest.mark.parametrize("ti,tj", [(64, 256), (128, 256), (32, 128)])
+def test_accel_matches_xla(n, ti, tj):
+    pos, _ = ic.generate(NBodyConfig.SHELL, n, 1.52, 2.0, seed=1)
+    p = jnp.asarray(pos)
+    ref = np.asarray(compute_accel_xla(p, SOFT))
+    got = np.asarray(compute_accel_symmetric(p, SOFT, tile_i=ti, tile_j=tj,
+                                             interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-5
+
+
+def test_step_matches_xla_qa_criterion():
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 512, 1.54, 8.0, seed=2)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    p1, v1 = nbody_step_symmetric(p, v, 0.001, SOFT, 1.0, tile_j=256,
+                                  interpret=True)
+    p2, v2 = nbody_step_xla(p, v, 0.001, SOFT, 1.0)
+    assert_state_close(p1, p2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_zero_mass_padding_inert():
+    """Zero-mass bodies neither exert force (as j OR via the reaction as i)
+    nor break real bodies' sums — the pad-to-tile contract."""
+    pos, _ = ic.generate(NBodyConfig.SHELL, 256, 1.5, 2.0, seed=3)
+    p = jnp.asarray(pos)
+    padded = np.concatenate(
+        [pos, np.zeros((64, 4), np.float32)], axis=0)
+    a_ref = np.asarray(compute_accel_symmetric(p, SOFT, tile_j=128,
+                                               interpret=True))
+    a_pad = np.asarray(compute_accel_symmetric(jnp.asarray(padded), SOFT,
+                                               tile_j=128, interpret=True))
+    np.testing.assert_allclose(a_pad[:256], a_ref, atol=1e-6)
+
+
+def test_momentum_exact_by_construction():
+    """Each pair contributes ±m_i m_j/r³·d ONCE: with unit masses the
+    kernel's total momentum change is antisymmetric to fp rounding."""
+    pos, _ = ic.generate(NBodyConfig.RANDOM, 384, 1.5, 8.0, seed=4)
+    acc = np.asarray(compute_accel_symmetric(jnp.asarray(pos), SOFT,
+                                             tile_j=128, interpret=True))
+    net = (pos[:, 3:4] * acc).sum(axis=0)
+    scale = np.abs(pos[:, 3:4] * acc).sum()
+    assert np.abs(net).max() / scale < 1e-6
+
+
+def test_n_cap_and_tile_validation():
+    big = jnp.zeros((SYM_MAX_N + 64, 4), jnp.float32)
+    with pytest.raises(ValueError, match="one-sided"):
+        compute_accel_symmetric(big, SOFT, interpret=True)
+    pos = jnp.zeros((256, 4), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of"):
+        compute_accel_symmetric(pos, SOFT, tile_i=60, interpret=True)
+    with pytest.raises(ValueError, match="multiple of tile_i"):
+        compute_accel_symmetric(pos, SOFT, tile_i=64, tile_j=160,
+                                interpret=True)
+
+
+def test_fp64_rejected():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        pos = jnp.zeros((128, 4), jnp.float64)
+        with pytest.raises(TypeError, match="float32"):
+            compute_accel_symmetric(pos, SOFT, interpret=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_body_system_sym_variant():
+    """variant='sym' through BodySystem matches the xla backend."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    a = BodySystem(256, params, backend="pallas", variant="sym",
+                   interpret=True, seed=9, tile_j=128)
+    b = BodySystem(256, params, backend="xla", seed=9)
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+
+    # leapfrog uses the symmetric accel closure
+    al = BodySystem(256, params, backend="pallas", variant="sym",
+                    interpret=True, seed=9, tile_j=128,
+                    integrator="leapfrog")
+    bl = BodySystem(256, params, backend="xla", seed=9,
+                    integrator="leapfrog")
+    al.update(0.01)
+    bl.update(0.01)
+    np.testing.assert_allclose(al.positions, bl.positions, atol=1e-5)
+
+
+def test_body_system_sym_variant_gates():
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    with pytest.raises(ValueError, match="sym"):
+        BodySystem(SYM_MAX_N + 64, NBodyParams(), backend="pallas",
+                   variant="sym", interpret=True)
+    with pytest.raises(ValueError, match="sym"):
+        BodySystem(256, NBodyParams(), backend="pallas", variant="sym",
+                   interpret=True, integrator="hermite")
