@@ -198,6 +198,15 @@ class BodySystem:
                 from nbody_tpu.tune import best_config
 
                 resolved = best_config(self.num_bodies)
+            if resolved and resolved["variant"] == "sym":
+                from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+
+                if (mesh is not None or integrator == "hermite"
+                        or self.num_bodies > SYM_MAX_N):
+                    # the cached winner was tuned single-device at small N;
+                    # this run's shape can't use it — fall through to the
+                    # no-cache resolution rather than crash downstream
+                    resolved = None
             if resolved:
                 variant = resolved["variant"]
                 if explicit_tile_i or explicit_tile_j:

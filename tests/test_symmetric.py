@@ -122,3 +122,32 @@ def test_body_system_sym_variant_gates():
     with pytest.raises(ValueError, match="sym"):
         BodySystem(256, NBodyParams(), backend="pallas", variant="sym",
                    interpret=True, integrator="hermite")
+
+
+def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
+    """A tune-cache sym winner must not leak into shapes sym can't run
+    (mesh / hermite / big N) — auto falls back instead of crashing."""
+    import jax
+
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.models import body_system as bs_mod
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(bs_mod, "_default_backend_is_tpu", lambda: True)
+    import nbody_tpu.tune as tune
+
+    monkeypatch.setattr(
+        tune, "best_config",
+        lambda n: {"variant": "sym", "tile_i": 64, "tile_j": 4096})
+
+    s = BodySystem(256, NBodyParams(), backend="pallas", variant="auto",
+                   integrator="hermite", interpret=True)
+    assert s.variant == "vpu"
+
+    if len(jax.devices()) >= 8:
+        from nbody_tpu.parallel import make_mesh
+
+        m = BodySystem(512, NBodyParams(), backend="pallas", variant="auto",
+                       mesh=make_mesh(8), strategy="allgather",
+                       interpret=True)
+        assert m.variant == "vpu"
