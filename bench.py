@@ -59,7 +59,7 @@ def main() -> int:
 
     from nbody_tpu import NBodyConfig, ic
     from nbody_tpu.params import DEMO_PARAMS
-    from nbody_tpu.utils.timing import time_steps
+    from nbody_tpu.utils.timing import delta_time_rolls
 
     params = DEMO_PARAMS[0]
     on_tpu = jax.default_backend() != "cpu"
@@ -89,40 +89,11 @@ def main() -> int:
                                         params.softening, params.damping)
         )
 
-    # k steps in ONE device dispatch (lax.scan) so remote dispatch latency
-    # doesn't pollute the kernel throughput measurement
-    def make_roll(length):
-        @jax.jit
-        def roll(p, v):
-            def body(state, _):
-                return step(*state), None
-            (p, v), _ = jax.lax.scan(body, (p, v), None, length=length)
-            return p, v
-        return roll
-
-    # DELTA timing: the remote relay adds a FIXED ~55-60 ms per dispatched
-    # roll (dispatch + sync + transfer through the tunnel) — an artifact of
-    # this attachment, not of the TPU; on a local host it is microseconds.
-    # Timing rolls of `iters` and `5*iters` steps and dividing the
-    # difference by 4*iters cancels it exactly (the same technique
-    # scripts/tpu_roofline.py uses for op timing). Best-of-k because relay
-    # noise is one-sided — interruptions only ever slow a roll down.
-    roll_a = make_roll(iters)
-    roll_b = make_roll(5 * iters)
-    ms_a = min(
-        time_steps(lambda p, v: roll_a(p, v), (p, v), iters=1,
-                   warmup=1 if i == 0 else 0)[0]
-        for i in range(rolls)
-    )
-    ms_b = min(
-        time_steps(lambda p, v: roll_b(p, v), (p, v), iters=1,
-                   warmup=1 if i == 0 else 0)[0]
-        for i in range(rolls)
-    )
-    # floor like Compute.run_benchmark: the two minima are independent, so
-    # one-sided noise could make the delta non-positive
-    ms = max(ms_b - ms_a, 1e-6)  # time of 4*iters marginal steps
-    steps_per_s = 4 * iters * 1000.0 / ms
+    # DELTA timing (utils.timing.delta_time_rolls): scan rollouts so the
+    # relay's fixed per-dispatch cost (~55-60 ms here) cancels exactly —
+    # the shared recipe for every measurement in this repo
+    ms_per_step = delta_time_rolls(step, (p, v), iters=iters, rolls=rolls)
+    steps_per_s = 1000.0 / ms_per_step
     interactions = n * n * 1e-9 * steps_per_s
     gflops = interactions * 20.0
 

@@ -116,6 +116,10 @@ class BodySystem:
         # the hermite acc+jerk kernel has its own tuned defaults; only an
         # explicit user tile overrides them
         self._explicit_tiles = (explicit_tile_i, explicit_tile_j)
+        # set when variant='auto' adopts the autotuner cache's tiles — the
+        # sym paths must honor them like explicit values (they are the
+        # measured winner), not fall back to the compile-time defaults
+        self._tiles_from_cache = False
         self.tile_i = tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
         self.tile_j = tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
         self.placement = placement
@@ -220,8 +224,10 @@ class BodySystem:
                     )
                 if not explicit_tile_i:
                     self.tile_i = tile_i = resolved["tile_i"]
+                    self._tiles_from_cache = True
                 if not explicit_tile_j:
                     self.tile_j = tile_j = resolved["tile_j"]
+                    self._tiles_from_cache = True
             else:
                 from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
 
@@ -498,9 +504,12 @@ class BodySystem:
                 )
 
                 # the sym kernel has its own tuned defaults ((64, 4096)
-                # champion); only explicit user tiles override them
-                s_ti = tile_i if self._explicit_tiles[0] else TI
-                s_tj = tile_j if self._explicit_tiles[1] else DEFAULT_TILE_J_SYM
+                # champion); explicit user tiles or the autotuner cache's
+                # measured winner override them
+                use = self._explicit_tiles[0] or self._tiles_from_cache
+                s_ti = tile_i if use else TI
+                use = self._explicit_tiles[1] or self._tiles_from_cache
+                s_tj = tile_j if use else DEFAULT_TILE_J_SYM
 
                 def step(pos, vel, dt, soft, damp):
                     return nbody_step_symmetric(
@@ -560,8 +569,10 @@ class BodySystem:
                     compute_accel_symmetric,
                 )
 
-                s_ti = tile_i if self._explicit_tiles[0] else TI
-                s_tj = tile_j if self._explicit_tiles[1] else DEFAULT_TILE_J_SYM
+                use = self._explicit_tiles[0] or self._tiles_from_cache
+                s_ti = tile_i if use else TI
+                use = self._explicit_tiles[1] or self._tiles_from_cache
+                s_tj = tile_j if use else DEFAULT_TILE_J_SYM
 
                 def accel_sym(p4, soft):
                     return compute_accel_symmetric(
@@ -1083,7 +1094,14 @@ class BodySystem:
             placement=self.placement,
             mesh=self.mesh,
             strategy=self.strategy,
-            variant=self.variant,
+            # the ORIGINAL request, not the resolution: auto may have
+            # resolved to 'sym', which the fp64/XLA hop must not inherit
+            # (sym is pallas-only; variant is unused on the XLA path, so
+            # the hop maps it to 'auto' and the carry below restores the
+            # request for the round trip back to fp32)
+            variant=("auto" if (new_dtype == jnp.float64
+                                and self._requested_variant == "sym")
+                     else self._requested_variant),
             integrator=self.integrator,
             interpret=self._requested_interpret if new_dtype == jnp.float32 else None,
             chunk_size=self.chunk_size,
@@ -1103,6 +1121,7 @@ class BodySystem:
         # request across it so fp32->fp64->fp32 restores the Pallas kernel
         other._requested_backend = self._requested_backend
         other._requested_interpret = self._requested_interpret
+        other._requested_variant = self._requested_variant
         return other
 
     # ---- diagnostics ----

@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nbody_tpu.ops.pallas_kernel import LANES, _round_up
+from nbody_tpu.ops.pallas_kernel import LANES, _ix, _round_up
 
 TI = 64            # i-rows per block (register-resident accumulators)
 SUB = 8            # f32 sublanes per vreg: the reaction's deferred depth
@@ -183,6 +183,10 @@ def compute_accel_symmetric(pos, softening, *, tile_i: int = TI,
     tile_j = min(tile_j, _round_up(n, LANES))
     if tile_i % SUB:
         raise ValueError(f"tile_i must be a multiple of {SUB}, got {tile_i}")
+    if tile_j % LANES:
+        # the chunk loop walks tile_j in LANES-wide slices; a non-multiple
+        # would silently skip the remainder lanes
+        raise ValueError(f"tile_j must be a multiple of {LANES}, got {tile_j}")
     if tile_j % tile_i:
         raise ValueError(
             f"tile_j must be a multiple of tile_i, got {tile_i}, {tile_j}")
@@ -203,18 +207,18 @@ def compute_accel_symmetric(pos, softening, *, tile_i: int = TI,
             in_specs=[
                 pl.BlockSpec((tile_i, 4),
                              lambda p, meta, rows, cols, first, last:
-                             (rows[p], 0)),
+                             _ix(rows[p], 0)),
                 pl.BlockSpec((4, tile_j),
                              lambda p, meta, rows, cols, first, last:
-                             (0, cols[p])),
+                             _ix(0, cols[p])),
             ],
             out_specs=[
                 pl.BlockSpec((tile_i, 4),
                              lambda p, meta, rows, cols, first, last:
-                             (rows[p], 0)),
+                             _ix(rows[p], 0)),
                 pl.BlockSpec((3, n_pad),
                              lambda p, meta, rows, cols, first, last:
-                             (0, 0)),
+                             _ix(0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile_i, LANES), f32),
@@ -236,7 +240,7 @@ def compute_accel_symmetric(pos, softening, *, tile_i: int = TI,
         ),
         cost_estimate=pl.CostEstimate(
             flops=14 * n_pad * n_pad,  # ~half the one-sided 20/pair ×2 sides
-            bytes_accessed=n_steps * (TI + tile_j) * 16,
+            bytes_accessed=n_steps * (tile_i + tile_j) * 16,
             transcendentals=n_pad * n_pad // 2,
         ),
         interpret=interpret,

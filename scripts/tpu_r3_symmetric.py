@@ -16,30 +16,15 @@ import jax.numpy as jnp
 from nbody_tpu import NBodyConfig, ic
 from nbody_tpu.params import DEMO_PARAMS
 from nbody_tpu.utils.compilation_cache import enable as enable_cache
-from nbody_tpu.utils.timing import time_steps
+from nbody_tpu.utils.timing import delta_time_rolls
 
 N = 65536
 ITERS = 25
 
 
 def delta_rate(step, p, v, iters=ITERS, rolls=3):
-    def make_roll(length):
-        @jax.jit
-        def roll(p, v):
-            def body(state, _):
-                return step(*state), None
-            (p, v), _ = jax.lax.scan(body, (p, v), None, length=length)
-            return p, v
-        return roll
-
-    roll_a, roll_b = make_roll(iters), make_roll(5 * iters)
-    ms_a = min(time_steps(lambda p, v: roll_a(p, v), (p, v), iters=1,
-                          warmup=1 if i == 0 else 0)[0] for i in range(rolls))
-    ms_b = min(time_steps(lambda p, v: roll_b(p, v), (p, v), iters=1,
-                          warmup=1 if i == 0 else 0)[0] for i in range(rolls))
-    ms = max(ms_b - ms_a, 1e-6)
-    steps_per_s = 4 * iters * 1000.0 / ms
-    return N * N * 1e-9 * steps_per_s  # G interactions/s
+    ms = delta_time_rolls(step, (p, v), iters=iters, rolls=rolls)
+    return N * N * 1e-9 * (1000.0 / ms)  # G interactions/s
 
 
 def main():

@@ -71,8 +71,11 @@ def test_n_cap_and_tile_validation():
     pos = jnp.zeros((256, 4), jnp.float32)
     with pytest.raises(ValueError, match="multiple of"):
         compute_accel_symmetric(pos, SOFT, tile_i=60, interpret=True)
-    with pytest.raises(ValueError, match="multiple of tile_i"):
+    with pytest.raises(ValueError, match="multiple of 128"):
         compute_accel_symmetric(pos, SOFT, tile_i=64, tile_j=160,
+                                interpret=True)
+    with pytest.raises(ValueError, match="multiple of tile_i"):
+        compute_accel_symmetric(pos, SOFT, tile_i=24, tile_j=128,
                                 interpret=True)
 
 
@@ -151,3 +154,26 @@ def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
                        mesh=make_mesh(8), strategy="allgather",
                        interpret=True)
         assert m.variant == "vpu"
+
+
+def test_precision_round_trip_restores_sym(monkeypatch):
+    """fp32(sym) -> fp64 must hop to the XLA path (sym is pallas-only),
+    and the round trip back must restore the sym variant. On-chip the
+    same path also exercises the kernel's x64-proof index maps (python-int
+    block indices trace as i64 under jax_enable_x64 — the _ix lesson)."""
+    import jax
+
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        s = BodySystem(256, NBodyParams(), backend="pallas", variant="sym",
+                       interpret=True, tile_j=128)
+        s64 = s.switch_precision()
+        assert s64.backend == "xla" and s64.variant != "sym"
+        s32 = s64.switch_precision()
+        assert s32.backend == "pallas" and s32.variant == "sym"
+        s32.update(0.001)  # compiles+runs the sym kernel under x64
+    finally:
+        jax.config.update("jax_enable_x64", False)
