@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "genuine f64, XLA-emulated on TPU, ~0.32 G int/s), "
                         "or ds (double-single two-float32 kernel: fp64-"
                         "GRADE accuracy — |dpos| ~1e-14 vs the f64 oracle "
-                        "— at 48x the emulated-f64 speed; supports "
+                        "— at 68x the emulated-f64 speed; supports "
                         "--benchmark / --qatest / --drift-check)")
     p.add_argument("--hostmem", action="store_true",
                    help="keep state in host memory, stream per step")

@@ -24,6 +24,8 @@ from nbody_tpu.params import NBodyParams
 from nbody_tpu import ic
 from nbody_tpu.ops.ds_kernel import (
     DS_HERMITE_TILE_J,
+    DS_SYM_MAX_N,
+    DS_SYM_TILE_J,
     DS_TILE_I,
     DS_TILE_J,
     _scal_ds,
@@ -33,6 +35,7 @@ from nbody_tpu.ops.ds_kernel import (
     ds_to_f64,
     nbody_step_pallas_ds,
     nbody_step_pallas_ds_hermite,
+    nbody_step_pallas_ds_sym,
     nbody_step_pallas_ds_leapfrog,
     rollout_pallas_ds,
 )
@@ -51,6 +54,7 @@ class DSBodySystem:
         tile_i: int = DS_TILE_I,
         tile_j: Optional[int] = None,
         integrator: str = "euler",
+        variant: str = "auto",
         interpret: Optional[bool] = None,
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
@@ -59,11 +63,6 @@ class DSBodySystem:
         self.num_bodies = int(num_bodies)
         self.params = params
         self.tile_i = tile_i
-        # the accel+jerk kernel's larger live set caps its j-tile below
-        # the force-only kernels' (scoped-vmem limit — ops/ds_kernel.py)
-        self.tile_j = (tile_j if tile_j is not None
-                       else (DS_HERMITE_TILE_J if integrator == "hermite"
-                             else DS_TILE_J))
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(
                 "DSBodySystem supports integrator='euler' (reference "
@@ -71,6 +70,31 @@ class DSBodySystem:
                 "or 'hermite' (4th-order P(EC), two ds accel+jerk "
                 f"dispatches per step); got {integrator!r}")
         self.integrator = integrator
+        # variant: 'sym' = Newton's-third-law ds kernel (each pair once,
+        # 1.36x the one-sided ds rate at N=16384 — ops/ds_kernel.py), only
+        # for the euler step at N <= DS_SYM_MAX_N; 'auto' picks it there
+        if variant not in ("auto", "sym", "one_sided"):
+            raise ValueError(f"unknown ds variant {variant!r}")
+        if variant == "sym":
+            if integrator != "euler":
+                raise ValueError(
+                    "variant='sym' applies to the euler ds step only")
+            if self.num_bodies > DS_SYM_MAX_N:
+                raise ValueError(
+                    f"variant='sym' caps at N={DS_SYM_MAX_N} (VMEM ds "
+                    f"reaction scratch); got {self.num_bodies}")
+        if variant == "auto":
+            variant = ("sym" if (integrator == "euler"
+                                 and self.num_bodies <= DS_SYM_MAX_N)
+                       else "one_sided")
+        self.variant = variant
+        # the accel+jerk kernel's larger live set caps its j-tile below
+        # the force-only kernels' (scoped-vmem limit); the sym kernel's
+        # dual (masked+unmasked) chunk loops cap it further
+        self.tile_j = (tile_j if tile_j is not None
+                       else (DS_HERMITE_TILE_J if integrator == "hermite"
+                             else DS_SYM_TILE_J if variant == "sym"
+                             else DS_TILE_J))
         self.interpret = (not _on_tpu()) if interpret is None else bool(interpret)
         self.seed = seed
         self.config = config
@@ -126,6 +150,8 @@ class DSBodySystem:
         return _scal_ds(dt, p.softening, p.damping)
 
     def _step_fn(self):
+        if self.integrator == "euler" and self.variant == "sym":
+            return nbody_step_pallas_ds_sym
         return {"euler": nbody_step_pallas_ds,
                 "leapfrog": nbody_step_pallas_ds_leapfrog,
                 "hermite": nbody_step_pallas_ds_hermite}[self.integrator]
@@ -158,7 +184,8 @@ class DSBodySystem:
                 self._ph, self._pl, self._vh, self._vl, scal, steps=seg,
                 tile_i=self.tile_i, tile_j=self.tile_j,
                 interpret=self.interpret,
-                integrator=self.integrator)
+                integrator=self.integrator,
+                sym=self.variant == "sym")
             done += seg
 
     # ---- diagnostics ----

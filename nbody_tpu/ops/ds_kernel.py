@@ -375,18 +375,22 @@ def nbody_step_ds(pos64, vel64, dt, softening, damping,
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "tile_i", "tile_j", "interpret",
-                                    "integrator"),
+                                    "integrator", "sym"),
                    donate_argnums=(0, 1, 2, 3))
 def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
                       tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
-                      interpret: bool = False, integrator: str = "euler"):
+                      interpret: bool = False, integrator: str = "euler",
+                      sym: bool = False):
     """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers).
     integrator="leapfrog" scans the fused DKD step (scal from
     _scal_ds_leapfrog); "hermite" scans the two-dispatch P(EC) step
     (scal from _scal_ds_hermite)."""
-    step_fn = {"euler": nbody_step_pallas_ds,
+    step_fn = {"euler": (nbody_step_pallas_ds_sym if sym
+                         else nbody_step_pallas_ds),
                "leapfrog": nbody_step_pallas_ds_leapfrog,
                "hermite": nbody_step_pallas_ds_hermite}[integrator]
+    if sym and integrator != "euler":
+        raise ValueError("sym=True applies to the euler ds step only")
 
     def body(state, _):
         return step_fn(*state, scal, tile_i=tile_i,
@@ -883,3 +887,271 @@ def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     nph, npl = hermite_assemble(x1, pos_hi[:, 3:4], pos_lo[:, 3:4])
     nvh, nvl = hermite_assemble(v1, vel_hi[:, 3:4], vel_lo[:, 3:4])
     return nph[:n], npl[:n], nvh[:n], nvl[:n]
+
+
+# ---- Newton's-third-law ds kernel (each pair once, fp64-grade) ----
+#
+# The f32 symmetric kernel (ops/symmetric_kernel.py) measured 1.29x the
+# one-sided champion by sharing the expensive per-pair work (d, r², rsqrt,
+# inv³) between both sides of every pair. In ds arithmetic that shared
+# fraction is even larger (ds_rsqrt alone is ~90 flops), so the same
+# upper-triangle walk + VMEM reaction scratch pays more. Reactions are
+# accumulated IN ds (hi/lo scratch pairs; a plain-f32 reaction would
+# reintroduce exactly the summation error this kernel exists to avoid).
+# The final merge acc = i_side ⊕ reaction and the Euler update run at the
+# XLA level in anchored ds — integration cannot fuse in-kernel because the
+# reaction is only complete at the last grid step.
+
+DS_SYM_MAX_N = 32768     # 6 (8, n_pad) f32 reaction scratches must fit VMEM
+# measured on v5e at N=16384 (one-sided ds same day: 15.77 G int/s):
+# (ti, tj) -> G int/s: (64,1024) 21.51 | (64,512) 21.67 | (64,2048) 20.77
+# | (64,4096) 10.41 (program/vreg blowup) | (32,1024) 20.64 | (128,1024)
+# 17.33 -> (64, 1024): 1.36x the one-sided ds kernel, on-chip |dpos| vs
+# the f64 oracle 3.5e-14 (ds grade; bit-identical to one-sided in
+# interpret mode at small N)
+DS_SYM_TILE_J = 1024
+_SYM_SUB = 8
+
+
+def _ds_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
+                   pih_ref, pil_ref, pth_ref, ptl_ref,
+                   ah_ref, al_ref, rh_ref, rl_ref,
+                   axh, axl, ayh, ayl, azh, azl,
+                   rxh, rxl, ryh, ryl, rzh, rzl,
+                   *, tile_i: int, tile_j: int, n_steps: int):
+    p = pl.program_id(0)
+    eps2 = (meta_ref[0], meta_ref[1])
+    first = first_ref[p]
+
+    @pl.when(p == 0)
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rxh)
+        for r in (rxh, rxl, ryh, ryl, rzh, rzl):
+            r[:] = zeros
+
+    @pl.when(first == 1)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl):
+            r[:, :] = zeros
+
+    def icol(c):
+        return (pih_ref[:, c:c + 1], pil_ref[:, c:c + 1])  # (TI, 1)
+
+    xi, yi, zi, mi = icol(0), icol(1), icol(2), icol(3)
+    j_base = cols_ref[p] * tile_j
+
+    def chunk_loop(masked: bool):
+        if masked:
+            ig = rows_ref[p] * tile_i + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_i, 1), 0)
+        for k in range(tile_j // LANES):
+            sl = slice(k * LANES, (k + 1) * LANES)
+
+            def row(r):
+                return (pth_ref[r:r + 1, sl], ptl_ref[r:r + 1, sl])
+
+            dx = ds_sub(row(0), xi)
+            dy = ds_sub(row(1), yi)
+            dz = ds_sub(row(2), zi)
+            r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                        ds_add(ds_mul(dz, dz), eps2))
+            inv = ds_rsqrt(r2)
+            inv3 = ds_mul(ds_mul(inv, inv), inv)
+            s = ds_mul(row(3), inv3)   # m_j / r^3: accel of i per unit d
+            t = ds_mul(mi, inv3)       # m_i / r^3: reaction magnitude on j
+            if masked:
+                jg = j_base + k * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1)
+                keep = jg > ig  # strict upper triangle (drops self pair)
+                s = (jnp.where(keep, s[0], 0.0), jnp.where(keep, s[1], 0.0))
+                t = (jnp.where(keep, t[0], 0.0), jnp.where(keep, t[1], 0.0))
+
+            for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                                ((azh, azl), dz)):
+                acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+                ah[:, :] = acc[0]
+                al[:, :] = acc[1]
+
+            # reaction: ds-reduce TI -> 8 sublane rows by slice adds (no
+            # relayout), then ds-RMW the persistent scratch columns
+            for (rh_s, rl_s), d in (((rxh, rxl), dx), ((ryh, ryl), dy),
+                                    ((rzh, rzl), dz)):
+                uh, ul = ds_mul(t, d)  # (TI, LANES)
+                u8 = (uh[0:_SYM_SUB], ul[0:_SYM_SUB])
+                for q in range(1, tile_i // _SYM_SUB):
+                    u8 = ds_add(u8, (uh[q * _SYM_SUB:(q + 1) * _SYM_SUB],
+                                     ul[q * _SYM_SUB:(q + 1) * _SYM_SUB]))
+                idx = (slice(0, _SYM_SUB), pl.ds(j_base + k * LANES, LANES))
+                cur = ds_sub((rh_s[idx], rl_s[idx]), u8)
+                rh_s[idx] = cur[0]
+                rl_s[idx] = cur[1]
+
+    @pl.when(first == 1)
+    def _diag_block():
+        chunk_loop(masked=True)
+
+    @pl.when(first == 0)
+    def _off_diag_block():
+        chunk_loop(masked=False)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize_row():
+        def reduce_ds(ah, al):
+            acc = (ah[:, :], al[:, :])
+            width = acc[0].shape[1]
+            while width > 1:
+                half = width // 2
+                acc = ds_add((acc[0][:, :half], acc[1][:, :half]),
+                             (acc[0][:, half:width], acc[1][:, half:width]))
+                width = half
+            return acc
+
+        for c, (ah, al) in enumerate(((axh, axl), (ayh, ayl), (azh, azl))):
+            hi, lo = reduce_ds(ah, al)
+            ah_ref[:, c:c + 1] = hi
+            al_ref[:, c:c + 1] = lo
+        ah_ref[:, 3:4] = jnp.zeros_like(ah_ref[:, 3:4])
+        al_ref[:, 3:4] = jnp.zeros_like(al_ref[:, 3:4])
+
+    @pl.when(p == n_steps - 1)
+    def _emit_reaction():
+        for c, (rh_s, rl_s) in enumerate(((rxh, rxl), (ryh, ryl),
+                                          (rzh, rzl))):
+            v = (rh_s[0:1, :], rl_s[0:1, :])
+            for q in range(1, _SYM_SUB):
+                v = ds_add(v, (rh_s[q:q + 1, :], rl_s[q:q + 1, :]))
+            rh_ref[c:c + 1, :] = v[0]
+            rl_ref[c:c + 1, :] = v[1]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                             *, tile_i: int = DS_TILE_I,
+                             tile_j: int = DS_SYM_TILE_J,
+                             interpret: bool = False):
+    """One ds Euler step with each pair evaluated ONCE (self-vs-self only —
+    the reaction accumulator is inherently whole-set). N ≤ DS_SYM_MAX_N.
+
+    The kernel emits the i-side sums and the ds reaction planes; the merge
+    and the damped semi-implicit Euler update run at the XLA level in
+    anchored ds (O(N) next to the O(N²/2) kernel)."""
+    from nbody_tpu.ops.symmetric_kernel import _pair_tables
+
+    n = pos_hi.shape[0]
+    if n > DS_SYM_MAX_N:
+        raise ValueError(
+            f"ds symmetric kernel holds 6 (8, N) reaction scratches in "
+            f"VMEM: N={n} > {DS_SYM_MAX_N}; use the one-sided ds kernel")
+    tile_j = min(tile_j, _round_up(n, LANES))
+    if tile_i % _SYM_SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {_SYM_SUB} | tile_i, {LANES} | tile_j and tile_i | "
+            f"tile_j; got ({tile_i}, {tile_j})")
+    n_pad = _round_up(n, tile_j)
+
+    def pad(a):
+        return (jnp.pad(a, ((0, n_pad - n), (0, 0)))
+                if n_pad != n else a)
+
+    ph, plo = pad(pos_hi), pad(pos_lo)
+    pth, ptl = ph.T, plo.T
+
+    import numpy as np
+
+    rows, cols, first, last = _pair_tables(n_pad, tile_i, tile_j)
+    n_steps = int(rows.shape[0])
+    # eps2 hi/lo from the scal block (host-exact split)
+    meta = jnp.stack([scal[0, 1], scal[1, 1]])
+
+    f32 = jnp.float32
+    ah, al, rh, rl = pl.pallas_call(
+        functools.partial(_ds_sym_kernel_entry, tile_i=tile_i,
+                          tile_j=tile_j, n_steps=n_steps,
+                          interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(rows[p], 0)),
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(rows[p], 0)),
+                pl.BlockSpec((4, tile_j),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(0, cols[p])),
+                pl.BlockSpec((4, tile_j),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(0, cols[p])),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(rows[p], 0)),
+                pl.BlockSpec((tile_i, 4),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(rows[p], 0)),
+                pl.BlockSpec((3, n_pad),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(0, 0)),
+                pl.BlockSpec((3, n_pad),
+                             lambda p, meta, rows, cols, first, last:
+                             _ix(0, 0)),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(6)]
+                + [pltpu.VMEM((_SYM_SUB, n_pad), f32) for _ in range(6)]
+            ),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 4), f32),
+            jax.ShapeDtypeStruct((n_pad, 4), f32),
+            jax.ShapeDtypeStruct((3, n_pad), f32),
+            jax.ShapeDtypeStruct((3, n_pad), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential triangle walk
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=250 * n_pad * n_pad,
+            bytes_accessed=n_steps * (tile_i + tile_j) * 32,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(meta, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(first),
+      jnp.asarray(last), ph, plo, pth, ptl)
+
+    # merge + integrate at the XLA level in anchored ds
+    dt = (scal[0, 0], scal[1, 0])
+    damping = (scal[0, 2], scal[1, 2])
+    nph, npl = [], []
+    nvh, nvl = [], []
+    for c in range(3):
+        a_c = ds_add((ah[:n, c], al[:n, c]), (rh[c, :n], rl[c, :n]))
+        v_c = (vel_hi[:, c], vel_lo[:, c])
+        vnew = ds_mul(ds_add(v_c, ds_mul(a_c, dt)), damping)
+        pnew = ds_add((pos_hi[:, c], pos_lo[:, c]), ds_mul(vnew, dt))
+        nph.append(pnew[0])
+        npl.append(pnew[1])
+        nvh.append(vnew[0])
+        nvl.append(vnew[1])
+    nph.append(pos_hi[:, 3])
+    npl.append(pos_lo[:, 3])
+    nvh.append(vel_hi[:, 3])
+    nvl.append(vel_lo[:, 3])
+    stack = lambda cols_: jnp.stack(cols_, axis=1)  # noqa: E731
+    return stack(nph), stack(npl), stack(nvh), stack(nvl)
+
+
+def _ds_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
+    # compiled (Mosaic) tracing must not emit barrier primitives
+    global _ANCHORS
+    prev = _ANCHORS
+    _ANCHORS = bool(interpret)
+    try:
+        return _ds_sym_kernel(*args, tile_i=tile_i, tile_j=tile_j,
+                              n_steps=n_steps)
+    finally:
+        _ANCHORS = prev

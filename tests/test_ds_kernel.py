@@ -350,3 +350,76 @@ def test_cli_precision_ds_hermite(capsys):
     out = capsys.readouterr().out
     assert "energy drift" in out
     assert rc == 0, out
+
+
+# ---- Newton's-third-law ds kernel ----
+
+
+def test_ds_sym_matches_one_sided_and_oracle():
+    """The symmetric ds step is ds-grade vs the f64 oracle and agrees with
+    the one-sided ds step to ds rounding (measured bit-identical at this
+    shape)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds,
+        ds_from_f64,
+        ds_to_f64,
+        nbody_step_ds,
+        nbody_step_pallas_ds_sym,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, 640, 1.52, 2.0, seed=1,
+                           dtype=np.float64)
+    dt, soft = 1e-3, 0.1
+    p_ref, _ = step_numpy(pos, vel, dt, soft, 1.0)
+
+    ph, plo = ds_from_f64(pos)
+    vh, vlo = ds_from_f64(vel)
+    nph, npl, nvh, nvl = nbody_step_pallas_ds_sym(
+        ph, plo, vh, vlo, _scal_ds(dt, soft, 1.0),
+        tile_i=64, tile_j=128, interpret=True)
+    p_sym = ds_to_f64(nph, npl)
+    assert np.abs(p_sym[:, :3] - p_ref[:, :3]).max() < 1e-11
+
+    p_ds, _ = nbody_step_ds(pos, vel, dt, soft, 1.0, tile_i=8, tile_j=128,
+                            interpret=True)
+    assert np.abs(p_sym[:, :3] - p_ds[:, :3]).max() < 1e-12
+
+
+def test_ds_sym_validation():
+    import jax.numpy as jnp
+    import pytest
+
+    from nbody_tpu.ops.ds_kernel import (
+        DS_SYM_MAX_N,
+        _scal_ds,
+        nbody_step_pallas_ds_sym,
+    )
+
+    big = jnp.zeros((DS_SYM_MAX_N + 128, 4), jnp.float32)
+    with pytest.raises(ValueError, match="one-sided"):
+        nbody_step_pallas_ds_sym(big, big, big, big,
+                                 _scal_ds(1e-3, 0.1, 1.0), interpret=True)
+
+
+def test_ds_system_sym_variant():
+    """DSBodySystem variant plumbing: auto picks sym for euler at small N;
+    rollouts match the one-sided system to ds rounding."""
+    import pytest
+
+    from nbody_tpu.models.ds_system import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=0.1, damping=1.0)
+    a = DSBodySystem(256, params, seed=5, tile_j=128)  # auto -> sym
+    assert a.variant == "sym"
+    b = DSBodySystem(256, params, seed=5, tile_j=128, variant="one_sided")
+    a.update_many(5, 1e-3)
+    b.update_many(5, 1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
+
+    lf = DSBodySystem(256, params, integrator="leapfrog")  # auto -> one_sided
+    assert lf.variant == "one_sided"
+    with pytest.raises(ValueError, match="euler"):
+        DSBodySystem(256, params, integrator="leapfrog", variant="sym")
