@@ -23,7 +23,7 @@ matrix and emits both sides of every pair:
 * the diagonal-straddling block (exactly the first block of each row) runs
   a masked copy of the chunk loop (keep = j_global > i_global, which also
   drops the self pair); every other block is mask-free by construction
-  (tile_j is a multiple of 64, so col > first-col ⇒ all j > all i).
+  (tile_j is a multiple of tile_i, so col > first-col ⇒ all j > all i).
 
 Shared per pair: d (3), r²+ε² (4), rsqrt, inv³ (2) — the expensive half —
 plus 4 ops per side instead of 2×(shared+side). The cost is the (8, n_pad)

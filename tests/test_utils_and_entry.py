@@ -128,3 +128,15 @@ def test_generated_api_docs_current():
     current = (REPO / "docs" / "API_GENERATED.md").read_text()
     assert current == mod.generate(), (
         "stale — run python scripts/gen_api_docs.py")
+
+
+def test_delta_time_rolls_positive_and_floored():
+    import jax.numpy as jnp
+
+    from nbody_tpu.utils.timing import delta_time_rolls
+
+    def step(x, y):
+        return x * 0.5 + y, y
+
+    ms = delta_time_rolls(step, (jnp.ones(8), jnp.ones(8)), iters=3, rolls=2)
+    assert ms > 0  # the 1e-6 floor guarantees positivity even under noise
