@@ -19,6 +19,7 @@ N = 65536
 CHUNK = 100                      # steps per compiled rollout dispatch
 CHECKPOINTS = (100, 1000, 10000)
 VARIANTS = (
+    ("sym", "sym"),     # Newton's-third-law kernel (ops/symmetric_kernel.py)
     ("vpu", dict(variant="vpu", tile_i=256, tile_j=1024)),
     ("mxu", dict(variant="mxu", tile_i=1024, tile_j=8192)),
     ("mxu_bf16", dict(variant="mxu_bf16", tile_i=1024, tile_j=8192)),
@@ -60,6 +61,11 @@ def main():
         if kw is None:
             def step(p, v):
                 return nbody_step_xla(p, v, dt, soft, damp)
+        elif kw == "sym":
+            from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric
+
+            def step(p, v):
+                return nbody_step_symmetric(p, v, dt, soft, damp)
         else:
             def step(p, v):
                 return nbody_step_pallas(p, v, dt, soft, damp, **kw)
