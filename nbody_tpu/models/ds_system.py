@@ -23,6 +23,8 @@ from nbody_tpu.config import NBodyConfig
 from nbody_tpu.params import NBodyParams
 from nbody_tpu import ic
 from nbody_tpu.ops.ds_kernel import (
+    DS_AJ_SYM_MAX_N,
+    DS_AJ_SYM_TILE_J,
     DS_HERMITE_TILE_J,
     DS_SYM_MAX_N,
     DS_SYM_TILE_J,
@@ -70,31 +72,39 @@ class DSBodySystem:
                 "or 'hermite' (4th-order P(EC), two ds accel+jerk "
                 f"dispatches per step); got {integrator!r}")
         self.integrator = integrator
-        # variant: 'sym' = Newton's-third-law ds kernel (each pair once,
-        # 1.36x the one-sided ds rate at N=16384 — ops/ds_kernel.py), only
-        # for the euler step at N <= DS_SYM_MAX_N; 'auto' picks it there
+        # variant: 'sym' = Newton's-third-law ds kernels (each pair once,
+        # 1.36x the one-sided euler ds rate at N=16384 — ops/ds_kernel.py)
+        # for the euler (N <= DS_SYM_MAX_N) and hermite
+        # (N <= DS_AJ_SYM_MAX_N) steps; 'auto' picks it where it applies
         if variant not in ("auto", "sym", "one_sided"):
             raise ValueError(f"unknown ds variant {variant!r}")
+        sym_cap = {"euler": DS_SYM_MAX_N,
+                   "hermite": DS_AJ_SYM_MAX_N}.get(integrator)
         if variant == "sym":
-            if integrator != "euler":
+            if sym_cap is None:
                 raise ValueError(
-                    "variant='sym' applies to the euler ds step only")
-            if self.num_bodies > DS_SYM_MAX_N:
+                    "variant='sym' applies to the euler/hermite ds steps")
+            if self.num_bodies > sym_cap:
                 raise ValueError(
-                    f"variant='sym' caps at N={DS_SYM_MAX_N} (VMEM ds "
-                    f"reaction scratch); got {self.num_bodies}")
+                    f"variant='sym' caps at N={sym_cap} for "
+                    f"integrator={integrator!r} (VMEM ds reaction "
+                    f"scratch); got {self.num_bodies}")
         if variant == "auto":
-            variant = ("sym" if (integrator == "euler"
-                                 and self.num_bodies <= DS_SYM_MAX_N)
+            variant = ("sym" if (sym_cap is not None
+                                 and self.num_bodies <= sym_cap)
                        else "one_sided")
         self.variant = variant
         # the accel+jerk kernel's larger live set caps its j-tile below
-        # the force-only kernels' (scoped-vmem limit); the sym kernel's
+        # the force-only kernels' (scoped-vmem limit); the sym kernels'
         # dual (masked+unmasked) chunk loops cap it further
-        self.tile_j = (tile_j if tile_j is not None
-                       else (DS_HERMITE_TILE_J if integrator == "hermite"
-                             else DS_SYM_TILE_J if variant == "sym"
-                             else DS_TILE_J))
+        if tile_j is not None:
+            self.tile_j = tile_j
+        elif integrator == "hermite":
+            self.tile_j = (DS_AJ_SYM_TILE_J if variant == "sym"
+                           else DS_HERMITE_TILE_J)
+        else:
+            self.tile_j = (DS_SYM_TILE_J if variant == "sym"
+                           else DS_TILE_J)
         self.interpret = (not _on_tpu()) if interpret is None else bool(interpret)
         self.seed = seed
         self.config = config
@@ -150,8 +160,12 @@ class DSBodySystem:
         return _scal_ds(dt, p.softening, p.damping)
 
     def _step_fn(self):
-        if self.integrator == "euler" and self.variant == "sym":
-            return nbody_step_pallas_ds_sym
+        if self.variant == "sym":
+            if self.integrator == "euler":
+                return nbody_step_pallas_ds_sym
+            import functools
+
+            return functools.partial(nbody_step_pallas_ds_hermite, sym=True)
         return {"euler": nbody_step_pallas_ds,
                 "leapfrog": nbody_step_pallas_ds_leapfrog,
                 "hermite": nbody_step_pallas_ds_hermite}[self.integrator]

@@ -385,12 +385,16 @@ def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
     integrator="leapfrog" scans the fused DKD step (scal from
     _scal_ds_leapfrog); "hermite" scans the two-dispatch P(EC) step
     (scal from _scal_ds_hermite)."""
-    step_fn = {"euler": (nbody_step_pallas_ds_sym if sym
-                         else nbody_step_pallas_ds),
-               "leapfrog": nbody_step_pallas_ds_leapfrog,
-               "hermite": nbody_step_pallas_ds_hermite}[integrator]
-    if sym and integrator != "euler":
-        raise ValueError("sym=True applies to the euler ds step only")
+    if sym and integrator == "hermite":
+        step_fn = functools.partial(nbody_step_pallas_ds_hermite, sym=True)
+    elif sym and integrator == "euler":
+        step_fn = nbody_step_pallas_ds_sym
+    elif sym:
+        raise ValueError("sym=True applies to the euler/hermite ds steps")
+    else:
+        step_fn = {"euler": nbody_step_pallas_ds,
+                   "leapfrog": nbody_step_pallas_ds_leapfrog,
+                   "hermite": nbody_step_pallas_ds_hermite}[integrator]
 
     def body(state, _):
         return step_fn(*state, scal, tile_i=tile_i,
@@ -850,11 +854,13 @@ def hermite_correct(x0, v0, a0, j0, a1, j1, scal):
     return x1, v1
 
 
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_i", "tile_j", "interpret", "sym"))
 def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                                  *, tile_i: int = DS_TILE_I,
                                  tile_j: int | None = None,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 sym: bool = False):
     """One 4th-order Hermite P(EC) step in ds arithmetic (self-vs-self).
 
     Two ds accel+jerk kernel dispatches (start state, predicted state)
@@ -866,9 +872,21 @@ def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     n = pos_hi.shape[0]
 
     fscal = scal[:, :4]
-    a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
-        pos_hi, pos_lo, vel_hi, vel_lo, pos_hi, pos_lo, vel_hi, vel_lo,
-        fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+    if sym:  # Newton's-third-law accel+jerk (each pair once)
+        aj_tj = DS_AJ_SYM_TILE_J if tile_j is None else tile_j
+
+        def aj(ph, plo, vh, vlo, *_ignored_j):
+            return compute_accel_jerk_pallas_ds_sym(
+                ph, plo, vh, vlo, fscal, tile_i=tile_i, tile_j=aj_tj,
+                interpret=interpret)
+    else:
+        def aj(ph, plo, vh, vlo, jph, jplo, jvh, jvlo):
+            return compute_accel_jerk_pallas_ds(
+                ph, plo, vh, vlo, jph, jplo, jvh, jvlo,
+                fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+
+    a0h, a0l, j0h, j0l = aj(
+        pos_hi, pos_lo, vel_hi, vel_lo, pos_hi, pos_lo, vel_hi, vel_lo)
 
     x0, v0 = hermite_planes(pos_hi, pos_lo), hermite_planes(vel_hi, vel_lo)
     a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
@@ -877,9 +895,8 @@ def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     pph, ppl = hermite_assemble(xp, pos_hi[:, 3:4], pos_lo[:, 3:4])
     vph, vpl = hermite_assemble(vp, vel_hi[:, 3:4], vel_lo[:, 3:4])
 
-    a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
-        pph, ppl, vph, vpl, pph, ppl, vph, vpl,
-        fscal, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+    a1h, a1l, j1h, j1l = aj(
+        pph, ppl, vph, vpl, pph, ppl, vph, vpl)
     a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
 
     x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
@@ -1153,5 +1170,276 @@ def _ds_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
     try:
         return _ds_sym_kernel(*args, tile_i=tile_i, tile_j=tile_j,
                               n_steps=n_steps)
+    finally:
+        _ANCHORS = prev
+
+
+# ---- Newton's-third-law ds accel+jerk (the Hermite force evaluation) ----
+#
+# Same upper-triangle walk as the ds euler sym kernel, emitting BOTH force
+# quantities both ways: acc uses the mass-folded s/t scalings, jerk uses
+# the mass-free bracket q = inv3*dv - 3(dr.dv)/r^5 * dr (antisymmetric
+# under i<->j like the force, so the reaction is -m_i*q). 12 i-side
+# accumulators + 12 (8, n_pad) reaction scratches cap this kernel at
+# N <= DS_AJ_SYM_MAX_N — exactly the ds Hermite showcase shape.
+
+DS_AJ_SYM_MAX_N = 16384
+# measured on v5e at N=16384 (one-sided ds hermite same day: 3.82 G int/s
+# per step = 2 evals): sym tj=1024 -> 5.17, tj=512 -> 5.22 (tie) — 1.36x;
+# on-chip |dpos| vs the f64 oracle hermite 3.5e-14 (ds grade)
+DS_AJ_SYM_TILE_J = 1024
+
+
+def _ds_aj_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
+                      pih_ref, pil_ref, vih_ref, vil_ref,
+                      pth_ref, ptl_ref, vth_ref, vtl_ref,
+                      ah_ref, al_ref, jh_ref, jl_ref,
+                      rah_ref, ral_ref, rjh_ref, rjl_ref,
+                      *scratches, tile_i: int, tile_j: int, n_steps: int):
+    # scratches: 12 i-side (tile_i, LANES) [axh..azl, gxh..gzl] then 12
+    # reaction (8, n_pad) [raxh..razl, rjxh..rjzl]
+    iacc = scratches[:12]
+    react = scratches[12:]
+    p = pl.program_id(0)
+    eps2 = (meta_ref[0], meta_ref[1])
+    first = first_ref[p]
+
+    @pl.when(p == 0)
+    def _zero_reaction():
+        zeros = jnp.zeros_like(react[0])
+        for r in react:
+            r[:] = zeros
+
+    @pl.when(first == 1)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(iacc[0])
+        for r in iacc:
+            r[:, :] = zeros
+
+    def icol(h_ref, l_ref, c):
+        return (h_ref[:, c:c + 1], l_ref[:, c:c + 1])
+
+    xi, yi, zi = (icol(pih_ref, pil_ref, c) for c in range(3))
+    vxi, vyi, vzi = (icol(vih_ref, vil_ref, c) for c in range(3))
+    mi = icol(pih_ref, pil_ref, 3)
+    j_base = cols_ref[p] * tile_j
+
+    def chunk_loop(masked: bool):
+        if masked:
+            ig = rows_ref[p] * tile_i + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_i, 1), 0)
+        for k in range(tile_j // LANES):
+            sl = slice(k * LANES, (k + 1) * LANES)
+
+            def jrow(h_ref, l_ref, r):
+                return (h_ref[r:r + 1, sl], l_ref[r:r + 1, sl])
+
+            dx = ds_sub(jrow(pth_ref, ptl_ref, 0), xi)
+            dy = ds_sub(jrow(pth_ref, ptl_ref, 1), yi)
+            dz = ds_sub(jrow(pth_ref, ptl_ref, 2), zi)
+            dvx = ds_sub(jrow(vth_ref, vtl_ref, 0), vxi)
+            dvy = ds_sub(jrow(vth_ref, vtl_ref, 1), vyi)
+            dvz = ds_sub(jrow(vth_ref, vtl_ref, 2), vzi)
+            r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                        ds_add(ds_mul(dz, dz), eps2))
+            inv = ds_rsqrt(r2)
+            inv2 = ds_mul(inv, inv)
+            inv3 = ds_mul(inv2, inv)
+            rv = ds_add(ds_add(ds_mul(dx, dvx), ds_mul(dy, dvy)),
+                        ds_mul(dz, dvz))
+            c3p = ds_mul_f32(ds_mul(ds_mul(rv, inv2), inv3),
+                             jnp.float32(3.0))  # 3 (dr.dv)/r^5, mass-free
+            mj = jrow(pth_ref, ptl_ref, 3)
+            mik = mi
+            if masked:
+                jg = j_base + k * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1)
+                keep = jg > ig  # strict upper triangle (drops self pair)
+                z = jnp.float32(0.0)
+                mj = (jnp.where(keep, mj[0], z), jnp.where(keep, mj[1], z))
+                mik = (jnp.where(keep, mik[0], z),
+                       jnp.where(keep, mik[1], z))
+            s = ds_mul(mj, inv3)   # acc scale toward j, on i
+            t = ds_mul(mik, inv3)  # reaction acc scale on j
+
+            qx = ds_sub(ds_mul(inv3, dvx), ds_mul(c3p, dx))
+            qy = ds_sub(ds_mul(inv3, dvy), ds_mul(c3p, dy))
+            qz = ds_sub(ds_mul(inv3, dvz), ds_mul(c3p, dz))
+
+            axh, axl, ayh, ayl, azh, azl = iacc[:6]
+            gxh, gxl, gyh, gyl, gzh, gzl = iacc[6:]
+            for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                                ((azh, azl), dz)):
+                acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+                ah[:, :] = acc[0]
+                al[:, :] = acc[1]
+            for (gh, gl), q in (((gxh, gxl), qx), ((gyh, gyl), qy),
+                                ((gzh, gzl), qz)):
+                jrk = ds_add((gh[:, :], gl[:, :]), ds_mul(mj, q))
+                gh[:, :] = jrk[0]
+                gl[:, :] = jrk[1]
+
+            # reactions: -t*d (acc) and -m_i*q (jerk), ds-reduced TI->8
+            def rmw(rh_s, rl_s, u):
+                uh, ul = u
+                u8 = (uh[0:_SYM_SUB], ul[0:_SYM_SUB])
+                for q_ in range(1, tile_i // _SYM_SUB):
+                    u8 = ds_add(u8,
+                                (uh[q_ * _SYM_SUB:(q_ + 1) * _SYM_SUB],
+                                 ul[q_ * _SYM_SUB:(q_ + 1) * _SYM_SUB]))
+                idx = (slice(0, _SYM_SUB),
+                       pl.ds(j_base + k * LANES, LANES))
+                cur = ds_sub((rh_s[idx], rl_s[idx]), u8)
+                rh_s[idx] = cur[0]
+                rl_s[idx] = cur[1]
+
+            for c, d in enumerate((dx, dy, dz)):
+                rmw(react[2 * c], react[2 * c + 1], ds_mul(t, d))
+            for c, q in enumerate((qx, qy, qz)):
+                rmw(react[6 + 2 * c], react[7 + 2 * c], ds_mul(mik, q))
+
+    @pl.when(first == 1)
+    def _diag_block():
+        chunk_loop(masked=True)
+
+    @pl.when(first == 0)
+    def _off_diag_block():
+        chunk_loop(masked=False)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize_row():
+        def reduce_ds(ah, al):
+            acc = (ah[:, :], al[:, :])
+            width = acc[0].shape[1]
+            while width > 1:
+                half = width // 2
+                acc = ds_add((acc[0][:, :half], acc[1][:, :half]),
+                             (acc[0][:, half:width], acc[1][:, half:width]))
+                width = half
+            return acc
+
+        for c in range(3):
+            hi, lo = reduce_ds(iacc[2 * c], iacc[2 * c + 1])
+            ah_ref[:, c:c + 1] = hi
+            al_ref[:, c:c + 1] = lo
+            hi, lo = reduce_ds(iacc[6 + 2 * c], iacc[7 + 2 * c])
+            jh_ref[:, c:c + 1] = hi
+            jl_ref[:, c:c + 1] = lo
+        for ref in (ah_ref, al_ref, jh_ref, jl_ref):
+            ref[:, 3:4] = jnp.zeros_like(ref[:, 3:4])
+
+    @pl.when(p == n_steps - 1)
+    def _emit_reaction():
+        for c in range(3):
+            for (rh_s, rl_s), (oh, ol) in (
+                ((react[2 * c], react[2 * c + 1]), (rah_ref, ral_ref)),
+                ((react[6 + 2 * c], react[7 + 2 * c]), (rjh_ref, rjl_ref)),
+            ):
+                v = (rh_s[0:1, :], rl_s[0:1, :])
+                for q_ in range(1, _SYM_SUB):
+                    v = ds_add(v, (rh_s[q_:q_ + 1, :], rl_s[q_:q_ + 1, :]))
+                oh[c:c + 1, :] = v[0]
+                ol[c:c + 1, :] = v[1]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_jerk_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                                     *, tile_i: int = DS_TILE_I,
+                                     tile_j: int = DS_AJ_SYM_TILE_J,
+                                     interpret: bool = False):
+    """ds (acc_hi, acc_lo, jerk_hi, jerk_lo), each (N, 4) with column 3
+    zero, each pair evaluated ONCE (self-vs-self only). N ≤ DS_AJ_SYM_MAX_N.
+    Drop-in for compute_accel_jerk_pallas_ds in the self case."""
+    from nbody_tpu.ops.symmetric_kernel import _pair_tables
+
+    n = pos_hi.shape[0]
+    if n > DS_AJ_SYM_MAX_N:
+        raise ValueError(
+            f"ds symmetric accel+jerk holds 12 (8, N) reaction scratches "
+            f"in VMEM: N={n} > {DS_AJ_SYM_MAX_N}; use the one-sided kernel")
+    tile_j = min(tile_j, _round_up(n, LANES))
+    if tile_i % _SYM_SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {_SYM_SUB} | tile_i, {LANES} | tile_j and tile_i | "
+            f"tile_j; got ({tile_i}, {tile_j})")
+    n_pad = _round_up(n, tile_j)
+
+    def pad(a):
+        return (jnp.pad(a, ((0, n_pad - n), (0, 0)))
+                if n_pad != n else a)
+
+    ph, plo = pad(pos_hi), pad(pos_lo)
+    vh, vlo = pad(vel_hi), pad(vel_lo)
+
+    rows, cols, first, last = _pair_tables(n_pad, tile_i, tile_j)
+    n_steps = int(rows.shape[0])
+    meta = jnp.stack([scal[0, 1], scal[1, 1]])  # eps^2 hi/lo
+
+    f32 = jnp.float32
+    row_spec = pl.BlockSpec(
+        (tile_i, 4),
+        lambda p, meta, rows, cols, first, last: _ix(rows[p], 0))
+    col_spec = pl.BlockSpec(
+        (4, tile_j),
+        lambda p, meta, rows, cols, first, last: _ix(0, cols[p]))
+    full_spec = pl.BlockSpec(
+        (3, n_pad), lambda p, meta, rows, cols, first, last: _ix(0, 0))
+
+    outs = pl.pallas_call(
+        functools.partial(_ds_aj_sym_kernel_entry, tile_i=tile_i,
+                          tile_j=tile_j, n_steps=n_steps,
+                          interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps,),
+            in_specs=[row_spec] * 4 + [col_spec] * 4,
+            out_specs=[row_spec] * 4 + [full_spec] * 4,
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(12)]
+                + [pltpu.VMEM((_SYM_SUB, n_pad), f32) for _ in range(12)]
+            ),
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_pad, 4), f32)] * 4
+            + [jax.ShapeDtypeStruct((3, n_pad), f32)] * 4
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential triangle walk
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=500 * n_pad * n_pad,
+            bytes_accessed=n_steps * (tile_i + tile_j) * 64,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(meta, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(first),
+      jnp.asarray(last), ph, plo, vh, vlo, ph.T, plo.T, vh.T, vlo.T)
+    ah, al, jh, jl, rah, ral, rjh, rjl = outs
+
+    # merge i-side + reaction at the XLA level in anchored ds
+    def merged(side_h, side_l, rh, rl):
+        hs, ls = [], []
+        for c in range(3):
+            hi, lo = ds_add((side_h[:n, c], side_l[:n, c]),
+                            (rh[c, :n], rl[c, :n]))
+            hs.append(hi)
+            ls.append(lo)
+        hs.append(jnp.zeros_like(hs[0]))
+        ls.append(jnp.zeros_like(ls[0]))
+        return jnp.stack(hs, axis=1), jnp.stack(ls, axis=1)
+
+    acc_h, acc_l = merged(ah, al, rah, ral)
+    jrk_h, jrk_l = merged(jh, jl, rjh, rjl)
+    return acc_h, acc_l, jrk_h, jrk_l
+
+
+def _ds_aj_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
+    # compiled (Mosaic) tracing must not emit barrier primitives
+    global _ANCHORS
+    prev = _ANCHORS
+    _ANCHORS = bool(interpret)
+    try:
+        return _ds_aj_sym_kernel(*args, tile_i=tile_i, tile_j=tile_j,
+                                 n_steps=n_steps)
     finally:
         _ANCHORS = prev

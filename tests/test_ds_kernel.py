@@ -423,3 +423,49 @@ def test_ds_system_sym_variant():
     assert lf.variant == "one_sided"
     with pytest.raises(ValueError, match="euler"):
         DSBodySystem(256, params, integrator="leapfrog", variant="sym")
+
+
+def test_ds_aj_sym_matches_one_sided():
+    """The symmetric ds accel+jerk agrees with the one-sided kernel to ds
+    rounding — BOTH quantities (jerk reaction is antisymmetric too)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds,
+        compute_accel_jerk_pallas_ds,
+        compute_accel_jerk_pallas_ds_sym,
+        ds_from_f64,
+        ds_to_f64,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, 512, 1.52, 2.0, seed=1,
+                           dtype=np.float64)
+    ph, plo = ds_from_f64(pos)
+    vh, vlo = ds_from_f64(vel)
+    scal = _scal_ds(1e-3, 0.1, 1.0)
+    a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
+        ph, plo, vh, vlo, ph, plo, vh, vlo, scal,
+        tile_i=8, tile_j=128, interpret=True)
+    a2h, a2l, j2h, j2l = compute_accel_jerk_pallas_ds_sym(
+        ph, plo, vh, vlo, scal, tile_i=64, tile_j=128, interpret=True)
+    a1, a2 = ds_to_f64(a1h, a1l), ds_to_f64(a2h, a2l)
+    jr1, jr2 = ds_to_f64(j1h, j1l), ds_to_f64(j2h, j2l)
+    assert np.abs(a1 - a2).max() / np.abs(a1).max() < 1e-12
+    assert np.abs(jr1 - jr2).max() / np.abs(jr1).max() < 1e-12
+
+
+def test_ds_hermite_sym_step_and_system():
+    """hermite + variant='sym' through the step AND DSBodySystem matches
+    the one-sided hermite to ds rounding; auto picks sym at small N."""
+    from nbody_tpu.models.ds_system import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=0.1, damping=1.0)
+    a = DSBodySystem(256, params, seed=5, integrator="hermite",
+                     tile_j=128)  # auto -> sym
+    assert a.variant == "sym"
+    b = DSBodySystem(256, params, seed=5, integrator="hermite",
+                     tile_j=128, variant="one_sided")
+    a.update_many(4, 1e-3)
+    b.update_many(4, 1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
