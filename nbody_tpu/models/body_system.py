@@ -174,10 +174,14 @@ class BodySystem:
         self.num_bodies = _round_up(int(num_bodies), ndev)
 
         if variant == "sym":
-            # Newton's-third-law kernel: single-device pallas, exact-force
-            # integrators, N bounded by its VMEM reaction scratch
-            # (ops/symmetric_kernel.py)
-            from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+            # Newton's-third-law kernels: single-device pallas, N bounded
+            # by their VMEM reaction scratches (ops/symmetric_kernel.py;
+            # hermite's accel+jerk carries twice the scratch, so its cap
+            # is half)
+            from nbody_tpu.ops.symmetric_kernel import (
+                AJ_SYM_MAX_N,
+                SYM_MAX_N,
+            )
 
             if backend != "pallas":
                 raise ValueError("variant='sym' needs backend='pallas'")
@@ -185,15 +189,13 @@ class BodySystem:
                 raise ValueError(
                     "variant='sym' is single-device (the reaction "
                     "accumulator is chip-local); drop mesh= or use 'vpu'")
-            if integrator == "hermite":
+            cap = AJ_SYM_MAX_N if integrator == "hermite" else SYM_MAX_N
+            if self.num_bodies > cap:
                 raise ValueError(
-                    "variant='sym' has no symmetric jerk kernel; use "
-                    "euler/leapfrog, or variant='vpu' for hermite")
-            if self.num_bodies > SYM_MAX_N:
-                raise ValueError(
-                    f"variant='sym' holds an (8, N) reaction scratch in "
-                    f"VMEM: N={self.num_bodies} > {SYM_MAX_N}; use "
-                    f"variant='vpu' (its rate is flat in N)")
+                    f"variant='sym' holds (8, N) reaction scratches in "
+                    f"VMEM: N={self.num_bodies} > {cap} for "
+                    f"integrator={integrator!r}; use variant='vpu' (its "
+                    f"rate is flat in N)")
 
         if variant == "auto":
             # use the autotuner's cached winner for this chip/N if present
@@ -203,10 +205,14 @@ class BodySystem:
 
                 resolved = best_config(self.num_bodies)
             if resolved and resolved["variant"] == "sym":
-                from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+                from nbody_tpu.ops.symmetric_kernel import (
+                    AJ_SYM_MAX_N,
+                    SYM_MAX_N,
+                )
 
-                if (mesh is not None or integrator == "hermite"
-                        or self.num_bodies > SYM_MAX_N):
+                cap = (AJ_SYM_MAX_N if integrator == "hermite"
+                       else SYM_MAX_N)
+                if mesh is not None or self.num_bodies > cap:
                     # the cached winner was tuned single-device at small N;
                     # this run's shape can't use it — fall through to the
                     # no-cache resolution rather than crash downstream
@@ -229,13 +235,17 @@ class BodySystem:
                     self.tile_j = tile_j = resolved["tile_j"]
                     self._tiles_from_cache = True
             else:
-                from nbody_tpu.ops.symmetric_kernel import SYM_MAX_N
+                from nbody_tpu.ops.symmetric_kernel import (
+                    AJ_SYM_MAX_N,
+                    SYM_MAX_N,
+                )
 
-                # no cache: the Newton's-third-law kernel where it applies
-                # (exact fp32, 1.29x vpu at N=65536 — PARITY.md), else vpu
+                # no cache: the Newton's-third-law kernels where they
+                # apply (exact fp32, 1.29-1.46x — PARITY.md), else vpu
+                cap = (AJ_SYM_MAX_N if integrator == "hermite"
+                       else SYM_MAX_N)
                 sym_ok = (backend == "pallas" and mesh is None
-                          and integrator != "hermite"
-                          and self.num_bodies <= SYM_MAX_N)
+                          and self.num_bodies <= cap)
                 variant = "sym" if sym_ok else "vpu"
             self.variant = variant
 
@@ -603,9 +613,28 @@ class BodySystem:
                 compute_accel_jerk_pallas,
             )
 
+            interpret = self.interpret
+            if self.variant == "sym":
+                from nbody_tpu.ops.symmetric_kernel import (
+                    AJ_SYM_TILE_J,
+                    TI,
+                    compute_accel_jerk_symmetric,
+                )
+
+                use = self._explicit_tiles[0] or self._tiles_from_cache
+                s_ti = self.tile_i if use else TI
+                use = self._explicit_tiles[1] or self._tiles_from_cache
+                s_tj = self.tile_j if use else AJ_SYM_TILE_J
+
+                def aj_sym(p4, v4, soft):
+                    return compute_accel_jerk_symmetric(
+                        p4, v4, soft, tile_i=s_ti, tile_j=s_tj,
+                        interpret=interpret)
+
+                return aj_sym
+
             tile_i = self.tile_i if self._explicit_tiles[0] else AJ_TILE_I
             tile_j = self.tile_j if self._explicit_tiles[1] else AJ_TILE_J
-            interpret = self.interpret
 
             def aj(p4, v4, soft):
                 return compute_accel_jerk_pallas(

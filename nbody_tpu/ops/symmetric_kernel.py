@@ -264,3 +264,203 @@ def nbody_step_symmetric(pos, vel, dt, softening, damping, *, tile_i: int = TI,
     acc = compute_accel_symmetric(pos, softening, tile_i=tile_i,
                                   tile_j=tile_j, interpret=interpret)
     return integrate(pos, vel, acc, dt, damping)
+
+
+# ---- Newton's-third-law accel+jerk (the f32 Hermite force evaluation) ----
+#
+# Same triangle walk, emitting acc AND jerk both ways: acc via the
+# mass-folded s/t scalings, jerk via the mass-free bracket
+# q = dv/r³ − 3(d·dv)d/r⁵, which is antisymmetric under i↔j like the
+# force (d→−d, dv→−dv, d·dv invariant), so the reaction is −m_i·q.
+# 6 reaction scratches (acc xyz + jerk xyz) cap it at N ≤ AJ_SYM_MAX_N.
+
+AJ_SYM_MAX_N = 32768
+# measured on v5e at N=16384, hermite STEP rate (= 2 force evals/step;
+# one-sided aj champion (32,16384) same day: 51.63 G int/s): sym (64, tj)
+# tj=1024 -> 54.58, tj=2048 -> 54.96, tj=4096 -> 53.47 — only **1.06x**:
+# unlike the force-only kernel (1.29x) and the ds kernels (1.36x), the
+# f32 aj reaction runs SIX reduce+RMW chains per chunk against relatively
+# cheap shared math, eating most of the triangle saving. Kept as the
+# default under the cap because it is still faster at identical accuracy
+# (one-step vs one-sided: 2.4e-7), but the honest gain is marginal.
+AJ_SYM_TILE_J = 2048
+
+
+def _aj_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
+                   posi_ref, veli_ref, post_ref, velt_ref,
+                   acc_ref, jerk_ref, ra_ref, rj_ref,
+                   ax, ay, az, gx, gy, gz,
+                   rax, ray, raz, rjx, rjy, rjz,
+                   *, tile_i: int, tile_j: int, n_steps: int):
+    p = pl.program_id(0)
+    eps2 = meta_ref[0]
+    first = first_ref[p]
+
+    @pl.when(p == 0)
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rax)
+        for r in (rax, ray, raz, rjx, rjy, rjz):
+            r[:] = zeros
+
+    @pl.when(first == 1)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(ax)
+        for r in (ax, ay, az, gx, gy, gz):
+            r[:, :] = zeros
+
+    xi = posi_ref[:, 0:1]
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    mi = posi_ref[:, 3:4]
+    vxi = veli_ref[:, 0:1]
+    vyi = veli_ref[:, 1:2]
+    vzi = veli_ref[:, 2:3]
+    j_base = cols_ref[p] * tile_j
+
+    def chunk_loop(masked: bool):
+        if masked:
+            ig = rows_ref[p] * tile_i + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_i, 1), 0)
+        for k in range(tile_j // LANES):
+            sl = slice(k * LANES, (k + 1) * LANES)
+            dx = post_ref[0:1, sl] - xi
+            dy = post_ref[1:2, sl] - yi
+            dz = post_ref[2:3, sl] - zi
+            dvx = velt_ref[0:1, sl] - vxi
+            dvy = velt_ref[1:2, sl] - vyi
+            dvz = velt_ref[2:3, sl] - vzi
+            r2 = dx * dx + dy * dy + dz * dz + eps2
+            inv = jax.lax.rsqrt(r2)
+            inv2 = inv * inv
+            inv3 = inv2 * inv
+            rv = dx * dvx + dy * dvy + dz * dvz
+            c3p = 3.0 * rv * inv2 * inv3  # 3 (d·dv)/r⁵, mass-free
+            mj = post_ref[3:4, sl]
+            mik = mi
+            if masked:
+                jg = j_base + k * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1)
+                keep = jg > ig  # strict upper triangle (drops self pair)
+                mj = jnp.where(keep, mj, 0.0)
+                mik = jnp.where(keep, mik, 0.0)
+            s = mj * inv3
+            t = mik * inv3
+            qx = inv3 * dvx - c3p * dx
+            qy = inv3 * dvy - c3p * dy
+            qz = inv3 * dvz - c3p * dz
+            ax[:] += s * dx
+            ay[:] += s * dy
+            az[:] += s * dz
+            gx[:] += mj * qx
+            gy[:] += mj * qy
+            gz[:] += mj * qz
+            for rref, u in ((rax, t * dx), (ray, t * dy), (raz, t * dz),
+                            (rjx, mik * qx), (rjy, mik * qy),
+                            (rjz, mik * qz)):
+                r8 = u[0:SUB]
+                for q_ in range(1, tile_i // SUB):
+                    r8 = r8 + u[q_ * SUB:(q_ + 1) * SUB]
+                idx = (slice(0, SUB), pl.ds(j_base + k * LANES, LANES))
+                rref[idx] = rref[idx] - r8
+
+    @pl.when(first == 1)
+    def _diag_block():
+        chunk_loop(masked=True)
+
+    @pl.when(first == 0)
+    def _off_diag_block():
+        chunk_loop(masked=False)
+
+    @pl.when(last_ref[p] == 1)
+    def _finalize_row():
+        for c, a in enumerate((ax, ay, az)):
+            acc_ref[:, c:c + 1] = jnp.sum(a[:], axis=1, keepdims=True)
+        for c, g in enumerate((gx, gy, gz)):
+            jerk_ref[:, c:c + 1] = jnp.sum(g[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+        jerk_ref[:, 3:4] = jnp.zeros_like(jerk_ref[:, 3:4])
+
+    @pl.when(p == n_steps - 1)
+    def _emit_reaction():
+        for c_idx, (rref, oref) in enumerate((
+                (rax, ra_ref), (ray, ra_ref), (raz, ra_ref),
+                (rjx, rj_ref), (rjy, rj_ref), (rjz, rj_ref))):
+            v = rref[0:1, :]
+            for q_ in range(1, SUB):
+                v = v + rref[q_:q_ + 1, :]
+            oref[c_idx % 3:c_idx % 3 + 1, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_jerk_symmetric(pos, vel, softening, *, tile_i: int = TI,
+                                 tile_j: int = AJ_SYM_TILE_J,
+                                 interpret: bool = False):
+    """(acc, jerk), each (N, 3), of the set on itself with each pair
+    evaluated once — the Hermite force evaluation. N ≤ AJ_SYM_MAX_N.
+    Drop-in for compute_accel_jerk_pallas in the self case."""
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    n = pos.shape[0]
+    if n > AJ_SYM_MAX_N:
+        raise ValueError(
+            f"symmetric accel+jerk holds 6 (8, N) reaction scratches in "
+            f"VMEM: N={n} > {AJ_SYM_MAX_N}; use the one-sided kernel")
+    f32 = jnp.float32
+    tile_j = min(tile_j, _round_up(n, LANES))
+    if tile_i % SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {SUB} | tile_i, {LANES} | tile_j and tile_i | tile_j; "
+            f"got ({tile_i}, {tile_j})")
+    n_pad = _round_up(n, tile_j)
+
+    def pad(a):
+        return (jnp.pad(a.astype(f32), ((0, n_pad - n), (0, 0)))
+                if n_pad != n else a.astype(f32))
+
+    pos_p, vel_p = pad(pos), pad(vel)
+
+    rows, cols, first, last = _pair_tables(n_pad, tile_i, tile_j)
+    n_steps = int(rows.shape[0])
+    meta = jnp.asarray(softening, f32).reshape(1) ** 2
+
+    row_spec = pl.BlockSpec(
+        (tile_i, 4),
+        lambda p, meta, rows, cols, first, last: _ix(rows[p], 0))
+    col_spec = pl.BlockSpec(
+        (4, tile_j),
+        lambda p, meta, rows, cols, first, last: _ix(0, cols[p]))
+    full_spec = pl.BlockSpec(
+        (3, n_pad), lambda p, meta, rows, cols, first, last: _ix(0, 0))
+
+    acc, jerk, ra, rj = pl.pallas_call(
+        functools.partial(_aj_sym_kernel, tile_i=tile_i, tile_j=tile_j,
+                          n_steps=n_steps),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps,),
+            in_specs=[row_spec, row_spec, col_spec, col_spec],
+            out_specs=[row_spec, row_spec, full_spec, full_spec],
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(6)]
+                + [pltpu.VMEM((SUB, n_pad), f32) for _ in range(6)]
+            ),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 4), f32),
+            jax.ShapeDtypeStruct((n_pad, 4), f32),
+            jax.ShapeDtypeStruct((3, n_pad), f32),
+            jax.ShapeDtypeStruct((3, n_pad), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential triangle walk
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * n_pad * n_pad,
+            bytes_accessed=n_steps * (tile_i + tile_j) * 32,
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(meta, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(first),
+      jnp.asarray(last), pos_p, vel_p, pos_p.T, vel_p.T)
+
+    return (acc[:n, :3] + ra[:, :n].T, jerk[:n, :3] + rj[:, :n].T)

@@ -117,14 +117,32 @@ def test_body_system_sym_variant():
 
 def test_body_system_sym_variant_gates():
     from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
     from nbody_tpu.params import NBodyParams
 
     with pytest.raises(ValueError, match="sym"):
         BodySystem(SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="sym", interpret=True)
+    # hermite's accel+jerk carries twice the reaction scratch: half the cap
     with pytest.raises(ValueError, match="sym"):
-        BodySystem(256, NBodyParams(), backend="pallas", variant="sym",
-                   interpret=True, integrator="hermite")
+        BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
+                   variant="sym", interpret=True, integrator="hermite")
+
+
+def test_body_system_sym_hermite():
+    """hermite + variant='sym' (the symmetric accel+jerk) matches xla."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(softening=SOFT, damping=0.999)
+    a = BodySystem(256, params, backend="pallas", variant="sym",
+                   interpret=True, seed=9, tile_j=128,
+                   integrator="hermite")
+    b = BodySystem(256, params, backend="xla", seed=9,
+                   integrator="hermite")
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
 
 
 def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
@@ -143,8 +161,10 @@ def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
         tune, "best_config",
         lambda n: {"variant": "sym", "tile_i": 64, "tile_j": 4096})
 
-    s = BodySystem(256, NBodyParams(), backend="pallas", variant="auto",
-                   integrator="hermite", interpret=True)
+    from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
+
+    s = BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
+                   variant="auto", integrator="hermite", interpret=True)
     assert s.variant == "vpu"
 
     if len(jax.devices()) >= 8:
