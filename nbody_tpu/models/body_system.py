@@ -441,6 +441,20 @@ class BodySystem:
 
     # ---- stepping ----
 
+    def _sym_tiles(self, default_ti: int, default_tj: int,
+                   *, cache_ok: bool = True):
+        """Tile resolution for the sym kernels: explicit user tiles always
+        win; autotuner-cache tiles win when ``cache_ok`` (the cache is
+        measured with the euler FORCE kernel, so the accel+jerk sym path
+        passes cache_ok=False — its tuned default is not the euler
+        winner); otherwise the kernel's own measured defaults."""
+        ti_src = self._explicit_tiles[0] or (
+            cache_ok and self._tiles_from_cache)
+        tj_src = self._explicit_tiles[1] or (
+            cache_ok and self._tiles_from_cache)
+        return (self.tile_i if ti_src else default_ti,
+                self.tile_j if tj_src else default_tj)
+
     def _step_fn(self):
         """(pos, vel, dt, softening, damping) -> (pos, vel), jit-compatible."""
         if (self.mesh is not None and self.backend == "p3m"
@@ -516,10 +530,7 @@ class BodySystem:
                 # the sym kernel has its own tuned defaults ((64, 4096)
                 # champion); explicit user tiles or the autotuner cache's
                 # measured winner override them
-                use = self._explicit_tiles[0] or self._tiles_from_cache
-                s_ti = tile_i if use else TI
-                use = self._explicit_tiles[1] or self._tiles_from_cache
-                s_tj = tile_j if use else DEFAULT_TILE_J_SYM
+                s_ti, s_tj = self._sym_tiles(TI, DEFAULT_TILE_J_SYM)
 
                 def step(pos, vel, dt, soft, damp):
                     return nbody_step_symmetric(
@@ -579,10 +590,7 @@ class BodySystem:
                     compute_accel_symmetric,
                 )
 
-                use = self._explicit_tiles[0] or self._tiles_from_cache
-                s_ti = tile_i if use else TI
-                use = self._explicit_tiles[1] or self._tiles_from_cache
-                s_tj = tile_j if use else DEFAULT_TILE_J_SYM
+                s_ti, s_tj = self._sym_tiles(TI, DEFAULT_TILE_J_SYM)
 
                 def accel_sym(p4, soft):
                     return compute_accel_symmetric(
@@ -621,10 +629,10 @@ class BodySystem:
                     compute_accel_jerk_symmetric,
                 )
 
-                use = self._explicit_tiles[0] or self._tiles_from_cache
-                s_ti = self.tile_i if use else TI
-                use = self._explicit_tiles[1] or self._tiles_from_cache
-                s_tj = self.tile_j if use else AJ_SYM_TILE_J
+                # cache_ok=False: the tune cache measured the euler
+                # force kernel, not this accel+jerk shape
+                s_ti, s_tj = self._sym_tiles(TI, AJ_SYM_TILE_J,
+                                             cache_ok=False)
 
                 def aj_sym(p4, v4, soft):
                     return compute_accel_jerk_symmetric(

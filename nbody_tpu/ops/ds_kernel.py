@@ -169,6 +169,22 @@ def ds_to_f64(hi, lo):
     return (np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
 
 
+def reduce_ds_lanes(ah_ref, al_ref):
+    """Cross-lane reduction IN ds of a (rows, LANES) hi/lo accumulator
+    pair -> (rows, 1): a plain f32 sum of the hi plane would reintroduce
+    ~1e-7-relative summation error — the exact thing the ds kernels exist
+    to avoid. Pairwise tree of ds_adds (log2 levels). Pure jnp on the
+    loaded values, so every kernel's finalize can share it."""
+    acc = (ah_ref[:, :], al_ref[:, :])
+    width = acc[0].shape[1]
+    while width > 1:
+        half = width // 2
+        acc = ds_add((acc[0][:, :half], acc[1][:, :half]),
+                     (acc[0][:, half:width], acc[1][:, half:width]))
+        width = half
+    return acc
+
+
 # ---- the fused ds force + integrate kernel ----
 
 def _ds_accumulate_tile(pihi_ref, pilo_ref, pthi_ref, ptlo_ref, eps2,
@@ -225,22 +241,7 @@ def _ds_step_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
         dt = (scal_ref[0, 0], scal_ref[1, 0])
         damping = (scal_ref[0, 2], scal_ref[1, 2])
 
-        def reduce_ds(ah, al):
-            # cross-lane reduction IN ds: a plain f32 sum of the hi plane
-            # would reintroduce ~1e-7-relative summation error — the exact
-            # thing this kernel exists to avoid. Pairwise tree of ds_adds
-            # (log2(LANES) levels), then the final (TILE_I, 1) ds value.
-            acc = (ah[:, :], al[:, :])
-            width = acc[0].shape[1]
-            while width > 1:
-                half = width // 2
-                left = (acc[0][:, :half], acc[1][:, :half])
-                right = (acc[0][:, half:width], acc[1][:, half:width])
-                acc = ds_add(left, right)
-                width = half
-            return acc
-
-        acc = (reduce_ds(axh, axl), reduce_ds(ayh, ayl), reduce_ds(azh, azl))
+        acc = (reduce_ds_lanes(axh, axl), reduce_ds_lanes(ayh, ayl), reduce_ds_lanes(azh, azl))
         for c in range(3):
             vc = (vihi_ref[:, c:c + 1], vilo_ref[:, c:c + 1])
             vnew = ds_mul(ds_add(vc, ds_mul(acc[c], dt)), damping)
@@ -278,7 +279,8 @@ def _scal_ds(dt, softening, damping):
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def nbody_step_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal,
-                         *, tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+                         *, tile_i: int = DS_TILE_I,
+                         tile_j: int | None = None,
                          interpret: bool = False):
     """One fused double-single step (self-vs-self).
 
@@ -296,7 +298,7 @@ def nbody_step_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal,
 def nbody_step_pallas_ds_vs(pos_hi, pos_lo, vel_hi, vel_lo,
                             jpos_hi, jpos_lo, scal,
                             *, tile_i: int = DS_TILE_I,
-                            tile_j: int = DS_TILE_J,
+                            tile_j: int | None = None,
                             interpret: bool = False):
     """ds step of the i-set under forces from the j-set — the same
     i-vs-j form every other kernel family exposes, so the body-sharded
@@ -304,6 +306,8 @@ def nbody_step_pallas_ds_vs(pos_hi, pos_lo, vel_hi, vel_lo,
     as i and the all-gathered global positions as j)."""
     n = pos_hi.shape[0]
     tile_i = min(tile_i, _round_up(n, 8))
+    if tile_j is None:
+        tile_j = DS_TILE_J
     tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
 
     def pad(a, m):
@@ -378,7 +382,7 @@ def nbody_step_ds(pos64, vel64, dt, softening, damping,
                                     "integrator", "sym"),
                    donate_argnums=(0, 1, 2, 3))
 def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
-                      tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
+                      tile_i: int = DS_TILE_I, tile_j: int | None = None,
                       interpret: bool = False, integrator: str = "euler",
                       sym: bool = False):
     """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers).
@@ -498,18 +502,7 @@ def _ds_leapfrog_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
         dt = (scal_ref[0, 0], scal_ref[1, 0])
         damping = (scal_ref[0, 2], scal_ref[1, 2])
 
-        def reduce_ds(ah, al):
-            acc = (ah[:, :], al[:, :])
-            width = acc[0].shape[1]
-            while width > 1:
-                half = width // 2
-                left = (acc[0][:, :half], acc[1][:, :half])
-                right = (acc[0][:, half:width], acc[1][:, half:width])
-                acc = ds_add(left, right)
-                width = half
-            return acc
-
-        acc = (reduce_ds(axh, axl), reduce_ds(ayh, ayl), reduce_ds(azh, azl))
+        acc = (reduce_ds_lanes(axh, axl), reduce_ds_lanes(ayh, ayl), reduce_ds_lanes(azh, azl))
         halves = (xi, yi, zi)
         for c in range(3):
             vc = (vihi_ref[:, c:c + 1], vilo_ref[:, c:c + 1])
@@ -541,7 +534,7 @@ def _scal_ds_leapfrog(dt, softening, damping):
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def nbody_step_pallas_ds_leapfrog(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                                   *, tile_i: int = DS_TILE_I,
-                                  tile_j: int = DS_TILE_J,
+                                  tile_j: int | None = None,
                                   interpret: bool = False):
     """One fused ds drift-kick-drift step (self-vs-self). `scal` from
     `_scal_ds_leapfrog`. Symplectic: bounded energy drift on long
@@ -555,7 +548,7 @@ def nbody_step_pallas_ds_leapfrog(pos_hi, pos_lo, vel_hi, vel_lo, scal,
 def nbody_step_pallas_ds_leapfrog_vs(pos_hi, pos_lo, vel_hi, vel_lo,
                                      jpos_hi, jpos_lo, jvel_hi, jvel_lo,
                                      scal, *, tile_i: int = DS_TILE_I,
-                                     tile_j: int = DS_TILE_J,
+                                     tile_j: int | None = None,
                                      interpret: bool = False):
     """Fused ds DKD step of the i-set under forces from the j-set — the
     i-vs-j form the body-sharded strategies compose with. The kernel
@@ -566,6 +559,8 @@ def nbody_step_pallas_ds_leapfrog_vs(pos_hi, pos_lo, vel_hi, vel_lo,
     caveat, ~1e-9)."""
     n = pos_hi.shape[0]
     tile_i = min(tile_i, _round_up(n, 8))
+    if tile_j is None:
+        tile_j = DS_TILE_J
     tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
 
     def pad(a, m):
@@ -692,23 +687,12 @@ def _ds_accel_jerk_kernel(scal_ref, pihi_ref, pilo_ref, vihi_ref, vilo_ref,
 
     @pl.when(j == nj - 1)
     def _finalize():
-        def reduce_ds(ah, al):
-            acc = (ah[:, :], al[:, :])
-            width = acc[0].shape[1]
-            while width > 1:
-                half = width // 2
-                left = (acc[0][:, :half], acc[1][:, :half])
-                right = (acc[0][:, half:width], acc[1][:, half:width])
-                acc = ds_add(left, right)
-                width = half
-            return acc
-
         for c, (sh, slo) in enumerate(((axh, axl), (ayh, ayl), (azh, azl))):
-            red = reduce_ds(sh, slo)
+            red = reduce_ds_lanes(sh, slo)
             ah_ref[:, c:c + 1] = red[0]
             al_ref[:, c:c + 1] = red[1]
         for c, (sh, slo) in enumerate(((gxh, gxl), (gyh, gyl), (gzh, gzl))):
-            red = reduce_ds(sh, slo)
+            red = reduce_ds_lanes(sh, slo)
             jh_ref[:, c:c + 1] = red[0]
             jl_ref[:, c:c + 1] = red[1]
         zero = jnp.zeros_like(ah_ref[:, 3:4])
@@ -1014,18 +998,8 @@ def _ds_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
 
     @pl.when(last_ref[p] == 1)
     def _finalize_row():
-        def reduce_ds(ah, al):
-            acc = (ah[:, :], al[:, :])
-            width = acc[0].shape[1]
-            while width > 1:
-                half = width // 2
-                acc = ds_add((acc[0][:, :half], acc[1][:, :half]),
-                             (acc[0][:, half:width], acc[1][:, half:width]))
-                width = half
-            return acc
-
         for c, (ah, al) in enumerate(((axh, axl), (ayh, ayl), (azh, azl))):
-            hi, lo = reduce_ds(ah, al)
+            hi, lo = reduce_ds_lanes(ah, al)
             ah_ref[:, c:c + 1] = hi
             al_ref[:, c:c + 1] = lo
         ah_ref[:, 3:4] = jnp.zeros_like(ah_ref[:, 3:4])
@@ -1045,7 +1019,7 @@ def _ds_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                              *, tile_i: int = DS_TILE_I,
-                             tile_j: int = DS_SYM_TILE_J,
+                             tile_j: int | None = None,
                              interpret: bool = False):
     """One ds Euler step with each pair evaluated ONCE (self-vs-self only —
     the reaction accumulator is inherently whole-set). N ≤ DS_SYM_MAX_N.
@@ -1060,6 +1034,8 @@ def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
         raise ValueError(
             f"ds symmetric kernel holds 6 (8, N) reaction scratches in "
             f"VMEM: N={n} > {DS_SYM_MAX_N}; use the one-sided ds kernel")
+    if tile_j is None:
+        tile_j = DS_SYM_TILE_J
     tile_j = min(tile_j, _round_up(n, LANES))
     if tile_i % _SYM_SUB or tile_j % LANES or tile_j % tile_i:
         raise ValueError(
@@ -1308,21 +1284,11 @@ def _ds_aj_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
 
     @pl.when(last_ref[p] == 1)
     def _finalize_row():
-        def reduce_ds(ah, al):
-            acc = (ah[:, :], al[:, :])
-            width = acc[0].shape[1]
-            while width > 1:
-                half = width // 2
-                acc = ds_add((acc[0][:, :half], acc[1][:, :half]),
-                             (acc[0][:, half:width], acc[1][:, half:width]))
-                width = half
-            return acc
-
         for c in range(3):
-            hi, lo = reduce_ds(iacc[2 * c], iacc[2 * c + 1])
+            hi, lo = reduce_ds_lanes(iacc[2 * c], iacc[2 * c + 1])
             ah_ref[:, c:c + 1] = hi
             al_ref[:, c:c + 1] = lo
-            hi, lo = reduce_ds(iacc[6 + 2 * c], iacc[7 + 2 * c])
+            hi, lo = reduce_ds_lanes(iacc[6 + 2 * c], iacc[7 + 2 * c])
             jh_ref[:, c:c + 1] = hi
             jl_ref[:, c:c + 1] = lo
         for ref in (ah_ref, al_ref, jh_ref, jl_ref):

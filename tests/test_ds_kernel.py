@@ -469,3 +469,31 @@ def test_ds_hermite_sym_step_and_system():
     a.update_many(4, 1e-3)
     b.update_many(4, 1e-3)
     assert np.abs(a.positions - b.positions).max() < 1e-12
+
+
+def test_rollout_none_tile_defaults_per_integrator():
+    """rollout_pallas_ds with tile_j=None lets each step resolve its own
+    tuned default — a direct caller must not inherit the euler tile into
+    the hermite accel+jerk kernel (whose j-tile is vmem-capped)."""
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_hermite,
+        ds_from_f64,
+        ds_to_f64,
+        nbody_step_pallas_ds_hermite,
+        rollout_pallas_ds,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, 256, 1.52, 2.0, seed=2,
+                           dtype=np.float64)
+    ph, plo = ds_from_f64(pos)
+    vh, vlo = ds_from_f64(vel)
+    scal = _scal_ds_hermite(1e-3, 0.1, 1.0)
+    out = rollout_pallas_ds(ph, plo, vh, vlo, scal, steps=2,
+                            integrator="hermite", sym=True, interpret=True)
+    ph2, plo2 = ds_from_f64(pos)
+    vh2, vlo2 = ds_from_f64(vel)
+    for _ in range(2):
+        ph2, plo2, vh2, vlo2 = nbody_step_pallas_ds_hermite(
+            ph2, plo2, vh2, vlo2, scal, sym=True, interpret=True)
+    assert np.abs(ds_to_f64(out[0], out[1])
+                  - ds_to_f64(ph2, plo2)).max() < 1e-13
