@@ -174,14 +174,12 @@ class BodySystem:
         self.num_bodies = _round_up(int(num_bodies), ndev)
 
         if variant == "sym":
-            # Newton's-third-law kernels: single-device pallas, N bounded
-            # by their VMEM reaction scratches (ops/symmetric_kernel.py;
-            # hermite's accel+jerk carries twice the scratch, so its cap
-            # is half)
-            from nbody_tpu.ops.symmetric_kernel import (
-                AJ_SYM_MAX_N,
-                SYM_MAX_N,
-            )
+            # Newton's-third-law kernels: single-device pallas. euler and
+            # leapfrog run at ANY N (above SYM_MAX_N the blockwise
+            # composition keeps the per-block reaction scratch inside
+            # VMEM — ops/symmetric_kernel.py); hermite's accel+jerk has
+            # no blocked form yet, so it stays capped at AJ_SYM_MAX_N
+            from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
 
             if backend != "pallas":
                 raise ValueError("variant='sym' needs backend='pallas'")
@@ -189,13 +187,12 @@ class BodySystem:
                 raise ValueError(
                     "variant='sym' is single-device (the reaction "
                     "accumulator is chip-local); drop mesh= or use 'vpu'")
-            cap = AJ_SYM_MAX_N if integrator == "hermite" else SYM_MAX_N
-            if self.num_bodies > cap:
+            if integrator == "hermite" and self.num_bodies > AJ_SYM_MAX_N:
                 raise ValueError(
-                    f"variant='sym' holds (8, N) reaction scratches in "
-                    f"VMEM: N={self.num_bodies} > {cap} for "
-                    f"integrator={integrator!r}; use variant='vpu' (its "
-                    f"rate is flat in N)")
+                    f"variant='sym' with integrator='hermite' holds 6 "
+                    f"(8, N) reaction scratches in VMEM: "
+                    f"N={self.num_bodies} > {AJ_SYM_MAX_N}; use "
+                    f"variant='vpu' (its rate is flat in N)")
 
         if variant == "auto":
             # use the autotuner's cached winner for this chip/N if present
@@ -205,17 +202,15 @@ class BodySystem:
 
                 resolved = best_config(self.num_bodies)
             if resolved and resolved["variant"] == "sym":
-                from nbody_tpu.ops.symmetric_kernel import (
-                    AJ_SYM_MAX_N,
-                    SYM_MAX_N,
-                )
+                from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
 
-                cap = (AJ_SYM_MAX_N if integrator == "hermite"
-                       else SYM_MAX_N)
-                if mesh is not None or self.num_bodies > cap:
-                    # the cached winner was tuned single-device at small N;
-                    # this run's shape can't use it — fall through to the
+                if mesh is not None or (integrator == "hermite"
+                                        and self.num_bodies > AJ_SYM_MAX_N):
+                    # the cached winner was tuned single-device; this
+                    # run's shape can't use it — fall through to the
                     # no-cache resolution rather than crash downstream
+                    # (euler/leapfrog sym runs at any N via the blocked
+                    # composition, so only hermite keeps an N cap)
                     resolved = None
             if resolved:
                 variant = resolved["variant"]
@@ -235,17 +230,15 @@ class BodySystem:
                     self.tile_j = tile_j = resolved["tile_j"]
                     self._tiles_from_cache = True
             else:
-                from nbody_tpu.ops.symmetric_kernel import (
-                    AJ_SYM_MAX_N,
-                    SYM_MAX_N,
-                )
+                from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
 
                 # no cache: the Newton's-third-law kernels where they
-                # apply (exact fp32, 1.29-1.46x — PARITY.md), else vpu
-                cap = (AJ_SYM_MAX_N if integrator == "hermite"
-                       else SYM_MAX_N)
+                # apply (exact fp32, 1.29-1.42x — PARITY.md), else vpu;
+                # euler/leapfrog sym covers any N (blocked composition
+                # above SYM_MAX_N), hermite is capped
                 sym_ok = (backend == "pallas" and mesh is None
-                          and self.num_bodies <= cap)
+                          and (integrator != "hermite"
+                               or self.num_bodies <= AJ_SYM_MAX_N))
                 variant = "sym" if sym_ok else "vpu"
             self.variant = variant
 
@@ -441,6 +434,19 @@ class BodySystem:
 
     # ---- stepping ----
 
+    def _sym_default_tj(self) -> int:
+        """Measured default j-tile for the sym force path: the single
+        triangle's champion below SYM_MAX_N, the blocked composition's
+        above it (ops/symmetric_kernel.py sweep provenance)."""
+        from nbody_tpu.ops.symmetric_kernel import (
+            DEFAULT_TILE_J_SYM,
+            DEFAULT_TILE_J_SYM_BLOCKED,
+            SYM_MAX_N,
+        )
+
+        return (DEFAULT_TILE_J_SYM if self.num_bodies <= SYM_MAX_N
+                else DEFAULT_TILE_J_SYM_BLOCKED)
+
     def _sym_tiles(self, default_ti: int, default_tj: int,
                    *, cache_ok: bool = True):
         """Tile resolution for the sym kernels: explicit user tiles always
@@ -521,21 +527,21 @@ class BodySystem:
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             variant = self.variant
             if variant == "sym":
-                from nbody_tpu.ops.symmetric_kernel import (
-                    DEFAULT_TILE_J_SYM,
-                    TI,
-                    nbody_step_symmetric,
-                )
+                from nbody_tpu.ops import symmetric_kernel as symk
 
-                # the sym kernel has its own tuned defaults ((64, 4096)
-                # champion); explicit user tiles or the autotuner cache's
-                # measured winner override them
-                s_ti, s_tj = self._sym_tiles(TI, DEFAULT_TILE_J_SYM)
+                # the sym kernels have their own tuned defaults (single
+                # triangle vs blocked composition differ); explicit user
+                # tiles or the autotuner cache's measured winner override
+                s_ti, s_tj = self._sym_tiles(symk.TI, self._sym_default_tj())
+                cap = symk.SYM_MAX_N  # module attr: tests shrink it
 
                 def step(pos, vel, dt, soft, damp):
-                    return nbody_step_symmetric(
+                    # delegates to the single-triangle kernel bit-exactly
+                    # when N <= SYM_MAX_N
+                    return symk.nbody_step_symmetric_blocked(
                         pos, vel, dt, soft, damp,
-                        tile_i=s_ti, tile_j=s_tj, interpret=interpret)
+                        tile_i=s_ti, tile_j=s_tj, interpret=interpret,
+                        block_cap=cap)
 
                 return step
 
@@ -584,18 +590,17 @@ class BodySystem:
 
             tile_i, tile_j, interpret = self.tile_i, self.tile_j, self.interpret
             if self.variant == "sym":
-                from nbody_tpu.ops.symmetric_kernel import (
-                    DEFAULT_TILE_J_SYM,
-                    TI,
-                    compute_accel_symmetric,
-                )
+                from nbody_tpu.ops import symmetric_kernel as symk
 
-                s_ti, s_tj = self._sym_tiles(TI, DEFAULT_TILE_J_SYM)
+                s_ti, s_tj = self._sym_tiles(symk.TI, self._sym_default_tj())
+                cap = symk.SYM_MAX_N  # module attr: tests shrink it
 
                 def accel_sym(p4, soft):
-                    return compute_accel_symmetric(
+                    # delegates to the single-triangle kernel bit-exactly
+                    # when N <= SYM_MAX_N
+                    return symk.compute_accel_symmetric_blocked(
                         p4, soft, tile_i=s_ti, tile_j=s_tj,
-                        interpret=interpret)
+                        interpret=interpret, block_cap=cap)
 
                 return accel_sym
 

@@ -59,6 +59,11 @@ SYM_MAX_N = 65536  # (8, n_pad) f32 reaction scratch ×3 must fit VMEM
 # balances diagonal-block mask waste (~tj/2 lanes per row) against
 # grid-step overhead. One-sided champion on the same day: 221.2.
 DEFAULT_TILE_J_SYM = 4096
+# blocked composition (N > SYM_MAX_N): the mask-free cross rectangles
+# dominate and favor a wider stream — measured (scripts/tpu_r3_sym_blocked
+# .py): tj=8192 301.7/315.3 G int/s vs tj=4096 300.4/309.0 at N=131072/
+# 262144 (one-sided same day: 221.2/221.7)
+DEFAULT_TILE_J_SYM_BLOCKED = 8192
 
 
 def _sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
@@ -263,6 +268,227 @@ def nbody_step_symmetric(pos, vel, dt, softening, damping, *, tile_i: int = TI,
 
     acc = compute_accel_symmetric(pos, softening, tile_i=tile_i,
                                   tile_j=tile_j, interpret=interpret)
+    return integrate(pos, vel, acc, dt, damping)
+
+
+# ---- blockwise composition: the triangle saving for N > SYM_MAX_N ----
+#
+# The (8, n_pad)×3 reaction scratch caps the triangle kernel at
+# N ≤ SYM_MAX_N. Above it, decompose the global pair triangle into
+# superblocks of B ≤ SYM_MAX_N bodies:
+#
+#   triangle(N) = Σ_a triangle(block a)                       [self kernel]
+#               + Σ_{a<b} rectangle(block a × block b)        [cross kernel]
+#
+# The cross kernel below is the triangle kernel stripped of its diagonal
+# machinery: a mask-free 2-D (i-rows, j-cols) grid over one B×B block
+# pair, evaluating each (i, j) pair ONCE and emitting the action on the
+# i-rows plus the accumulated reaction −m_i/r³·d on the j-set. Its
+# reaction scratch spans only B, so VMEM is exactly the single-block
+# budget regardless of N. Every cross launch shares one compiled shape
+# (one Mosaic compile for all k·(k−1)/2 block pairs), the self kernel a
+# second; the O(N) partial-sum composition happens at the XLA level.
+#
+# Total pair evaluations stay N²/2 — the full Newton's-third-law saving
+# at any N, where the reference (and the one-sided kernel) evaluate N².
+
+
+def _sym_cross_kernel(meta_ref, posi_ref, post_ref, acc_ref, react_ref,
+                      ax, ay, az, rx, ry, rz, *, tile_i: int, tile_j: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    eps2 = meta_ref[0]
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rx)
+        rx[:] = zeros
+        ry[:] = zeros
+        rz[:] = zeros
+
+    @pl.when(j == 0)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(ax)
+        ax[:] = zeros
+        ay[:] = zeros
+        az[:] = zeros
+
+    xi = posi_ref[:, 0:1]  # (TI, 1)
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    mi = posi_ref[:, 3:4]
+    j_base = j * tile_j
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        xj = post_ref[0:1, sl]  # (1, LANES)
+        yj = post_ref[1:2, sl]
+        zj = post_ref[2:3, sl]
+        mj = post_ref[3:4, sl]
+        dx = xj - xi  # (TI, LANES)
+        dy = yj - yi
+        dz = zj - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        c = inv * inv * inv
+        s = mj * c  # accel of i per unit of d
+        t = mi * c  # reaction magnitude on j
+        ax[:] += s * dx
+        ay[:] += s * dy
+        az[:] += s * dz
+        for rref, d in ((rx, dx), (ry, dy), (rz, dz)):
+            u = t * d
+            r8 = u[0:SUB]
+            for q in range(1, tile_i // SUB):
+                r8 = r8 + u[q * SUB:(q + 1) * SUB]
+            idx = (slice(0, SUB), pl.ds(j_base + k * LANES, LANES))
+            rref[idx] = rref[idx] - r8
+
+    @pl.when(j == nj - 1)
+    def _finalize_row():
+        acc_ref[:, 0:1] = jnp.sum(ax[:], axis=1, keepdims=True)
+        acc_ref[:, 1:2] = jnp.sum(ay[:], axis=1, keepdims=True)
+        acc_ref[:, 2:3] = jnp.sum(az[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+
+    @pl.when(jnp.logical_and(i == pl.num_programs(0) - 1, j == nj - 1))
+    def _emit_reaction():
+        for c_idx, rref in enumerate((rx, ry, rz)):
+            v = rref[0:1, :]
+            for q in range(1, SUB):
+                v = v + rref[q:q + 1, :]
+            react_ref[c_idx:c_idx + 1, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def _sym_cross(posi, postT, softening, *, tile_i: int, tile_j: int,
+               interpret: bool = False):
+    """One B×B cross block pair: returns (acc_i (B, 4), react_j (3, B)).
+    Both inputs pre-padded: posi (B, 4) AoS, postT (4, B) transposed."""
+    f32 = jnp.float32
+    b = posi.shape[0]
+    meta = jnp.asarray(softening, f32).reshape(1) ** 2
+    acc, react = pl.pallas_call(
+        functools.partial(_sym_cross_kernel, tile_i=tile_i, tile_j=tile_j),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b // tile_i, b // tile_j),
+            in_specs=[
+                pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0)),
+                pl.BlockSpec((4, tile_j), lambda i, j, meta: _ix(0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0)),
+                pl.BlockSpec((3, b), lambda i, j, meta: _ix(0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((tile_i, LANES), f32),
+                pltpu.VMEM((SUB, b), f32),
+                pltpu.VMEM((SUB, b), f32),
+                pltpu.VMEM((SUB, b), f32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 4), f32),
+            jax.ShapeDtypeStruct((3, b), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # rows share the reaction scratch -> sequential walk
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=28 * b * b,
+            bytes_accessed=(b // tile_i) * (b // tile_j)
+            * (tile_i + tile_j) * 16,
+            transcendentals=b * b,
+        ),
+        interpret=interpret,
+    )(meta, posi, postT)
+    return acc, react
+
+
+def sym_blocking(n: int, tile_j: int = DEFAULT_TILE_J_SYM,
+                 block_cap: int = SYM_MAX_N):
+    """(k, B): the superblock count and size the blocked path uses for N
+    bodies — the fewest blocks with B ≤ block_cap, B a tile_j multiple."""
+    k = -(-n // block_cap)
+    return k, _round_up(-(-n // k), tile_j)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def compute_accel_symmetric_blocked(pos, softening, *, tile_i: int = TI,
+                                    tile_j: int = DEFAULT_TILE_J_SYM,
+                                    interpret: bool = False,
+                                    block_cap: int = SYM_MAX_N):
+    """(N, 4) -> (N, 3) accelerations, each pair evaluated once, any N.
+
+    N ≤ SYM_MAX_N delegates to the single-triangle kernel; above it the
+    blockwise composition runs k self launches + k(k-1)/2 cross launches
+    (two compiled kernels total) under this one jit. Zero-mass padding
+    rounds N up to k·B (≤ tile_j−1 bodies per block, exact for
+    power-of-two N)."""
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    n = pos.shape[0]
+    if n <= block_cap:
+        return compute_accel_symmetric(pos, softening, tile_i=tile_i,
+                                       tile_j=tile_j, interpret=interpret)
+    f32 = jnp.float32
+    if tile_i % SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {SUB} | tile_i, {LANES} | tile_j and tile_i | tile_j; "
+            f"got ({tile_i}, {tile_j})")
+    k, blk = sym_blocking(n, tile_j, block_cap)
+    if tile_j * 2 > blk:
+        # a j-stream as wide as the block leaves the cross kernel a
+        # single-grid-step program whose fused zero+loop+finalize blows
+        # the Mosaic scoped-vmem stack (measured: 22.45M > 16M at
+        # blk=tj=16384); tj > blk/2 is never the measured winner anyway
+        raise ValueError(
+            f"blocked sym needs tile_j <= block/2: got tile_j={tile_j}, "
+            f"block={blk} (use a smaller tile_j)")
+    n_pad = k * blk
+    pos_p = jnp.pad(pos.astype(f32), ((0, n_pad - n), (0, 0)))
+    blocks = [pos_p[a * blk:(a + 1) * blk] for a in range(k)]
+    blocksT = [b.T for b in blocks]
+
+    # per-block partial sums; the Python loops unroll under jit into a
+    # static launch schedule (XLA runs them back to back on-device)
+    contrib = [
+        [compute_accel_symmetric(blocks[a], softening, tile_i=tile_i,
+                                 tile_j=tile_j, interpret=interpret)]
+        for a in range(k)
+    ]
+    for a in range(k):
+        for b in range(a + 1, k):
+            acc_i, react_j = _sym_cross(blocks[a], blocksT[b], softening,
+                                        tile_i=tile_i, tile_j=tile_j,
+                                        interpret=interpret)
+            contrib[a].append(acc_i[:, :3])
+            contrib[b].append(react_j.T)
+    acc = jnp.concatenate(
+        [functools.reduce(jnp.add, parts) for parts in contrib])
+    return acc[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def nbody_step_symmetric_blocked(pos, vel, dt, softening, damping, *,
+                                 tile_i: int = TI,
+                                 tile_j: int = DEFAULT_TILE_J_SYM,
+                                 interpret: bool = False,
+                                 block_cap: int = SYM_MAX_N):
+    """One damped semi-implicit Euler step via the blocked symmetric
+    composition — the any-N form of nbody_step_symmetric."""
+    from nbody_tpu.ops.reference import integrate
+
+    acc = compute_accel_symmetric_blocked(pos, softening, tile_i=tile_i,
+                                          tile_j=tile_j, interpret=interpret,
+                                          block_cap=block_cap)
     return integrate(pos, vel, acc, dt, damping)
 
 

@@ -137,14 +137,16 @@ def autotune(n: int = 65536, *, steps: int = 20,
 
     def make_roll(variant, ti, tj, length):
         if variant == "sym":
-            from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric
+            from nbody_tpu.ops.symmetric_kernel import (
+                nbody_step_symmetric_blocked,
+            )
 
-            # n > SYM_MAX_N raises inside the jitted roll at trace time,
-            # which the candidate loop's try treats as "skip this config"
+            # any N: above SYM_MAX_N this is the blocked composition,
+            # below it delegates to the single triangle bit-exactly
 
             def step(pp, vv):
-                return nbody_step_symmetric(pp, vv, 0.016, 0.1, 1.0,
-                                            tile_i=ti, tile_j=tj)
+                return nbody_step_symmetric_blocked(pp, vv, 0.016, 0.1, 1.0,
+                                                    tile_i=ti, tile_j=tj)
         else:
             def step(pp, vv):
                 return nbody_step_pallas(pp, vv, 0.016, 0.1, 1.0,

@@ -120,10 +120,12 @@ def test_body_system_sym_variant_gates():
     from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
     from nbody_tpu.params import NBodyParams
 
-    with pytest.raises(ValueError, match="sym"):
-        BodySystem(SYM_MAX_N + 64, NBodyParams(), backend="pallas",
+    # euler/leapfrog sym is no longer N-capped: above SYM_MAX_N the step
+    # routes through the blocked composition (construction must succeed)
+    s = BodySystem(SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="sym", interpret=True)
-    # hermite's accel+jerk carries twice the reaction scratch: half the cap
+    assert s.variant == "sym"
+    # hermite's accel+jerk has no blocked form: its cap still gates
     with pytest.raises(ValueError, match="sym"):
         BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="sym", interpret=True, integrator="hermite")
@@ -197,3 +199,102 @@ def test_precision_round_trip_restores_sym(monkeypatch):
         s32.update(0.001)  # compiles+runs the sym kernel under x64
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_blocked_matches_xla_and_cross_momentum():
+    """The blockwise composition (self triangles + cross rectangles) must
+    match the XLA reference, with blocking forced at small N via
+    block_cap; k=2,3,4 cover one-cross, multi-cross, and remainder-pad
+    shapes."""
+    from nbody_tpu.ops.symmetric_kernel import (
+        compute_accel_symmetric_blocked,
+        sym_blocking,
+    )
+
+    pos, _ = ic.generate(NBodyConfig.SHELL, 1000, 1.52, 2.0, seed=5)
+    p = jnp.asarray(pos)
+    ref = np.asarray(compute_accel_xla(p, SOFT))
+    scale = np.abs(ref).max()
+    for cap, tj in ((512, 256), (384, 128), (256, 128)):
+        k, blk = sym_blocking(1000, tj, cap)
+        assert k >= 2 and blk <= max(cap, tj)
+        got = np.asarray(compute_accel_symmetric_blocked(
+            p, SOFT, tile_i=64, tile_j=tj, interpret=True, block_cap=cap))
+        assert np.abs(got - ref).max() / scale < 1e-5, (cap, tj)
+
+    # momentum antisymmetry survives the composition (pairs still counted
+    # once, whether in a self triangle or a cross rectangle)
+    acc = np.asarray(compute_accel_symmetric_blocked(
+        p, SOFT, tile_i=64, tile_j=128, interpret=True, block_cap=384))
+    net = (pos[:, 3:4] * acc).sum(axis=0)
+    assert np.abs(net).max() / np.abs(pos[:, 3:4] * acc).sum() < 1e-6
+
+
+def test_blocked_delegates_below_cap():
+    """N <= block_cap is bit-identical to the single-triangle kernel."""
+    from nbody_tpu.ops.symmetric_kernel import (
+        compute_accel_symmetric_blocked,
+    )
+
+    pos, _ = ic.generate(NBodyConfig.SHELL, 512, 1.52, 2.0, seed=6)
+    p = jnp.asarray(pos)
+    a = np.asarray(compute_accel_symmetric(p, SOFT, tile_j=256,
+                                           interpret=True))
+    b = np.asarray(compute_accel_symmetric_blocked(
+        p, SOFT, tile_j=256, interpret=True, block_cap=4096))
+    assert np.array_equal(a, b)
+
+
+def test_blocked_step_matches_xla_qa_criterion():
+    from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric_blocked
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 640, 1.54, 8.0, seed=7)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    p1, v1 = nbody_step_symmetric_blocked(p, v, 0.001, SOFT, 1.0,
+                                          tile_j=128, interpret=True,
+                                          block_cap=256)
+    p2, v2 = nbody_step_xla(p, v, 0.001, SOFT, 1.0)
+    assert_state_close(p1, p2)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_body_system_sym_blocked_above_cap(monkeypatch):
+    """variant='sym' above SYM_MAX_N routes through the blocked
+    composition (cap monkeypatched small so interpret mode is feasible)
+    and matches the xla backend — euler AND the leapfrog accel closure."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops import symmetric_kernel as symk
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(symk, "SYM_MAX_N", 256)
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    a = BodySystem(640, params, backend="pallas", variant="sym",
+                   interpret=True, seed=11, tile_j=128)
+    b = BodySystem(640, params, backend="xla", seed=11)
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+
+    al = BodySystem(640, params, backend="pallas", variant="sym",
+                    interpret=True, seed=11, tile_j=128,
+                    integrator="leapfrog")
+    bl = BodySystem(640, params, backend="xla", seed=11,
+                    integrator="leapfrog")
+    al.update(0.01)
+    bl.update(0.01)
+    np.testing.assert_allclose(al.positions, bl.positions, atol=1e-5)
+
+
+def test_blocked_rejects_block_wide_stream():
+    """tile_j wider than half the block is gated (a block-wide j-stream
+    compiles to a single-grid-step cross kernel that overflows Mosaic's
+    scoped-vmem stack — measured on v5e)."""
+    from nbody_tpu.ops.symmetric_kernel import (
+        compute_accel_symmetric_blocked,
+    )
+
+    pos, _ = ic.generate(NBodyConfig.SHELL, 512, 1.52, 2.0, seed=8)
+    with pytest.raises(ValueError, match="block/2"):
+        compute_accel_symmetric_blocked(jnp.asarray(pos), SOFT, tile_i=64,
+                                        tile_j=256, interpret=True,
+                                        block_cap=256)
