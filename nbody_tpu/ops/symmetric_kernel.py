@@ -27,10 +27,13 @@ matrix and emits both sides of every pair:
 
 Shared per pair: d (3), r²+ε² (4), rsqrt, inv³ (2) — the expensive half —
 plus 4 ops per side instead of 2×(shared+side). The cost is the (8, n_pad)
-reaction scratch: 96·n_pad bytes of VMEM, which caps this kernel at
-N ≤ SYM_MAX_N — covering the official bench shape (N=65536, BASELINE
-configs[1]); larger N stays on the one-sided kernel (whose rate is flat in
-N, PARITY.md).
+reaction scratch: 96·n_pad bytes of VMEM, which caps the single-triangle
+kernel at N ≤ SYM_MAX_N — covering the official bench shape (N=65536,
+BASELINE configs[1]). Larger N uses the BLOCKWISE composition below
+(compute_accel_symmetric_blocked): per-superblock self triangles plus
+mask-free cross rectangles whose reaction scratch spans one block —
+measured 301.7–327.4 G int/s at N=131k–1M vs the one-sided kernel's flat
+~222 (1.36–1.47×, PARITY.md).
 
 Exact fp32, same math as the one-sided kernel — results agree to
 reduction-order rounding (each body's sum is split into an i-side partial
@@ -183,7 +186,7 @@ def compute_accel_symmetric(pos, softening, *, tile_i: int = TI,
     if n > SYM_MAX_N:
         raise ValueError(
             f"symmetric kernel holds an (8, N) reaction scratch in VMEM: "
-            f"N={n} > {SYM_MAX_N}; use the one-sided kernel")
+            f"N={n} > {SYM_MAX_N}; use compute_accel_symmetric_blocked")
     f32 = jnp.float32
     tile_j = min(tile_j, _round_up(n, LANES))
     if tile_i % SUB:

@@ -66,7 +66,7 @@ def test_momentum_exact_by_construction():
 
 def test_n_cap_and_tile_validation():
     big = jnp.zeros((SYM_MAX_N + 64, 4), jnp.float32)
-    with pytest.raises(ValueError, match="one-sided"):
+    with pytest.raises(ValueError, match="blocked"):
         compute_accel_symmetric(big, SOFT, interpret=True)
     pos = jnp.zeros((256, 4), jnp.float32)
     with pytest.raises(ValueError, match="multiple of"):
