@@ -108,11 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None,
                    help="shard bodies over this many devices (mesh)")
     p.add_argument("--strategy",
-                   choices=["auto", "allgather", "ring", "ring_fused"],
+                   choices=["auto", "allgather", "ring", "ring_fused",
+                            "sym"],
                    default="auto",
                    help="multi-device communication strategy (auto = "
                         "cost-model pick between allgather and ring by "
-                        "shard size)")
+                        "shard size; sym = Newton's-third-law "
+                        "decomposition — each global pair computed once "
+                        "across the mesh, ~0.5x the FLOPs for ~1.8x the "
+                        "bytes; exact pallas kernels, euler/leapfrog)")
     p.add_argument("--integrator", choices=["euler", "leapfrog", "hermite"],
                    default="euler",
                    help="euler = reference's damped semi-implicit Euler; "
@@ -433,9 +437,10 @@ def _main(argv=None) -> int:
                       "(2-D decomposition is fixed-dt); drop "
                       "--mesh-rows", file=sys.stderr)
                 return 1
-            if args.strategy == "ring_fused":
+            if args.strategy in ("ring_fused", "sym"):
                 print("error: --adaptive-dt supports allgather/ring/"
-                      "auto (ring_fused fuses the fixed-dt update)",
+                      "auto (ring_fused fuses the fixed-dt update; "
+                      "sym has no adaptive form yet)",
                       file=sys.stderr)
                 return 1
         if args.adaptive_dt <= 0:
@@ -470,6 +475,22 @@ def _main(argv=None) -> int:
               f"--mesh-rows or use --kernel pallas/xla (got --kernel {args.kernel})",
               file=sys.stderr)
         return 1
+    if args.strategy == "sym" and (args.devices or 0) > 1:
+        # surface the builder's constraints as the CLI's clean error path
+        if args.kernel in ("xla", "pm", "p3m"):
+            print("error: --strategy sym runs the Newton's-third-law "
+                  f"pallas kernels; use --kernel pallas/auto (got "
+                  f"--kernel {args.kernel})", file=sys.stderr)
+            return 1
+        if args.integrator == "hermite":
+            print("error: --strategy sym supports --integrator "
+                  "euler/leapfrog (the symmetric accel+jerk kernel has "
+                  "no sharded form)", file=sys.stderr)
+            return 1
+        if args.mesh_rows is not None:
+            print("error: --strategy sym uses the 1-D body mesh; drop "
+                  "--mesh-rows", file=sys.stderr)
+            return 1
     if args.mesh_rows is not None and args.variant not in ("vpu", "auto"):
         print("error: --mesh-rows uses the accel-only kernels (no mxu "
               f"variants); leave --variant at vpu/auto (got {args.variant})",

@@ -186,7 +186,8 @@ class BodySystem:
             if mesh is not None:
                 raise ValueError(
                     "variant='sym' is single-device (the reaction "
-                    "accumulator is chip-local); drop mesh= or use 'vpu'")
+                    "accumulator is chip-local); for the each-pair-once "
+                    "saving on a mesh use strategy='sym' instead")
             if integrator == "hermite" and self.num_bodies > AJ_SYM_MAX_N:
                 raise ValueError(
                     f"variant='sym' with integrator='hermite' holds 6 "

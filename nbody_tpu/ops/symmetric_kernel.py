@@ -367,46 +367,49 @@ def _sym_cross_kernel(meta_ref, posi_ref, post_ref, acc_ref, react_ref,
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def _sym_cross(posi, postT, softening, *, tile_i: int, tile_j: int,
                interpret: bool = False):
-    """One B×B cross block pair: returns (acc_i (B, 4), react_j (3, B)).
-    Both inputs pre-padded: posi (B, 4) AoS, postT (4, B) transposed."""
+    """One Bi×Bj cross block pair: returns (acc_i (Bi, 4), react_j (3, Bj)).
+    Inputs pre-padded to tile multiples: posi (Bi, 4) AoS, postT (4, Bj)
+    transposed. The two sets may differ in length (the sharded-sym
+    antipodal split runs half-shard i-sets against full-shard j-sets)."""
     f32 = jnp.float32
-    b = posi.shape[0]
+    bi = posi.shape[0]
+    bj = postT.shape[1]
     meta = jnp.asarray(softening, f32).reshape(1) ** 2
     acc, react = pl.pallas_call(
         functools.partial(_sym_cross_kernel, tile_i=tile_i, tile_j=tile_j),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b // tile_i, b // tile_j),
+            grid=(bi // tile_i, bj // tile_j),
             in_specs=[
                 pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0)),
                 pl.BlockSpec((4, tile_j), lambda i, j, meta: _ix(0, j)),
             ],
             out_specs=[
                 pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0)),
-                pl.BlockSpec((3, b), lambda i, j, meta: _ix(0, 0)),
+                pl.BlockSpec((3, bj), lambda i, j, meta: _ix(0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile_i, LANES), f32),
                 pltpu.VMEM((tile_i, LANES), f32),
                 pltpu.VMEM((tile_i, LANES), f32),
-                pltpu.VMEM((SUB, b), f32),
-                pltpu.VMEM((SUB, b), f32),
-                pltpu.VMEM((SUB, b), f32),
+                pltpu.VMEM((SUB, bj), f32),
+                pltpu.VMEM((SUB, bj), f32),
+                pltpu.VMEM((SUB, bj), f32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, 4), f32),
-            jax.ShapeDtypeStruct((3, b), f32),
+            jax.ShapeDtypeStruct((bi, 4), f32),
+            jax.ShapeDtypeStruct((3, bj), f32),
         ],
         compiler_params=pltpu.CompilerParams(
             # rows share the reaction scratch -> sequential walk
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=28 * b * b,
-            bytes_accessed=(b // tile_i) * (b // tile_j)
+            flops=28 * bi * bj,
+            bytes_accessed=(bi // tile_i) * (bj // tile_j)
             * (tile_i + tile_j) * 16,
-            transcendentals=b * b,
+            transcendentals=bi * bj,
         ),
         interpret=interpret,
     )(meta, posi, postT)

@@ -1,6 +1,6 @@
 """Body-sharded N-body steps over a device mesh.
 
-Two communication strategies (SURVEY.md §7 "Ring overlap"):
+Three communication strategies (SURVEY.md §7 "Ring overlap"):
 
 * ``allgather``: each step all-gathers the (N_local, 4) position shards into
   the full (N, 4) array over ICI, then every chip runs the fused Pallas
@@ -11,8 +11,16 @@ Two communication strategies (SURVEY.md §7 "Ring overlap"):
   forces of the local i-shard vs the visiting j-shard. The communication of
   hop k+1 can overlap the force computation of hop k (XLA's async
   collective-permute), the TPU analogue of ring attention.
+* ``sym``: the Newton's-third-law decomposition — each global pair is
+  computed ONCE across the whole mesh (the strategies above compute every
+  pair twice, once per owning shard): per-shard self triangles, one cross
+  rectangle per unordered shard pair (assigned by ring offset), split
+  antipodal quarters for even device counts, and a single reduce-scatter
+  that re-shards the accumulated reactions. ~0.5× the FLOPs of allgather
+  for ~1.8× its bytes, plus the ~1.3× per-pair gain of the symmetric
+  kernels (_sym_sharded_accel_fn).
 
-Both are expressed with ``jax.shard_map`` so XLA emits the collectives;
+All are expressed with ``jax.shard_map`` so XLA emits the collectives;
 there is no hand-rolled NCCL/MPI analogue to port (the reference has none —
 it is single-GPU).
 """
@@ -103,6 +111,107 @@ def _ring_accel_fn(accel_vs, axis, ndev):
     return accel_fn
 
 
+def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
+    """`accel_fn(p_sh) -> (nloc, 3)` with each global pair evaluated ONCE
+    across the mesh — the Newton's-third-law saving at pod scale.
+
+    The 1-D strategies above evaluate the full interaction matrix: every
+    unordered pair is computed twice, once by each owning shard. This
+    decomposition halves the pod's compute: shard d runs
+
+    * the self triangle of its own shard (compute_accel_symmetric_blocked),
+    * mask-free cross rectangles vs the shards at ring offsets
+      1..(D-1)//2 (every unordered shard pair lands on exactly one
+      device: offset o from one end XOR offset D-o from the other),
+    * for even D, the antipodal pair (offset D/2) split into two
+      disjoint quarter rectangles per endpoint — devices in the first
+      half of the ring take the aligned (i-half × j-same-half) quarters,
+      the second half the crossed ones, so the four quarters of each
+      antipodal rectangle are covered exactly once and the work stays
+      perfectly balanced.
+
+    Each cross kernel also returns the reaction on its j-shard; the
+    per-device contribution matrix (D, B, 3) is summed and re-sharded by
+    ONE reduce-scatter. Comms per step: all_gather (N, 4) in +
+    psum_scatter (N, 3) out ≈ 1.8× the allgather strategy's bytes, for
+    0.5× its FLOPs + the ~1.3× per-pair kernel gain — a win whenever
+    shards are compute-bound (N/D ≳ a few thousand bodies; the same
+    regime where all-pairs N-body is worth sharding at all).
+
+    Coverage is pinned by tests at every parity/size: the self + offsets
+    + quarters partition is exhaustive and disjoint for any D.
+    """
+    from nbody_tpu.ops.pallas_kernel import LANES, _round_up
+    from nbody_tpu.ops.symmetric_kernel import (
+        SUB,
+        _sym_cross,
+        compute_accel_symmetric_blocked,
+    )
+
+    if tile_i % SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"sym strategy needs {SUB} | tile_i, {LANES} | tile_j and "
+            f"tile_i | tile_j; got ({tile_i}, {tile_j})")
+
+    def accel_fn(p_sh, soft):
+        nloc = p_sh.shape[0]
+        # pad the shard so tiles divide both the full shard and (for the
+        # antipodal quarters) its halves; zero-mass rows are inert
+        tj = min(tile_j, _round_up(nloc, LANES))
+        b_pad = _round_up(nloc, 2 * tj)
+        half = b_pad // 2
+        p_pad = jnp.pad(p_sh, ((0, b_pad - nloc), (0, 0)))
+        p_all = jax.lax.all_gather(p_pad, axis, axis=0, tiled=True)
+        d = jax.lax.axis_index(axis)
+
+        own = compute_accel_symmetric_blocked(
+            p_pad, soft, tile_i=tile_i, tile_j=tj, interpret=interpret)
+        contrib = jnp.zeros((ndev, b_pad, 3), p_sh.dtype)
+
+        def shard_at(e):
+            return jax.lax.dynamic_slice_in_dim(
+                p_all, e * b_pad, b_pad, axis=0)
+
+        for off in range(1, (ndev - 1) // 2 + 1):
+            e = (d + off) % ndev
+            pj = shard_at(e)
+            acc_i, react = _sym_cross(p_pad, pj.T, soft,
+                                      tile_i=tile_i, tile_j=tj,
+                                      interpret=interpret)
+            own = own + acc_i[:, :3]
+            contrib = jax.lax.dynamic_update_slice(
+                contrib, react.T[None], (e, 0, 0))
+
+        if ndev % 2 == 0 and ndev > 1:
+            e = (d + ndev // 2) % ndev
+            pj = shard_at(e)
+            first_half = d < ndev // 2
+            react_e = jnp.zeros((b_pad, 3), p_sh.dtype)
+            qtj = min(tj, half)
+            for ih in (0, 1):
+                # aligned quarters for the first half of the ring,
+                # crossed quarters for the second: disjoint + exhaustive
+                jh = jnp.where(first_half, ih, 1 - ih) * half
+                i_part = p_pad[ih * half:(ih + 1) * half]
+                j_part = jax.lax.dynamic_slice_in_dim(pj, jh, half, axis=0)
+                acc_i, react = _sym_cross(i_part, j_part.T, soft,
+                                          tile_i=tile_i, tile_j=qtj,
+                                          interpret=interpret)
+                own = own.at[ih * half:(ih + 1) * half].add(acc_i[:, :3])
+                react_e = jax.lax.dynamic_update_slice(
+                    react_e, react.T, (jh, 0))
+            contrib = jax.lax.dynamic_update_slice(
+                contrib, react_e[None], (e, 0, 0))
+
+        contrib = jax.lax.dynamic_update_slice(contrib, own[None], (d, 0, 0))
+        total = jax.lax.psum_scatter(
+            contrib.reshape(ndev * b_pad, 3), axis,
+            scatter_dimension=0, tiled=True)
+        return total[:nloc]
+
+    return accel_fn
+
+
 def _allgather_aj_fn(aj_vs, axis):
     """`aj_fn(p_sh, v_sh) -> ((nloc,3), (nloc,3))`: hermite's force
     evaluation — positions AND velocities gather (the jerk needs both).
@@ -167,7 +276,7 @@ def make_sharded_step(
         raise ValueError(f"unknown integrator {integrator!r}")
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if strategy not in ("allgather", "ring", "ring_fused", "auto"):
+    if strategy not in ("allgather", "ring", "ring_fused", "auto", "sym"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "ring_fused" and kernel != "pallas":
         raise ValueError("strategy='ring_fused' is a Pallas kernel; use kernel='pallas'")
@@ -176,6 +285,17 @@ def make_sharded_step(
             "integrator='hermite' supports strategies "
             "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
             "update into its kernel)")
+    if strategy == "sym":
+        if kernel != "pallas":
+            raise ValueError(
+                "strategy='sym' runs the Newton's-third-law Pallas "
+                "kernels; use kernel='pallas'")
+        if integrator == "hermite":
+            raise ValueError(
+                "strategy='sym' supports integrator='euler'/'leapfrog' "
+                "(the symmetric accel+jerk kernel has no sharded form — "
+                "its single-device gain is already marginal, "
+                "ops/symmetric_kernel.py)")
     ndev = mesh.shape[axis]
     # None = "not specified" (BodySystem._explicit_tiles semantics): the
     # force kernels get DEFAULT_TILE_*, the hermite acc+jerk kernel its own
@@ -295,11 +415,31 @@ def make_sharded_step(
             return local_ring(pos_sh, vel_sh, dt, soft, damp)
         return local_allgather(pos_sh, vel_sh, dt, soft, damp)
 
+    def local_sym(pos_sh, vel_sh, dt, soft, damp):
+        # the sym kernels have their own tuned tiles (None-sentinel
+        # semantics as elsewhere: explicit caller tiles always win)
+        from nbody_tpu.ops.symmetric_kernel import (
+            DEFAULT_TILE_J_SYM_BLOCKED,
+            TI,
+        )
+
+        s_ti = tile_i if explicit_i else TI
+        s_tj = tile_j if explicit_j else DEFAULT_TILE_J_SYM_BLOCKED
+        accel = _sym_sharded_accel_fn(axis, ndev, tile_i=s_ti, tile_j=s_tj,
+                                      interpret=interpret)
+        if integrator == "leapfrog":
+            pos_half = _drift_half(pos_sh, vel_sh, dt)
+            acc = accel(pos_half, soft)
+            return _kick_drift(pos_half, vel_sh, acc, dt, damp)
+        acc = accel(pos_sh, soft)
+        return integrate(pos_sh, vel_sh, acc, dt, damp)
+
     local = {
         "allgather": local_allgather,
         "ring": local_ring,
         "ring_fused": local_ring_fused,
         "auto": local_auto,
+        "sym": local_sym,
     }[strategy]
 
     sharded = jax.shard_map(

@@ -80,6 +80,31 @@ def test_devices_mesh(capsys):
     assert rc == 0
 
 
+def test_devices_mesh_sym_strategy(capsys):
+    """--strategy sym (each global pair once across the mesh) through the
+    full CLI demo path on the 8-device virtual mesh."""
+    rc = main(["--numbodies", "256", "--frames", "1", "--kernel", "pallas",
+               "--no-cycle", "--devices", "8", "--strategy", "sym"])
+    assert rc == 0
+
+
+def test_sym_strategy_validations(capsys):
+    import sys
+
+    for argv, frag in (
+        (["--devices", "2", "--strategy", "sym", "--kernel", "pm"],
+         "pallas"),
+        (["--devices", "2", "--strategy", "sym", "--integrator", "hermite"],
+         "euler/leapfrog"),
+        (["--devices", "4", "--strategy", "sym", "--mesh-rows", "2"],
+         "1-D body mesh"),
+    ):
+        rc = main(["--numbodies", "256", "--frames", "1", "--no-cycle",
+                   *argv])
+        assert rc == 1, argv
+        assert frag in capsys.readouterr().err
+
+
 def test_set_params(capsys):
     rc = main(["--numbodies", "128", "--frames", "1", "--kernel", "xla",
                "--no-cycle", "--set", "softening_factor=0.5,velocity_damping=0.9"])

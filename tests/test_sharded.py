@@ -189,3 +189,56 @@ def test_2d_mesh_hermite_via_body_system():
                    mesh=make_mesh_2d(4, 2), seed=2)
     s.update_many(2, 0.001)
     assert np.isfinite(s.positions).all()
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 5, 8])
+def test_sharded_sym_matches_single_device(random_state_tiny, ndev):
+    """strategy='sym' (each global pair computed ONCE across the mesh:
+    self triangles + offset cross rectangles + split antipodal quarters)
+    matches the single-device step for odd and even device counts."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(ndev)
+    if ndev == 5:
+        from nbody_tpu import NBodyConfig, ic
+
+        pos, vel = ic.generate(NBodyConfig.RANDOM, 640, 1.54, 8.0, seed=3)
+    else:
+        pos, vel = random_state_tiny
+    ref_p, ref_v = _single_device_reference(pos, vel)
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                             tile_i=8, tile_j=128, interpret=True)
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)
+    assert p1.sharding == ps.sharding
+
+
+def test_sharded_sym_leapfrog_matches_single_device(random_state_tiny):
+    from nbody_tpu.ops.reference import nbody_step_leapfrog
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    pos, vel = random_state_tiny
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    ref_p, ref_v = nbody_step_leapfrog(p, v, DT, SOFT, DAMP)
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                             tile_i=8, tile_j=128, interpret=True,
+                             integrator="leapfrog")
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v), atol=2e-5)
+
+
+def test_sharded_sym_gates():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="pallas"):
+        make_sharded_step(mesh, kernel="xla", strategy="sym")
+    with pytest.raises(ValueError, match="euler"):
+        make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                          integrator="hermite")
