@@ -37,7 +37,7 @@ from nbody_tpu.ops.ds_kernel import (
     ds_to_f64,
     nbody_step_pallas_ds,
     nbody_step_pallas_ds_hermite,
-    nbody_step_pallas_ds_sym,
+    nbody_step_pallas_ds_sym_blocked,
     nbody_step_pallas_ds_leapfrog,
     rollout_pallas_ds,
 )
@@ -73,25 +73,29 @@ class DSBodySystem:
                 f"dispatches per step); got {integrator!r}")
         self.integrator = integrator
         # variant: 'sym' = Newton's-third-law ds kernels (each pair once,
-        # 1.36x the one-sided euler ds rate at N=16384 — ops/ds_kernel.py)
-        # for the euler (N <= DS_SYM_MAX_N) and hermite
-        # (N <= DS_AJ_SYM_MAX_N) steps; 'auto' picks it where it applies
+        # 1.36-1.47x the one-sided euler ds rate — ops/ds_kernel.py) for
+        # euler at ANY N (blockwise composition above DS_SYM_MAX_N) and
+        # hermite at N <= DS_AJ_SYM_MAX_N; 'auto' picks it where it applies
         if variant not in ("auto", "sym", "one_sided"):
             raise ValueError(f"unknown ds variant {variant!r}")
-        sym_cap = {"euler": DS_SYM_MAX_N,
-                   "hermite": DS_AJ_SYM_MAX_N}.get(integrator)
+        # euler sym runs at ANY N (the blockwise composition keeps the
+        # per-block ds reaction scratch in VMEM above DS_SYM_MAX_N);
+        # hermite's ds accel+jerk has no blocked form, so it keeps a cap
+        sym_cap = {"euler": None,
+                   "hermite": DS_AJ_SYM_MAX_N}.get(integrator, False)
         if variant == "sym":
-            if sym_cap is None:
+            if sym_cap is False:
                 raise ValueError(
                     "variant='sym' applies to the euler/hermite ds steps")
-            if self.num_bodies > sym_cap:
+            if sym_cap is not None and self.num_bodies > sym_cap:
                 raise ValueError(
                     f"variant='sym' caps at N={sym_cap} for "
                     f"integrator={integrator!r} (VMEM ds reaction "
                     f"scratch); got {self.num_bodies}")
         if variant == "auto":
-            variant = ("sym" if (sym_cap is not None
-                                 and self.num_bodies <= sym_cap)
+            variant = ("sym" if (sym_cap is not False
+                                 and (sym_cap is None
+                                      or self.num_bodies <= sym_cap))
                        else "one_sided")
         self.variant = variant
         # the accel+jerk kernel's larger live set caps its j-tile below
@@ -162,7 +166,14 @@ class DSBodySystem:
     def _step_fn(self):
         if self.variant == "sym":
             if self.integrator == "euler":
-                return nbody_step_pallas_ds_sym
+                import functools
+
+                from nbody_tpu.ops import ds_kernel as dsk
+
+                # delegates to the single triangle under DS_SYM_MAX_N
+                # (module attr: tests shrink it to force blocking)
+                return functools.partial(nbody_step_pallas_ds_sym_blocked,
+                                         block_cap=dsk.DS_SYM_MAX_N)
             import functools
 
             return functools.partial(nbody_step_pallas_ds_hermite, sym=True)

@@ -392,7 +392,11 @@ def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
     if sym and integrator == "hermite":
         step_fn = functools.partial(nbody_step_pallas_ds_hermite, sym=True)
     elif sym and integrator == "euler":
-        step_fn = nbody_step_pallas_ds_sym
+        # any-N: delegates to the single triangle below DS_SYM_MAX_N,
+        # the blockwise composition above it (cap read at call time so
+        # tests can shrink it)
+        step_fn = functools.partial(nbody_step_pallas_ds_sym_blocked,
+                                    block_cap=DS_SYM_MAX_N)
     elif sym:
         raise ValueError("sym=True applies to the euler/hermite ds steps")
     else:
@@ -1017,23 +1021,24 @@ def _ds_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
-def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
-                             *, tile_i: int = DS_TILE_I,
-                             tile_j: int | None = None,
-                             interpret: bool = False):
-    """One ds Euler step with each pair evaluated ONCE (self-vs-self only —
-    the reaction accumulator is inherently whole-set). N ≤ DS_SYM_MAX_N.
-
-    The kernel emits the i-side sums and the ds reaction planes; the merge
-    and the damped semi-implicit Euler update run at the XLA level in
-    anchored ds (O(N) next to the O(N²/2) kernel)."""
+def compute_accel_pallas_ds_sym(pos_hi, pos_lo, scal,
+                                *, tile_i: int = DS_TILE_I,
+                                tile_j: int | None = None,
+                                interpret: bool = False):
+    """ds accelerations of the set on itself, each pair evaluated ONCE
+    (self-vs-self only — the reaction accumulator is whole-set).
+    N ≤ DS_SYM_MAX_N. Returns (acc_hi, acc_lo), each (N, 3): the kernel
+    emits the i-side sums and the ds reaction planes, merged here at the
+    XLA level in anchored ds. `scal` supplies the eps² hi/lo column
+    (_scal_ds layout); its dt/damping columns are not consumed."""
     from nbody_tpu.ops.symmetric_kernel import _pair_tables
 
     n = pos_hi.shape[0]
     if n > DS_SYM_MAX_N:
         raise ValueError(
             f"ds symmetric kernel holds 6 (8, N) reaction scratches in "
-            f"VMEM: N={n} > {DS_SYM_MAX_N}; use the one-sided ds kernel")
+            f"VMEM: N={n} > {DS_SYM_MAX_N}; use "
+            f"compute_accel_pallas_ds_sym_blocked")
     if tile_j is None:
         tile_j = DS_SYM_TILE_J
     tile_j = min(tile_j, _round_up(n, LANES))
@@ -1116,13 +1121,24 @@ def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     )(meta, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(first),
       jnp.asarray(last), ph, plo, pth, ptl)
 
-    # merge + integrate at the XLA level in anchored ds
+    # merge i-side + reaction at the XLA level in anchored ds
+    acc_h, acc_l = [], []
+    for c in range(3):
+        a_c = ds_add((ah[:n, c], al[:n, c]), (rh[c, :n], rl[c, :n]))
+        acc_h.append(a_c[0])
+        acc_l.append(a_c[1])
+    return jnp.stack(acc_h, axis=1), jnp.stack(acc_l, axis=1)
+
+
+def _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal):
+    """Damped semi-implicit Euler in anchored XLA-level ds.
+    `acc` = (acc_hi, acc_lo), each (N, 3)."""
     dt = (scal[0, 0], scal[1, 0])
     damping = (scal[0, 2], scal[1, 2])
     nph, npl = [], []
     nvh, nvl = [], []
     for c in range(3):
-        a_c = ds_add((ah[:n, c], al[:n, c]), (rh[c, :n], rl[c, :n]))
+        a_c = (acc[0][:, c], acc[1][:, c])
         v_c = (vel_hi[:, c], vel_lo[:, c])
         vnew = ds_mul(ds_add(v_c, ds_mul(a_c, dt)), damping)
         pnew = ds_add((pos_hi[:, c], pos_lo[:, c]), ds_mul(vnew, dt))
@@ -1138,6 +1154,20 @@ def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     return stack(nph), stack(npl), stack(nvh), stack(nvl)
 
 
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def nbody_step_pallas_ds_sym(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                             *, tile_i: int = DS_TILE_I,
+                             tile_j: int | None = None,
+                             interpret: bool = False):
+    """One ds Euler step with each pair evaluated ONCE (self-vs-self only).
+    N ≤ DS_SYM_MAX_N; the any-N form is nbody_step_pallas_ds_sym_blocked.
+    Force merge and the Euler update run at the XLA level in anchored ds
+    (O(N) next to the O(N²/2) kernel)."""
+    acc = compute_accel_pallas_ds_sym(pos_hi, pos_lo, scal, tile_i=tile_i,
+                                      tile_j=tile_j, interpret=interpret)
+    return _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal)
+
+
 def _ds_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
     # compiled (Mosaic) tracing must not emit barrier primitives
     global _ANCHORS
@@ -1148,6 +1178,232 @@ def _ds_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
                               n_steps=n_steps)
     finally:
         _ANCHORS = prev
+
+
+# ---- blockwise ds composition: each-pair-once above DS_SYM_MAX_N ----
+#
+# The f32 analogue lives in ops/symmetric_kernel.py: decompose the global
+# pair triangle into superblocks of B ≤ DS_SYM_MAX_N bodies — per-block
+# self triangles (the kernel above) plus mask-free CROSS rectangles whose
+# ds reaction scratch spans one block — and ds-add the O(N) partial sums
+# at the XLA level. Two compiled kernels cover every N.
+
+
+def _ds_sym_cross_kernel(meta_ref, pih_ref, pil_ref, pth_ref, ptl_ref,
+                         ah_ref, al_ref, rh_ref, rl_ref,
+                         axh, axl, ayh, ayl, azh, azl,
+                         rxh, rxl, ryh, ryl, rzh, rzl,
+                         *, tile_i: int, tile_j: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    eps2 = (meta_ref[0], meta_ref[1])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rxh)
+        for r in (rxh, rxl, ryh, ryl, rzh, rzl):
+            r[:] = zeros
+
+    @pl.when(j == 0)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl):
+            r[:, :] = zeros
+
+    def icol(c):
+        return (pih_ref[:, c:c + 1], pil_ref[:, c:c + 1])  # (TI, 1)
+
+    xi, yi, zi, mi = icol(0), icol(1), icol(2), icol(3)
+    j_base = j * tile_j
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+
+        def row(r):
+            return (pth_ref[r:r + 1, sl], ptl_ref[r:r + 1, sl])
+
+        dx = ds_sub(row(0), xi)
+        dy = ds_sub(row(1), yi)
+        dz = ds_sub(row(2), zi)
+        r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                    ds_add(ds_mul(dz, dz), eps2))
+        inv = ds_rsqrt(r2)
+        inv3 = ds_mul(ds_mul(inv, inv), inv)
+        s = ds_mul(row(3), inv3)   # m_j / r^3: accel of i per unit d
+        t = ds_mul(mi, inv3)       # m_i / r^3: reaction magnitude on j
+
+        for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                            ((azh, azl), dz)):
+            acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+            ah[:, :] = acc[0]
+            al[:, :] = acc[1]
+
+        for (rh_s, rl_s), d in (((rxh, rxl), dx), ((ryh, ryl), dy),
+                                ((rzh, rzl), dz)):
+            uh, ul = ds_mul(t, d)  # (TI, LANES)
+            u8 = (uh[0:_SYM_SUB], ul[0:_SYM_SUB])
+            for q in range(1, tile_i // _SYM_SUB):
+                u8 = ds_add(u8, (uh[q * _SYM_SUB:(q + 1) * _SYM_SUB],
+                                 ul[q * _SYM_SUB:(q + 1) * _SYM_SUB]))
+            idx = (slice(0, _SYM_SUB), pl.ds(j_base + k * LANES, LANES))
+            cur = ds_sub((rh_s[idx], rl_s[idx]), u8)
+            rh_s[idx] = cur[0]
+            rl_s[idx] = cur[1]
+
+    @pl.when(j == nj - 1)
+    def _finalize_row():
+        for c, (ah, al) in enumerate(((axh, axl), (ayh, ayl), (azh, azl))):
+            hi, lo = reduce_ds_lanes(ah, al)
+            ah_ref[:, c:c + 1] = hi
+            al_ref[:, c:c + 1] = lo
+        ah_ref[:, 3:4] = jnp.zeros_like(ah_ref[:, 3:4])
+        al_ref[:, 3:4] = jnp.zeros_like(al_ref[:, 3:4])
+
+    @pl.when(jnp.logical_and(i == pl.num_programs(0) - 1, j == nj - 1))
+    def _emit_reaction():
+        for c, (rh_s, rl_s) in enumerate(((rxh, rxl), (ryh, ryl),
+                                          (rzh, rzl))):
+            v = (rh_s[0:1, :], rl_s[0:1, :])
+            for q in range(1, _SYM_SUB):
+                v = ds_add(v, (rh_s[q:q + 1, :], rl_s[q:q + 1, :]))
+            rh_ref[c:c + 1, :] = v[0]
+            rl_ref[c:c + 1, :] = v[1]
+
+
+def _ds_sym_cross_entry(*args, tile_i, tile_j, interpret):
+    # compiled (Mosaic) tracing must not emit barrier primitives
+    global _ANCHORS
+    prev = _ANCHORS
+    _ANCHORS = bool(interpret)
+    try:
+        return _ds_sym_cross_kernel(*args, tile_i=tile_i, tile_j=tile_j)
+    finally:
+        _ANCHORS = prev
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def _ds_sym_cross(pih, pil, pth, ptl, meta, *, tile_i: int, tile_j: int,
+                  interpret: bool = False):
+    """One Bi×Bj ds cross block pair: i-set AoS hi/lo (Bi, 4), j-set
+    transposed hi/lo (4, Bj), meta = eps² (hi, lo). Returns
+    (acc_hi, acc_lo) (Bi, 4) and (react_hi, react_lo) (3, Bj)."""
+    f32 = jnp.float32
+    bi = pih.shape[0]
+    bj = pth.shape[1]
+    row_spec = pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0))
+    col_spec = pl.BlockSpec((4, tile_j), lambda i, j, meta: _ix(0, j))
+    full_spec = pl.BlockSpec((3, bj), lambda i, j, meta: _ix(0, 0))
+    return pl.pallas_call(
+        functools.partial(_ds_sym_cross_entry, tile_i=tile_i,
+                          tile_j=tile_j, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bi // tile_i, bj // tile_j),
+            in_specs=[row_spec, row_spec, col_spec, col_spec],
+            out_specs=[row_spec, row_spec, full_spec, full_spec],
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(6)]
+                + [pltpu.VMEM((_SYM_SUB, bj), f32) for _ in range(6)]
+            ),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bi, 4), f32),
+            jax.ShapeDtypeStruct((bi, 4), f32),
+            jax.ShapeDtypeStruct((3, bj), f32),
+            jax.ShapeDtypeStruct((3, bj), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # rows share the reaction scratch -> sequential walk
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=500 * bi * bj,
+            bytes_accessed=(bi // tile_i) * (bj // tile_j)
+            * (tile_i + tile_j) * 32,
+            transcendentals=bi * bj,
+        ),
+        interpret=interpret,
+    )(meta, pih, pil, pth, ptl)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def compute_accel_pallas_ds_sym_blocked(pos_hi, pos_lo, scal,
+                                        *, tile_i: int = DS_TILE_I,
+                                        tile_j: int | None = None,
+                                        interpret: bool = False,
+                                        block_cap: int = DS_SYM_MAX_N):
+    """ds accelerations, each pair evaluated once, any N — the blockwise
+    composition (see the section comment). Returns (acc_hi, acc_lo),
+    each (N, 3). N ≤ block_cap delegates to the single triangle."""
+    n = pos_hi.shape[0]
+    if n <= block_cap:
+        return compute_accel_pallas_ds_sym(pos_hi, pos_lo, scal,
+                                           tile_i=tile_i, tile_j=tile_j,
+                                           interpret=interpret)
+    from nbody_tpu.ops.symmetric_kernel import sym_blocking
+
+    if tile_j is None:
+        tile_j = DS_SYM_TILE_J
+    if tile_i % _SYM_SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {_SYM_SUB} | tile_i, {LANES} | tile_j and tile_i | "
+            f"tile_j; got ({tile_i}, {tile_j})")
+    k, blk = sym_blocking(n, tile_j, block_cap)
+    if tile_j * 2 > blk:
+        # the f32 blocked path's measured Mosaic scoped-vmem hazard (a
+        # block-wide j-stream leaves a single-grid-step cross program)
+        raise ValueError(
+            f"blocked ds sym needs tile_j <= block/2: got tile_j={tile_j}, "
+            f"block={blk} (use a smaller tile_j)")
+    n_pad = k * blk
+
+    def pad(a):
+        return jnp.pad(a, ((0, n_pad - n), (0, 0)))
+
+    ph, plo = pad(pos_hi), pad(pos_lo)
+    blocks = [(ph[a * blk:(a + 1) * blk], plo[a * blk:(a + 1) * blk])
+              for a in range(k)]
+    blocksT = [(bh.T, bl.T) for bh, bl in blocks]
+    meta = jnp.stack([scal[0, 1], scal[1, 1]])
+
+    contrib = [
+        [compute_accel_pallas_ds_sym(bh, bl, scal, tile_i=tile_i,
+                                     tile_j=tile_j, interpret=interpret)]
+        for bh, bl in blocks
+    ]
+    for a in range(k):
+        for b in range(a + 1, k):
+            acc_h, acc_l, r_h, r_l = _ds_sym_cross(
+                blocks[a][0], blocks[a][1], blocksT[b][0], blocksT[b][1],
+                meta, tile_i=tile_i, tile_j=tile_j, interpret=interpret)
+            contrib[a].append((acc_h[:, :3], acc_l[:, :3]))
+            contrib[b].append((r_h.T, r_l.T))
+
+    acc_h, acc_l = [], []
+    for parts in contrib:
+        total = parts[0]
+        for p_ in parts[1:]:
+            total = ds_add(total, p_)
+        acc_h.append(total[0])
+        acc_l.append(total[1])
+    return (jnp.concatenate(acc_h)[:n], jnp.concatenate(acc_l)[:n])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def nbody_step_pallas_ds_sym_blocked(pos_hi, pos_lo, vel_hi, vel_lo, scal,
+                                     *, tile_i: int = DS_TILE_I,
+                                     tile_j: int | None = None,
+                                     interpret: bool = False,
+                                     block_cap: int = DS_SYM_MAX_N):
+    """One each-pair-once ds Euler step at any N — the blocked form of
+    nbody_step_pallas_ds_sym (bit-identical delegation under the cap)."""
+    acc = compute_accel_pallas_ds_sym_blocked(
+        pos_hi, pos_lo, scal, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret, block_cap=block_cap)
+    return _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal)
 
 
 # ---- Newton's-third-law ds accel+jerk (the Hermite force evaluation) ----

@@ -398,7 +398,7 @@ def test_ds_sym_validation():
     )
 
     big = jnp.zeros((DS_SYM_MAX_N + 128, 4), jnp.float32)
-    with pytest.raises(ValueError, match="one-sided"):
+    with pytest.raises(ValueError, match="blocked"):
         nbody_step_pallas_ds_sym(big, big, big, big,
                                  _scal_ds(1e-3, 0.1, 1.0), interpret=True)
 
@@ -497,3 +497,62 @@ def test_rollout_none_tile_defaults_per_integrator():
             ph2, plo2, vh2, vlo2, scal, sym=True, interpret=True)
     assert np.abs(ds_to_f64(out[0], out[1])
                   - ds_to_f64(ph2, plo2)).max() < 1e-13
+
+
+def test_ds_sym_blocked_matches_one_sided():
+    """The blockwise ds composition (self triangles + ds cross rectangles)
+    matches the one-sided ds step; blocking forced via block_cap."""
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds,
+        ds_from_f64,
+        ds_to_f64,
+        nbody_step_pallas_ds,
+        nbody_step_pallas_ds_sym,
+        nbody_step_pallas_ds_sym_blocked,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, 640, 1.52, 2.0, seed=9,
+                           dtype=np.float64)
+    ph, plo = ds_from_f64(pos)
+    vh, vlo = ds_from_f64(vel)
+    scal = _scal_ds(1e-3, 0.1, 1.0)
+    o = nbody_step_pallas_ds(ph, plo, vh, vlo, scal, tile_j=128,
+                             interpret=True)
+    ref = ds_to_f64(o[0], o[1])
+    for cap in (256, 384):
+        b = nbody_step_pallas_ds_sym_blocked(
+            ph, plo, vh, vlo, scal, tile_i=64, tile_j=128, interpret=True,
+            block_cap=cap)
+        assert np.abs(ds_to_f64(b[0], b[1]) - ref).max() < 1e-12, cap
+
+    # delegation below the cap is bit-identical to the single triangle
+    a = nbody_step_pallas_ds_sym(ph, plo, vh, vlo, scal, tile_i=64,
+                                 tile_j=128, interpret=True)
+    d = nbody_step_pallas_ds_sym_blocked(ph, plo, vh, vlo, scal, tile_i=64,
+                                         tile_j=128, interpret=True,
+                                         block_cap=1024)
+    for x, y in zip(a, d):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ds_system_euler_sym_any_n(monkeypatch):
+    """DSBodySystem euler auto-resolves to sym at ANY N now (the blocked
+    composition); the cap monkeypatched small BEFORE construction so the
+    update() and update_many() paths genuinely run blocked in interpret
+    mode, compared against the one-sided system."""
+    import nbody_tpu.ops.ds_kernel as dsk
+    from nbody_tpu.models.ds_system import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(dsk, "DS_SYM_MAX_N", 256)
+    params = NBodyParams(softening=0.1, damping=1.0)
+    a = DSBodySystem(640, params, integrator="euler", tile_j=128, seed=4)
+    assert a.variant == "sym"  # no cap for euler anymore
+    b = DSBodySystem(640, params, integrator="euler", tile_j=128, seed=4,
+                     variant="one_sided")
+    a.update(1e-3)
+    b.update(1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
+    a.update_many(3, 1e-3)
+    b.update_many(3, 1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
