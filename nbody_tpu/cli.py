@@ -491,6 +491,23 @@ def _main(argv=None) -> int:
             print("error: --strategy sym uses the 1-D body mesh; drop "
                   "--mesh-rows", file=sys.stderr)
             return 1
+        if args.fp64 or args.cpu:
+            # kernel='auto' resolves to the XLA path for fp64/--cpu, which
+            # the sym strategy cannot run — catch it here, not as a
+            # builder traceback
+            print("error: --strategy sym is a float32 pallas path; it "
+                  "does not combine with --fp64/--cpu", file=sys.stderr)
+            return 1
+        if args.kernel == "auto":
+            from nbody_tpu.models.body_system import (
+                _default_backend_is_tpu,
+            )
+
+            if not _default_backend_is_tpu():
+                print("error: --strategy sym needs the pallas backend; "
+                      "on a non-TPU host pass --kernel pallas explicitly "
+                      "(interpret mode)", file=sys.stderr)
+                return 1
     if args.mesh_rows is not None and args.variant not in ("vpu", "auto"):
         print("error: --mesh-rows uses the accel-only kernels (no mxu "
               f"variants); leave --variant at vpu/auto (got {args.variant})",

@@ -164,18 +164,16 @@ class DSBodySystem:
         return _scal_ds(dt, p.softening, p.damping)
 
     def _step_fn(self):
+        import functools
+
         if self.variant == "sym":
             if self.integrator == "euler":
-                import functools
-
                 from nbody_tpu.ops import ds_kernel as dsk
 
                 # delegates to the single triangle under DS_SYM_MAX_N
                 # (module attr: tests shrink it to force blocking)
                 return functools.partial(nbody_step_pallas_ds_sym_blocked,
                                          block_cap=dsk.DS_SYM_MAX_N)
-            import functools
-
             return functools.partial(nbody_step_pallas_ds_hermite, sym=True)
         return {"euler": nbody_step_pallas_ds,
                 "leapfrog": nbody_step_pallas_ds_leapfrog,
@@ -205,12 +203,15 @@ class DSBodySystem:
         done = 0
         while done < steps:
             seg = min(steps - done, seg_max)
+            from nbody_tpu.ops import ds_kernel as dsk
+
             self._ph, self._pl, self._vh, self._vl = rollout_pallas_ds(
                 self._ph, self._pl, self._vh, self._vl, scal, steps=seg,
                 tile_i=self.tile_i, tile_j=self.tile_j,
                 interpret=self.interpret,
                 integrator=self.integrator,
-                sym=self.variant == "sym")
+                sym=self.variant == "sym",
+                block_cap=dsk.DS_SYM_MAX_N)
             done += seg
 
     # ---- diagnostics ----

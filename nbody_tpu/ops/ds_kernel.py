@@ -379,12 +379,12 @@ def nbody_step_ds(pos64, vel64, dt, softening, damping,
 
 @functools.partial(jax.jit,
                    static_argnames=("steps", "tile_i", "tile_j", "interpret",
-                                    "integrator", "sym"),
+                                    "integrator", "sym", "block_cap"),
                    donate_argnums=(0, 1, 2, 3))
 def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
                       tile_i: int = DS_TILE_I, tile_j: int | None = None,
                       interpret: bool = False, integrator: str = "euler",
-                      sym: bool = False):
+                      sym: bool = False, block_cap: int | None = None):
     """`steps` ds steps under one compiled lax.scan (donated hi/lo buffers).
     integrator="leapfrog" scans the fused DKD step (scal from
     _scal_ds_leapfrog); "hermite" scans the two-dispatch P(EC) step
@@ -392,11 +392,13 @@ def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
     if sym and integrator == "hermite":
         step_fn = functools.partial(nbody_step_pallas_ds_hermite, sym=True)
     elif sym and integrator == "euler":
-        # any-N: delegates to the single triangle below DS_SYM_MAX_N,
-        # the blockwise composition above it (cap read at call time so
-        # tests can shrink it)
-        step_fn = functools.partial(nbody_step_pallas_ds_sym_blocked,
-                                    block_cap=DS_SYM_MAX_N)
+        # any-N: delegates to the single triangle below the cap, the
+        # blockwise composition above it. The cap is a STATIC jit arg of
+        # this rollout (None = the production DS_SYM_MAX_N) so a changed
+        # cap can never reuse a stale compiled rollout.
+        step_fn = functools.partial(
+            nbody_step_pallas_ds_sym_blocked,
+            block_cap=DS_SYM_MAX_N if block_cap is None else block_cap)
     elif sym:
         raise ValueError("sym=True applies to the euler/hermite ds steps")
     else:
@@ -1353,10 +1355,23 @@ def compute_accel_pallas_ds_sym_blocked(pos_hi, pos_lo, scal,
     k, blk = sym_blocking(n, tile_j, block_cap)
     if tile_j * 2 > blk:
         # the f32 blocked path's measured Mosaic scoped-vmem hazard (a
-        # block-wide j-stream leaves a single-grid-step cross program)
-        raise ValueError(
-            f"blocked ds sym needs tile_j <= block/2: got tile_j={tile_j}, "
-            f"block={blk} (use a smaller tile_j)")
+        # block-wide j-stream leaves a single-grid-step cross program):
+        # clamp to the widest tile dividing the block at <= blk/2; tiny
+        # blocks with no such tile compile fine and pass through
+        import math
+
+        base = LANES * tile_i // math.gcd(LANES, tile_i)
+        fitted = (blk // 2 // base) * base
+        while fitted > base and blk % fitted:
+            fitted -= base
+        if fitted >= base and blk % fitted == 0:
+            tile_j = fitted
+        elif blk > 4096:
+            raise ValueError(
+                f"blocked ds sym needs tile_j <= block/2: got "
+                f"tile_j={tile_j}, block={blk} (use a smaller tile_j)")
+        else:
+            tile_j = blk
     n_pad = k * blk
 
     def pad(a):

@@ -419,8 +419,16 @@ def _sym_cross(posi, postT, softening, *, tile_i: int, tile_j: int,
 def sym_blocking(n: int, tile_j: int = DEFAULT_TILE_J_SYM,
                  block_cap: int = SYM_MAX_N):
     """(k, B): the superblock count and size the blocked path uses for N
-    bodies — the fewest blocks with B ≤ block_cap, B a tile_j multiple."""
-    k = -(-n // block_cap)
+    bodies — the fewest blocks with B ≤ block_cap, B a tile_j multiple.
+    The cap is honored even when tile_j does not divide it: blocks size
+    against the largest tile_j multiple under the cap, so the VMEM
+    budget the cap encodes is never exceeded by tile rounding."""
+    cap_t = (block_cap // tile_j) * tile_j
+    if cap_t <= 0:
+        raise ValueError(
+            f"blocked sym needs tile_j <= block_cap: got tile_j={tile_j}, "
+            f"block_cap={block_cap}")
+    k = -(-n // cap_t)
     return k, _round_up(-(-n // k), tile_j)
 
 
@@ -450,13 +458,26 @@ def compute_accel_symmetric_blocked(pos, softening, *, tile_i: int = TI,
             f"got ({tile_i}, {tile_j})")
     k, blk = sym_blocking(n, tile_j, block_cap)
     if tile_j * 2 > blk:
-        # a j-stream as wide as the block leaves the cross kernel a
+        # a j-stream as wide as a LARGE block leaves the cross kernel a
         # single-grid-step program whose fused zero+loop+finalize blows
         # the Mosaic scoped-vmem stack (measured: 22.45M > 16M at
-        # blk=tj=16384); tj > blk/2 is never the measured winner anyway
-        raise ValueError(
-            f"blocked sym needs tile_j <= block/2: got tile_j={tile_j}, "
-            f"block={blk} (use a smaller tile_j)")
+        # blk=tj=16384). Clamp to the widest tile that divides the block
+        # at <= blk/2; tiny blocks with no such tile compile fine as
+        # single-step programs and are allowed through.
+        import math
+
+        base = LANES * tile_i // math.gcd(LANES, tile_i)
+        fitted = (blk // 2 // base) * base
+        while fitted > base and blk % fitted:
+            fitted -= base
+        if fitted >= base and blk % fitted == 0:
+            tile_j = fitted
+        elif blk > 4096:
+            raise ValueError(
+                f"blocked sym needs tile_j <= block/2: got tile_j={tile_j},"
+                f" block={blk} (use a smaller tile_j)")
+        else:
+            tile_j = blk
     n_pad = k * blk
     pos_p = jnp.pad(pos.astype(f32), ((0, n_pad - n), (0, 0)))
     blocks = [pos_p[a * blk:(a + 1) * blk] for a in range(k)]

@@ -111,9 +111,30 @@ def _ring_accel_fn(accel_vs, axis, ndev):
     return accel_fn
 
 
+def _sym_fit_div(limit: int, span: int, base: int) -> int:
+    """Largest multiple of ``base`` that divides ``span``, at most
+    ``limit`` (``base`` must divide ``span``). Trace-time arithmetic."""
+    t = max((min(limit, span) // base) * base, base)
+    while t > base and span % t:
+        t -= base
+    return t
+
+
+def _sym_fit_tile(limit: int, span: int, base: int) -> int:
+    """j-tile for a cross rectangle of width ``span``: the largest
+    ``base`` multiple dividing ``span`` at most ``limit``, kept at or
+    under span/2 (a block-wide stream overflows Mosaic's scoped-vmem
+    stack — the measured hazard ops/symmetric_kernel.py gates); a
+    single-``base`` stream is always allowed (tiny programs are safe)."""
+    t = max((min(limit, span) // base) * base, base)
+    while t > base and (span % t or 2 * t > span):
+        t -= base
+    return t
+
+
 def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
-    """`accel_fn(p_sh) -> (nloc, 3)` with each global pair evaluated ONCE
-    across the mesh — the Newton's-third-law saving at pod scale.
+    """`accel_fn(p_sh, soft) -> (nloc, 3)` with each global pair evaluated
+    ONCE across the mesh — the Newton's-third-law saving at pod scale.
 
     The 1-D strategies above evaluate the full interaction matrix: every
     unordered pair is computed twice, once by each owning shard. This
@@ -130,7 +151,13 @@ def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
       antipodal rectangle are covered exactly once and the work stays
       perfectly balanced.
 
-    Each cross kernel also returns the reaction on its j-shard; the
+    Shards pad only to 2·lcm(LANES, tile_i) alignment (so the halves
+    stay tile-aligned); j-tiles are fitted divisors of the actual span,
+    and cross rectangles are evaluated in j-sub-blocks of ≤ SYM_MAX_N so
+    the per-kernel (8, span) reaction scratch never exceeds the VMEM
+    budget that caps the single-triangle kernel — any shard size works.
+
+    Each cross kernel also returns the reaction on its j-span; the
     per-device contribution matrix (D, B, 3) is summed and re-sharded by
     ONE reduce-scatter. Comms per step: all_gather (N, 4) in +
     psum_scatter (N, 3) out ≈ 1.8× the allgather strategy's bytes, for
@@ -141,9 +168,12 @@ def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
     Coverage is pinned by tests at every parity/size: the self + offsets
     + quarters partition is exhaustive and disjoint for any D.
     """
+    import math
+
     from nbody_tpu.ops.pallas_kernel import LANES, _round_up
     from nbody_tpu.ops.symmetric_kernel import (
         SUB,
+        SYM_MAX_N,
         _sym_cross,
         compute_accel_symmetric_blocked,
     )
@@ -152,54 +182,66 @@ def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
         raise ValueError(
             f"sym strategy needs {SUB} | tile_i, {LANES} | tile_j and "
             f"tile_i | tile_j; got ({tile_i}, {tile_j})")
+    base = math.lcm(LANES, tile_i)
 
     def accel_fn(p_sh, soft):
         nloc = p_sh.shape[0]
-        # pad the shard so tiles divide both the full shard and (for the
-        # antipodal quarters) its halves; zero-mass rows are inert
-        tj = min(tile_j, _round_up(nloc, LANES))
-        b_pad = _round_up(nloc, 2 * tj)
+        # minimal padding: halves (even-D quarters) must stay aligned to
+        # both the lane width and the i-tile; zero-mass rows are inert
+        b_pad = _round_up(nloc, 2 * base)
         half = b_pad // 2
         p_pad = jnp.pad(p_sh, ((0, b_pad - nloc), (0, 0)))
         p_all = jax.lax.all_gather(p_pad, axis, axis=0, tiled=True)
         d = jax.lax.axis_index(axis)
 
         own = compute_accel_symmetric_blocked(
-            p_pad, soft, tile_i=tile_i, tile_j=tj, interpret=interpret)
+            p_pad, soft, tile_i=tile_i,
+            tile_j=_sym_fit_div(tile_j, b_pad, base), interpret=interpret,
+            block_cap=SYM_MAX_N)
         contrib = jnp.zeros((ndev, b_pad, 3), p_sh.dtype)
 
         def shard_at(e):
             return jax.lax.dynamic_slice_in_dim(
                 p_all, e * b_pad, b_pad, axis=0)
 
+        def cross(pi, pj):
+            """pi (rows, 4) vs pj (span, 4), j-sub-blocked to the VMEM
+            cap; returns (acc_i (rows, 3), react_j (span, 3))."""
+            span = pj.shape[0]
+            sub = _sym_fit_div(SYM_MAX_N, span, base)
+            tj = _sym_fit_tile(tile_j, sub, base)
+            acc = None
+            reacts = []
+            for s0 in range(0, span, sub):
+                a_i, r = _sym_cross(pi, pj[s0:s0 + sub].T, soft,
+                                    tile_i=tile_i, tile_j=tj,
+                                    interpret=interpret)
+                acc = a_i[:, :3] if acc is None else acc + a_i[:, :3]
+                reacts.append(r)
+            return acc, jnp.concatenate(reacts, axis=1).T
+
         for off in range(1, (ndev - 1) // 2 + 1):
             e = (d + off) % ndev
-            pj = shard_at(e)
-            acc_i, react = _sym_cross(p_pad, pj.T, soft,
-                                      tile_i=tile_i, tile_j=tj,
-                                      interpret=interpret)
-            own = own + acc_i[:, :3]
+            acc_i, react = cross(p_pad, shard_at(e))
+            own = own + acc_i
             contrib = jax.lax.dynamic_update_slice(
-                contrib, react.T[None], (e, 0, 0))
+                contrib, react[None], (e, 0, 0))
 
         if ndev % 2 == 0 and ndev > 1:
             e = (d + ndev // 2) % ndev
             pj = shard_at(e)
             first_half = d < ndev // 2
             react_e = jnp.zeros((b_pad, 3), p_sh.dtype)
-            qtj = min(tj, half)
             for ih in (0, 1):
                 # aligned quarters for the first half of the ring,
                 # crossed quarters for the second: disjoint + exhaustive
                 jh = jnp.where(first_half, ih, 1 - ih) * half
                 i_part = p_pad[ih * half:(ih + 1) * half]
                 j_part = jax.lax.dynamic_slice_in_dim(pj, jh, half, axis=0)
-                acc_i, react = _sym_cross(i_part, j_part.T, soft,
-                                          tile_i=tile_i, tile_j=qtj,
-                                          interpret=interpret)
-                own = own.at[ih * half:(ih + 1) * half].add(acc_i[:, :3])
+                acc_i, react = cross(i_part, j_part)
+                own = own.at[ih * half:(ih + 1) * half].add(acc_i)
                 react_e = jax.lax.dynamic_update_slice(
-                    react_e, react.T, (jh, 0))
+                    react_e, react, (jh, 0))
             contrib = jax.lax.dynamic_update_slice(
                 contrib, react_e[None], (e, 0, 0))
 

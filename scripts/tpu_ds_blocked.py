@@ -5,7 +5,6 @@ plus on-chip accuracy vs the one-sided ds step. One JSON line each."""
 import json
 import sys
 
-import jax.numpy as jnp
 import numpy as np
 
 from nbody_tpu import NBodyConfig, ic

@@ -94,10 +94,12 @@ def test_sym_strategy_validations(capsys):
     for argv, frag in (
         (["--devices", "2", "--strategy", "sym", "--kernel", "pm"],
          "pallas"),
-        (["--devices", "2", "--strategy", "sym", "--integrator", "hermite"],
-         "euler/leapfrog"),
+        (["--devices", "2", "--strategy", "sym", "--kernel", "pallas",
+          "--integrator", "hermite"], "euler/leapfrog"),
         (["--devices", "4", "--strategy", "sym", "--mesh-rows", "2"],
          "1-D body mesh"),
+        (["--devices", "2", "--strategy", "sym", "--fp64"], "float32"),
+        (["--devices", "2", "--strategy", "sym"], "--kernel pallas"),
     ):
         rc = main(["--numbodies", "256", "--frames", "1", "--no-cycle",
                    *argv])

@@ -242,3 +242,24 @@ def test_sharded_sym_gates():
     with pytest.raises(ValueError, match="euler"):
         make_sharded_step(mesh, kernel="pallas", strategy="sym",
                           integrator="hermite")
+
+
+def test_sharded_sym_subblocks_big_shards(monkeypatch, random_state_tiny):
+    """Shards larger than SYM_MAX_N sub-block their cross rectangles so
+    the per-kernel reaction scratch stays inside the VMEM cap (the cap
+    is shrunk so the path runs in interpret mode); results must still
+    match the single-device step."""
+    import nbody_tpu.ops.symmetric_kernel as symk
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    monkeypatch.setattr(symk, "SYM_MAX_N", 128)
+    mesh = make_mesh(2)  # nloc = 256 > the shrunken cap
+    pos, vel = random_state_tiny
+    ref_p, ref_v = _single_device_reference(pos, vel)
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                             tile_i=8, tile_j=128, interpret=True)
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), ref_p, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), ref_v, atol=2e-5)

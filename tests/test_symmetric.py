@@ -285,16 +285,19 @@ def test_body_system_sym_blocked_above_cap(monkeypatch):
     np.testing.assert_allclose(al.positions, bl.positions, atol=1e-5)
 
 
-def test_blocked_rejects_block_wide_stream():
-    """tile_j wider than half the block is gated (a block-wide j-stream
-    compiles to a single-grid-step cross kernel that overflows Mosaic's
-    scoped-vmem stack — measured on v5e)."""
+def test_blocked_clamps_block_wide_stream():
+    """tile_j wider than half the block is clamped to a dividing tile (a
+    LARGE block-wide j-stream compiles to a single-grid-step cross kernel
+    that overflows Mosaic's scoped-vmem stack — measured on v5e; small
+    blocks clamp or pass through instead of failing)."""
     from nbody_tpu.ops.symmetric_kernel import (
         compute_accel_symmetric_blocked,
     )
+    from nbody_tpu.ops.reference import compute_accel_xla
 
     pos, _ = ic.generate(NBodyConfig.SHELL, 512, 1.52, 2.0, seed=8)
-    with pytest.raises(ValueError, match="block/2"):
-        compute_accel_symmetric_blocked(jnp.asarray(pos), SOFT, tile_i=64,
-                                        tile_j=256, interpret=True,
-                                        block_cap=256)
+    p = jnp.asarray(pos)
+    got = np.asarray(compute_accel_symmetric_blocked(
+        p, SOFT, tile_i=64, tile_j=256, interpret=True, block_cap=256))
+    ref = np.asarray(compute_accel_xla(p, SOFT))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
