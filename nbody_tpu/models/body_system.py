@@ -174,13 +174,11 @@ class BodySystem:
         self.num_bodies = _round_up(int(num_bodies), ndev)
 
         if variant == "sym":
-            # Newton's-third-law kernels: single-device pallas. euler and
-            # leapfrog run at ANY N (above SYM_MAX_N the blockwise
+            # Newton's-third-law kernels: single-device pallas. ALL
+            # integrators run at ANY N — above the per-kernel scratch cap
+            # (SYM_MAX_N forces, AJ_SYM_MAX_N accel+jerk) the blockwise
             # composition keeps the per-block reaction scratch inside
-            # VMEM — ops/symmetric_kernel.py); hermite's accel+jerk has
-            # no blocked form yet, so it stays capped at AJ_SYM_MAX_N
-            from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
-
+            # VMEM (ops/symmetric_kernel.py)
             if backend != "pallas":
                 raise ValueError("variant='sym' needs backend='pallas'")
             if mesh is not None:
@@ -188,12 +186,6 @@ class BodySystem:
                     "variant='sym' is single-device (the reaction "
                     "accumulator is chip-local); for the each-pair-once "
                     "saving on a mesh use strategy='sym' instead")
-            if integrator == "hermite" and self.num_bodies > AJ_SYM_MAX_N:
-                raise ValueError(
-                    f"variant='sym' with integrator='hermite' holds 6 "
-                    f"(8, N) reaction scratches in VMEM: "
-                    f"N={self.num_bodies} > {AJ_SYM_MAX_N}; use "
-                    f"variant='vpu' (its rate is flat in N)")
 
         if variant == "auto":
             # use the autotuner's cached winner for this chip/N if present
@@ -203,15 +195,12 @@ class BodySystem:
 
                 resolved = best_config(self.num_bodies)
             if resolved and resolved["variant"] == "sym":
-                from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
-
-                if mesh is not None or (integrator == "hermite"
-                                        and self.num_bodies > AJ_SYM_MAX_N):
-                    # the cached winner was tuned single-device; this
-                    # run's shape can't use it — fall through to the
-                    # no-cache resolution rather than crash downstream
-                    # (euler/leapfrog sym runs at any N via the blocked
-                    # composition, so only hermite keeps an N cap)
+                if mesh is not None:
+                    # the cached winner was tuned single-device; a mesh
+                    # run can't use it — fall through to the no-cache
+                    # resolution rather than crash downstream (every
+                    # integrator's sym runs at any N via the blocked
+                    # compositions)
                     resolved = None
             if resolved:
                 variant = resolved["variant"]
@@ -231,15 +220,11 @@ class BodySystem:
                     self.tile_j = tile_j = resolved["tile_j"]
                     self._tiles_from_cache = True
             else:
-                from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
-
                 # no cache: the Newton's-third-law kernels where they
                 # apply (exact fp32, 1.29-1.42x — PARITY.md), else vpu;
-                # euler/leapfrog sym covers any N (blocked composition
-                # above SYM_MAX_N), hermite is capped
-                sym_ok = (backend == "pallas" and mesh is None
-                          and (integrator != "hermite"
-                               or self.num_bodies <= AJ_SYM_MAX_N))
+                # every integrator's sym covers any N (blocked
+                # compositions above the per-kernel scratch caps)
+                sym_ok = backend == "pallas" and mesh is None
                 variant = "sym" if sym_ok else "vpu"
             self.variant = variant
 
@@ -629,21 +614,20 @@ class BodySystem:
 
             interpret = self.interpret
             if self.variant == "sym":
-                from nbody_tpu.ops.symmetric_kernel import (
-                    AJ_SYM_TILE_J,
-                    TI,
-                    compute_accel_jerk_symmetric,
-                )
+                from nbody_tpu.ops import symmetric_kernel as symk
 
                 # cache_ok=False: the tune cache measured the euler
                 # force kernel, not this accel+jerk shape
-                s_ti, s_tj = self._sym_tiles(TI, AJ_SYM_TILE_J,
-                                             cache_ok=False)
+                s_ti, s_tj = self._sym_tiles(
+                    symk.TI, symk.AJ_SYM_TILE_J, cache_ok=False)
+                cap = symk.AJ_SYM_MAX_N  # module attr: tests shrink it
 
                 def aj_sym(p4, v4, soft):
-                    return compute_accel_jerk_symmetric(
+                    # delegates to the single-triangle kernel bit-exactly
+                    # when N <= AJ_SYM_MAX_N
+                    return symk.compute_accel_jerk_symmetric_blocked(
                         p4, v4, soft, tile_i=s_ti, tile_j=s_tj,
-                        interpret=interpret)
+                        interpret=interpret, block_cap=cap)
 
                 return aj_sym
 

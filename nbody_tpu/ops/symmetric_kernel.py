@@ -539,6 +539,218 @@ AJ_SYM_MAX_N = 32768
 AJ_SYM_TILE_J = 2048
 
 
+def _aj_sym_cross_kernel(meta_ref, posi_ref, veli_ref, post_ref, velt_ref,
+                         acc_ref, jerk_ref, ra_ref, rj_ref,
+                         ax, ay, az, gx, gy, gz,
+                         rax, ray, raz, rjx, rjy, rjz,
+                         *, tile_i: int, tile_j: int):
+    """Mask-free accel+jerk over one Bi×Bj cross block pair, each (i, j)
+    pair ONCE: the _sym_cross_kernel pattern extended with the jerk
+    bracket of _aj_sym_kernel (q is antisymmetric under i↔j, so the jerk
+    reaction is −m_i·q, accumulated like the force reaction)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    eps2 = meta_ref[0]
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_reaction():
+        zeros = jnp.zeros_like(rax)
+        for r in (rax, ray, raz, rjx, rjy, rjz):
+            r[:] = zeros
+
+    @pl.when(j == 0)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(ax)
+        for r in (ax, ay, az, gx, gy, gz):
+            r[:, :] = zeros
+
+    xi = posi_ref[:, 0:1]
+    yi = posi_ref[:, 1:2]
+    zi = posi_ref[:, 2:3]
+    mi = posi_ref[:, 3:4]
+    vxi = veli_ref[:, 0:1]
+    vyi = veli_ref[:, 1:2]
+    vzi = veli_ref[:, 2:3]
+    j_base = j * tile_j
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+        dx = post_ref[0:1, sl] - xi
+        dy = post_ref[1:2, sl] - yi
+        dz = post_ref[2:3, sl] - zi
+        dvx = velt_ref[0:1, sl] - vxi
+        dvy = velt_ref[1:2, sl] - vyi
+        dvz = velt_ref[2:3, sl] - vzi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+        inv = jax.lax.rsqrt(r2)
+        inv2 = inv * inv
+        inv3 = inv2 * inv
+        rv = dx * dvx + dy * dvy + dz * dvz
+        c3p = 3.0 * rv * inv2 * inv3  # 3 (d·dv)/r⁵, mass-free
+        mj = post_ref[3:4, sl]
+        s = mj * inv3
+        t = mi * inv3
+        qx = inv3 * dvx - c3p * dx
+        qy = inv3 * dvy - c3p * dy
+        qz = inv3 * dvz - c3p * dz
+        ax[:] += s * dx
+        ay[:] += s * dy
+        az[:] += s * dz
+        gx[:] += mj * qx
+        gy[:] += mj * qy
+        gz[:] += mj * qz
+        for rref, u in ((rax, t * dx), (ray, t * dy), (raz, t * dz),
+                        (rjx, mi * qx), (rjy, mi * qy), (rjz, mi * qz)):
+            r8 = u[0:SUB]
+            for q_ in range(1, tile_i // SUB):
+                r8 = r8 + u[q_ * SUB:(q_ + 1) * SUB]
+            idx = (slice(0, SUB), pl.ds(j_base + k * LANES, LANES))
+            rref[idx] = rref[idx] - r8
+
+    @pl.when(j == nj - 1)
+    def _finalize_row():
+        for c, a in enumerate((ax, ay, az)):
+            acc_ref[:, c:c + 1] = jnp.sum(a[:], axis=1, keepdims=True)
+        for c, g in enumerate((gx, gy, gz)):
+            jerk_ref[:, c:c + 1] = jnp.sum(g[:], axis=1, keepdims=True)
+        acc_ref[:, 3:4] = jnp.zeros_like(acc_ref[:, 3:4])
+        jerk_ref[:, 3:4] = jnp.zeros_like(jerk_ref[:, 3:4])
+
+    @pl.when(jnp.logical_and(i == pl.num_programs(0) - 1, j == nj - 1))
+    def _emit_reaction():
+        for c_idx, (rref, oref) in enumerate((
+                (rax, ra_ref), (ray, ra_ref), (raz, ra_ref),
+                (rjx, rj_ref), (rjy, rj_ref), (rjz, rj_ref))):
+            v = rref[0:1, :]
+            for q_ in range(1, SUB):
+                v = v + rref[q_:q_ + 1, :]
+            oref[c_idx % 3:c_idx % 3 + 1, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def _aj_sym_cross(posi, veli, postT, veltT, softening, *, tile_i: int,
+                  tile_j: int, interpret: bool = False):
+    """One Bi×Bj accel+jerk cross block pair: returns (acc_i (Bi, 4),
+    jerk_i (Bi, 4), react_acc (3, Bj), react_jerk (3, Bj)). Inputs
+    pre-padded to tile multiples; i-set AoS, j-set transposed."""
+    f32 = jnp.float32
+    bi = posi.shape[0]
+    bj = postT.shape[1]
+    meta = jnp.asarray(softening, f32).reshape(1) ** 2
+    row_spec = pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0))
+    col_spec = pl.BlockSpec((4, tile_j), lambda i, j, meta: _ix(0, j))
+    full_spec = pl.BlockSpec((3, bj), lambda i, j, meta: _ix(0, 0))
+    return pl.pallas_call(
+        functools.partial(_aj_sym_cross_kernel, tile_i=tile_i,
+                          tile_j=tile_j),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bi // tile_i, bj // tile_j),
+            in_specs=[row_spec, row_spec, col_spec, col_spec],
+            out_specs=[row_spec, row_spec, full_spec, full_spec],
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(6)]
+                + [pltpu.VMEM((SUB, bj), f32) for _ in range(6)]
+            ),
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bi, 4), f32),
+            jax.ShapeDtypeStruct((bi, 4), f32),
+            jax.ShapeDtypeStruct((3, bj), f32),
+            jax.ShapeDtypeStruct((3, bj), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # rows share the reaction scratch -> sequential walk
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * bi * bj,
+            bytes_accessed=(bi // tile_i) * (bj // tile_j)
+            * (tile_i + tile_j) * 32,
+            transcendentals=bi * bj,
+        ),
+        interpret=interpret,
+    )(meta, posi, veli, postT, veltT)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def compute_accel_jerk_symmetric_blocked(pos, vel, softening, *,
+                                         tile_i: int = TI,
+                                         tile_j: int = AJ_SYM_TILE_J,
+                                         interpret: bool = False,
+                                         block_cap: int = AJ_SYM_MAX_N):
+    """(acc, jerk), each (N, 3), each pair evaluated once, ANY N — the
+    blockwise composition of the accel+jerk triangle (self triangles +
+    mask-free cross rectangles whose 6 reaction scratches span one block;
+    the compute_accel_symmetric_blocked pattern). N ≤ block_cap delegates
+    to the single-triangle kernel."""
+    if pos.dtype != jnp.float32:
+        raise TypeError("pallas path is float32; use the XLA path for fp64")
+    n = pos.shape[0]
+    if n <= block_cap:
+        return compute_accel_jerk_symmetric(pos, vel, softening,
+                                            tile_i=tile_i, tile_j=tile_j,
+                                            interpret=interpret)
+    f32 = jnp.float32
+    if tile_i % SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {SUB} | tile_i, {LANES} | tile_j and tile_i | tile_j; "
+            f"got ({tile_i}, {tile_j})")
+    k, blk = sym_blocking(n, tile_j, block_cap)
+    if tile_j * 2 > blk:
+        # the measured Mosaic scoped-vmem hazard of the force path (a
+        # block-wide j-stream leaves a single-grid-step fused program):
+        # clamp to the widest tile dividing the block at <= blk/2
+        import math
+
+        base = LANES * tile_i // math.gcd(LANES, tile_i)
+        fitted = (blk // 2 // base) * base
+        while fitted > base and blk % fitted:
+            fitted -= base
+        if fitted >= base and blk % fitted == 0:
+            tile_j = fitted
+        elif blk > 4096:
+            raise ValueError(
+                f"blocked sym aj needs tile_j <= block/2: got "
+                f"tile_j={tile_j}, block={blk} (use a smaller tile_j)")
+        else:
+            tile_j = blk
+    n_pad = k * blk
+
+    def pad(a):
+        return jnp.pad(a.astype(f32), ((0, n_pad - n), (0, 0)))
+
+    pos_p, vel_p = pad(pos), pad(vel)
+    pblocks = [pos_p[a * blk:(a + 1) * blk] for a in range(k)]
+    vblocks = [vel_p[a * blk:(a + 1) * blk] for a in range(k)]
+
+    acc_parts = [[] for _ in range(k)]
+    jerk_parts = [[] for _ in range(k)]
+    for a in range(k):
+        sa, sj = compute_accel_jerk_symmetric(
+            pblocks[a], vblocks[a], softening, tile_i=tile_i,
+            tile_j=tile_j, interpret=interpret)
+        acc_parts[a].append(sa)
+        jerk_parts[a].append(sj)
+    for a in range(k):
+        for b in range(a + 1, k):
+            acc_i, jerk_i, r_a, r_j = _aj_sym_cross(
+                pblocks[a], vblocks[a], pblocks[b].T, vblocks[b].T,
+                softening, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret)
+            acc_parts[a].append(acc_i[:, :3])
+            jerk_parts[a].append(jerk_i[:, :3])
+            acc_parts[b].append(r_a.T)
+            jerk_parts[b].append(r_j.T)
+    acc = jnp.concatenate(
+        [functools.reduce(jnp.add, parts) for parts in acc_parts])
+    jerk = jnp.concatenate(
+        [functools.reduce(jnp.add, parts) for parts in jerk_parts])
+    return acc[:n], jerk[:n]
+
+
 def _aj_sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
                    posi_ref, veli_ref, post_ref, velt_ref,
                    acc_ref, jerk_ref, ra_ref, rj_ref,

@@ -120,15 +120,25 @@ def test_body_system_sym_variant_gates():
     from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
     from nbody_tpu.params import NBodyParams
 
-    # euler/leapfrog sym is no longer N-capped: above SYM_MAX_N the step
-    # routes through the blocked composition (construction must succeed)
+    # sym is no longer N-capped for ANY integrator: above the per-kernel
+    # scratch caps the step routes through the blocked compositions
+    # (construction must succeed)
     s = BodySystem(SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="sym", interpret=True)
     assert s.variant == "sym"
-    # hermite's accel+jerk has no blocked form: its cap still gates
-    with pytest.raises(ValueError, match="sym"):
-        BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
+    h = BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="sym", interpret=True, integrator="hermite")
+    assert h.variant == "sym"
+    # the mesh gate still applies
+    with pytest.raises(ValueError, match="single-device"):
+        import jax
+
+        from nbody_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 2:
+            raise ValueError("single-device")  # pragma: no cover
+        BodySystem(512, NBodyParams(), backend="pallas", variant="sym",
+                   mesh=make_mesh(2), interpret=True)
 
 
 def test_body_system_sym_hermite():
@@ -149,7 +159,9 @@ def test_body_system_sym_hermite():
 
 def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
     """A tune-cache sym winner must not leak into shapes sym can't run
-    (mesh / hermite / big N) — auto falls back instead of crashing."""
+    (meshes) — auto falls back instead of crashing. Hermite above
+    AJ_SYM_MAX_N is no longer inapplicable: the blocked accel+jerk
+    composition covers it, so auto keeps the sym winner there."""
     import jax
 
     from nbody_tpu.models import BodySystem
@@ -167,7 +179,7 @@ def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
 
     s = BodySystem(AJ_SYM_MAX_N + 64, NBodyParams(), backend="pallas",
                    variant="auto", integrator="hermite", interpret=True)
-    assert s.variant == "vpu"
+    assert s.variant == "sym"
 
     if len(jax.devices()) >= 8:
         from nbody_tpu.parallel import make_mesh
@@ -283,6 +295,76 @@ def test_body_system_sym_blocked_above_cap(monkeypatch):
     al.update(0.01)
     bl.update(0.01)
     np.testing.assert_allclose(al.positions, bl.positions, atol=1e-5)
+
+
+def test_aj_blocked_matches_xla_and_momentum():
+    """The blocked accel+jerk composition (self triangles + cross
+    rectangles with 6 reaction scratches) matches the XLA reference for
+    BOTH outputs; k=2,3,4 cover one-cross, multi-cross, remainder-pad."""
+    from nbody_tpu.ops.reference import compute_accel_jerk_xla
+    from nbody_tpu.ops.symmetric_kernel import (
+        compute_accel_jerk_symmetric_blocked,
+        sym_blocking,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 1000, 1.54, 8.0, seed=5)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    ra, rj = compute_accel_jerk_xla(p, v, SOFT)
+    ra, rj = np.asarray(ra), np.asarray(rj)
+    for cap, tj in ((512, 256), (384, 128), (256, 128)):
+        k, blk = sym_blocking(1000, tj, cap)
+        assert k >= 2
+        ga, gj = compute_accel_jerk_symmetric_blocked(
+            p, v, SOFT, tile_i=64, tile_j=tj, interpret=True, block_cap=cap)
+        ga, gj = np.asarray(ga), np.asarray(gj)
+        assert np.abs(ga - ra).max() / np.abs(ra).max() < 1e-5, (cap, tj)
+        assert np.abs(gj - rj).max() / np.abs(rj).max() < 1e-5, (cap, tj)
+
+    # each pair counted once whether in a self triangle or a cross
+    # rectangle: momentum AND its derivative (sum m_i * jerk_i) are
+    # antisymmetric to fp rounding
+    ga, gj = compute_accel_jerk_symmetric_blocked(
+        p, v, SOFT, tile_i=64, tile_j=128, interpret=True, block_cap=384)
+    for field in (np.asarray(ga), np.asarray(gj)):
+        net = (pos[:, 3:4] * field).sum(axis=0)
+        assert np.abs(net).max() / np.abs(pos[:, 3:4] * field).sum() < 1e-6
+
+
+def test_aj_blocked_delegates_below_cap():
+    """N <= block_cap is bit-identical to the single-triangle aj kernel."""
+    from nbody_tpu.ops.symmetric_kernel import (
+        compute_accel_jerk_symmetric,
+        compute_accel_jerk_symmetric_blocked,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 512, 1.54, 8.0, seed=6)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    a1, j1 = compute_accel_jerk_symmetric(p, v, SOFT, tile_j=256,
+                                          interpret=True)
+    a2, j2 = compute_accel_jerk_symmetric_blocked(
+        p, v, SOFT, tile_j=256, interpret=True, block_cap=4096)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(j1), np.asarray(j2))
+
+
+def test_body_system_sym_hermite_blocked_above_cap(monkeypatch):
+    """hermite + variant='sym' above AJ_SYM_MAX_N routes through the
+    blocked accel+jerk composition (cap monkeypatched small so interpret
+    mode is feasible) and matches the xla backend."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops import symmetric_kernel as symk
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(symk, "AJ_SYM_MAX_N", 256)
+    params = NBodyParams(softening=SOFT, damping=0.999)
+    a = BodySystem(640, params, backend="pallas", variant="sym",
+                   interpret=True, seed=13, tile_j=128,
+                   integrator="hermite")
+    b = BodySystem(640, params, backend="xla", seed=13,
+                   integrator="hermite")
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
 
 
 def test_blocked_clamps_block_wide_stream():
