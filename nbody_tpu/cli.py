@@ -116,7 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "shard size; sym = Newton's-third-law "
                         "decomposition — each global pair computed once "
                         "across the mesh, ~0.5x the FLOPs for ~1.8x the "
-                        "bytes; exact pallas kernels, euler/leapfrog)")
+                        "bytes; exact pallas kernels, all integrators)")
     p.add_argument("--integrator", choices=["euler", "leapfrog", "hermite"],
                    default="euler",
                    help="euler = reference's damped semi-implicit Euler; "
@@ -481,11 +481,6 @@ def _main(argv=None) -> int:
             print("error: --strategy sym runs the Newton's-third-law "
                   f"pallas kernels; use --kernel pallas/auto (got "
                   f"--kernel {args.kernel})", file=sys.stderr)
-            return 1
-        if args.integrator == "hermite":
-            print("error: --strategy sym supports --integrator "
-                  "euler/leapfrog (the symmetric accel+jerk kernel has "
-                  "no sharded form)", file=sys.stderr)
             return 1
         if args.mesh_rows is not None:
             print("error: --strategy sym uses the 1-D body mesh; drop "

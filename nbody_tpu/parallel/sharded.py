@@ -254,6 +254,116 @@ def _sym_sharded_accel_fn(axis, ndev, *, tile_i, tile_j, interpret):
     return accel_fn
 
 
+def _sym_sharded_aj_fn(axis, ndev, *, tile_i, tile_j, interpret):
+    """`aj_fn(p_sh, v_sh, soft) -> ((nloc, 3), (nloc, 3))` with each global
+    pair evaluated ONCE across the mesh — the Hermite form of
+    _sym_sharded_accel_fn (same self-triangle + ring-offset cross
+    rectangle + antipodal-quarter partition; see its docstring for the
+    coverage argument, which is integrator-independent).
+
+    The cross kernel is the accel+jerk rectangle (_aj_sym_cross): the
+    jerk bracket q = dv/r³ − 3(d·dv)d/r⁵ is antisymmetric under i↔j like
+    the force, so the jerk reaction −m_i·q accumulates exactly like the
+    force reaction. Per-device contributions carry 6 planes (acc xyz +
+    jerk xyz) and re-shard with ONE reduce-scatter; j-sub-blocking caps
+    at AJ_SYM_MAX_N (6 reaction scratches per kernel instead of 3).
+
+    Comms per aj evaluation: all_gather (N, 4)×2 in + psum_scatter (N, 6)
+    out — Hermite runs two evaluations per step, each paying this, which
+    is why the pair-count halving is worth the most here (2 force evals
+    amortize the same ~0.5× FLOPs saving twice)."""
+    import math
+
+    from nbody_tpu.ops.pallas_kernel import LANES, _round_up
+    from nbody_tpu.ops.symmetric_kernel import (
+        AJ_SYM_MAX_N,
+        SUB,
+        _aj_sym_cross,
+        compute_accel_jerk_symmetric_blocked,
+    )
+
+    if tile_i % SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"sym strategy needs {SUB} | tile_i, {LANES} | tile_j and "
+            f"tile_i | tile_j; got ({tile_i}, {tile_j})")
+    base = math.lcm(LANES, tile_i)
+
+    def aj_fn(p_sh, v_sh, soft):
+        nloc = p_sh.shape[0]
+        b_pad = _round_up(nloc, 2 * base)
+        half = b_pad // 2
+        p_pad = jnp.pad(p_sh, ((0, b_pad - nloc), (0, 0)))
+        v_pad = jnp.pad(v_sh, ((0, b_pad - nloc), (0, 0)))
+        p_all = jax.lax.all_gather(p_pad, axis, axis=0, tiled=True)
+        v_all = jax.lax.all_gather(v_pad, axis, axis=0, tiled=True)
+        d = jax.lax.axis_index(axis)
+
+        oa, oj = compute_accel_jerk_symmetric_blocked(
+            p_pad, v_pad, soft, tile_i=tile_i,
+            tile_j=_sym_fit_div(tile_j, b_pad, base), interpret=interpret,
+            block_cap=AJ_SYM_MAX_N)
+        own = jnp.concatenate([oa, oj], axis=1)  # (b_pad, 6)
+        contrib = jnp.zeros((ndev, b_pad, 6), p_sh.dtype)
+
+        def shard_at(all_, e):
+            return jax.lax.dynamic_slice_in_dim(
+                all_, e * b_pad, b_pad, axis=0)
+
+        def cross(pi, vi, pj, vj):
+            """(rows, 4/4) vs (span, 4/4), j-sub-blocked to the VMEM cap;
+            returns (accjerk_i (rows, 6), react_j (span, 6))."""
+            span = pj.shape[0]
+            sub = _sym_fit_div(AJ_SYM_MAX_N, span, base)
+            tj = _sym_fit_tile(tile_j, sub, base)
+            aj_i = None
+            reacts = []
+            for s0 in range(0, span, sub):
+                a_i, j_i, r_a, r_j = _aj_sym_cross(
+                    pi, vi, pj[s0:s0 + sub].T, vj[s0:s0 + sub].T, soft,
+                    tile_i=tile_i, tile_j=tj, interpret=interpret)
+                part = jnp.concatenate([a_i[:, :3], j_i[:, :3]], axis=1)
+                aj_i = part if aj_i is None else aj_i + part
+                reacts.append(jnp.concatenate([r_a, r_j], axis=0))
+            return aj_i, jnp.concatenate(reacts, axis=1).T
+
+        for off in range(1, (ndev - 1) // 2 + 1):
+            e = (d + off) % ndev
+            aj_i, react = cross(p_pad, v_pad,
+                                shard_at(p_all, e), shard_at(v_all, e))
+            own = own + aj_i
+            contrib = jax.lax.dynamic_update_slice(
+                contrib, react[None], (e, 0, 0))
+
+        if ndev % 2 == 0 and ndev > 1:
+            e = (d + ndev // 2) % ndev
+            pj = shard_at(p_all, e)
+            vj = shard_at(v_all, e)
+            first_half = d < ndev // 2
+            react_e = jnp.zeros((b_pad, 6), p_sh.dtype)
+            for ih in (0, 1):
+                # aligned quarters for the first half of the ring,
+                # crossed for the second: disjoint + exhaustive
+                jh = jnp.where(first_half, ih, 1 - ih) * half
+                i_p = p_pad[ih * half:(ih + 1) * half]
+                i_v = v_pad[ih * half:(ih + 1) * half]
+                j_p = jax.lax.dynamic_slice_in_dim(pj, jh, half, axis=0)
+                j_v = jax.lax.dynamic_slice_in_dim(vj, jh, half, axis=0)
+                aj_i, react = cross(i_p, i_v, j_p, j_v)
+                own = own.at[ih * half:(ih + 1) * half].add(aj_i)
+                react_e = jax.lax.dynamic_update_slice(
+                    react_e, react, (jh, 0))
+            contrib = jax.lax.dynamic_update_slice(
+                contrib, react_e[None], (e, 0, 0))
+
+        contrib = jax.lax.dynamic_update_slice(contrib, own[None], (d, 0, 0))
+        total = jax.lax.psum_scatter(
+            contrib.reshape(ndev * b_pad, 6), axis,
+            scatter_dimension=0, tiled=True)
+        return total[:nloc, :3], total[:nloc, 3:]
+
+    return aj_fn
+
+
 def _allgather_aj_fn(aj_vs, axis):
     """`aj_fn(p_sh, v_sh) -> ((nloc,3), (nloc,3))`: hermite's force
     evaluation — positions AND velocities gather (the jerk needs both).
@@ -327,17 +437,10 @@ def make_sharded_step(
             "integrator='hermite' supports strategies "
             "'allgather'/'ring'/'auto' (ring_fused fuses the Euler "
             "update into its kernel)")
-    if strategy == "sym":
-        if kernel != "pallas":
-            raise ValueError(
-                "strategy='sym' runs the Newton's-third-law Pallas "
-                "kernels; use kernel='pallas'")
-        if integrator == "hermite":
-            raise ValueError(
-                "strategy='sym' supports integrator='euler'/'leapfrog' "
-                "(the symmetric accel+jerk kernel has no sharded form — "
-                "its single-device gain is already marginal, "
-                "ops/symmetric_kernel.py)")
+    if strategy == "sym" and kernel != "pallas":
+        raise ValueError(
+            "strategy='sym' runs the Newton's-third-law Pallas "
+            "kernels; use kernel='pallas'")
     ndev = mesh.shape[axis]
     # None = "not specified" (BodySystem._explicit_tiles semantics): the
     # force kernels get DEFAULT_TILE_*, the hermite acc+jerk kernel its own
@@ -461,11 +564,21 @@ def make_sharded_step(
         # the sym kernels have their own tuned tiles (None-sentinel
         # semantics as elsewhere: explicit caller tiles always win)
         from nbody_tpu.ops.symmetric_kernel import (
+            AJ_SYM_TILE_J,
             DEFAULT_TILE_J_SYM_BLOCKED,
             TI,
         )
 
         s_ti = tile_i if explicit_i else TI
+        if integrator == "hermite":
+            from nbody_tpu.ops.reference import nbody_step_hermite
+
+            aj_tj = tile_j if explicit_j else AJ_SYM_TILE_J
+            ajf = _sym_sharded_aj_fn(axis, ndev, tile_i=s_ti, tile_j=aj_tj,
+                                     interpret=interpret)
+            return nbody_step_hermite(
+                pos_sh, vel_sh, dt, soft, damp,
+                accel_jerk_fn=lambda p, v: ajf(p, v, soft))
         s_tj = tile_j if explicit_j else DEFAULT_TILE_J_SYM_BLOCKED
         accel = _sym_sharded_accel_fn(axis, ndev, tile_i=s_ti, tile_j=s_tj,
                                       interpret=interpret)

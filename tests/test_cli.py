@@ -88,14 +88,21 @@ def test_devices_mesh_sym_strategy(capsys):
     assert rc == 0
 
 
+def test_devices_mesh_sym_hermite(capsys):
+    """--strategy sym + hermite (sharded symmetric accel+jerk) through
+    the full CLI demo path on the 8-device virtual mesh."""
+    rc = main(["--numbodies", "256", "--frames", "1", "--kernel", "pallas",
+               "--no-cycle", "--devices", "8", "--strategy", "sym",
+               "--integrator", "hermite"])
+    assert rc == 0
+
+
 def test_sym_strategy_validations(capsys):
     import sys
 
     for argv, frag in (
         (["--devices", "2", "--strategy", "sym", "--kernel", "pm"],
          "pallas"),
-        (["--devices", "2", "--strategy", "sym", "--kernel", "pallas",
-          "--integrator", "hermite"], "euler/leapfrog"),
         (["--devices", "4", "--strategy", "sym", "--mesh-rows", "2"],
          "1-D body mesh"),
         (["--devices", "2", "--strategy", "sym", "--fp64"], "float32"),

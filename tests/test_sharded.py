@@ -239,9 +239,68 @@ def test_sharded_sym_gates():
     mesh = make_mesh(2)
     with pytest.raises(ValueError, match="pallas"):
         make_sharded_step(mesh, kernel="xla", strategy="sym")
-    with pytest.raises(ValueError, match="euler"):
-        make_sharded_step(mesh, kernel="pallas", strategy="sym",
-                          integrator="hermite")
+
+
+@pytest.mark.parametrize("ndev", [2, 5, 8])
+def test_sharded_sym_hermite_matches_single_device(ndev):
+    """strategy='sym' + hermite: the sharded accel+jerk decomposition
+    (self triangles + offset cross rectangles + antipodal quarters, 6
+    reaction planes per contribution) matches the single-device hermite
+    step for odd and even device counts."""
+    from nbody_tpu.ops.reference import (
+        compute_accel_jerk_xla,
+        nbody_step_hermite,
+    )
+
+    if len(jax.devices()) < ndev:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(ndev)
+    from nbody_tpu import NBodyConfig, ic
+
+    n = 640 if ndev == 5 else 512
+    pos, vel = ic.generate(NBodyConfig.RANDOM, n, 1.54, 8.0, seed=3)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    ref_p, ref_v = nbody_step_hermite(
+        p, v, DT, SOFT, DAMP,
+        accel_jerk_fn=lambda p4, v4: compute_accel_jerk_xla(p4, v4, SOFT))
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                             tile_i=8, tile_j=128, interpret=True,
+                             integrator="hermite")
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v), atol=2e-5)
+    assert p1.sharding == ps.sharding
+
+
+def test_sharded_sym_hermite_subblocks_big_shards(monkeypatch):
+    """Shards larger than AJ_SYM_MAX_N sub-block their accel+jerk cross
+    rectangles (cap shrunk so interpret mode is feasible); results must
+    still match the single-device hermite step."""
+    import nbody_tpu.ops.symmetric_kernel as symk
+    from nbody_tpu.ops.reference import (
+        compute_accel_jerk_xla,
+        nbody_step_hermite,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    monkeypatch.setattr(symk, "AJ_SYM_MAX_N", 128)
+    mesh = make_mesh(2)  # nloc = 256 > the shrunken cap
+    from nbody_tpu import NBodyConfig, ic
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 512, 1.54, 8.0, seed=4)
+    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    ref_p, ref_v = nbody_step_hermite(
+        p, v, DT, SOFT, DAMP,
+        accel_jerk_fn=lambda p4, v4: compute_accel_jerk_xla(p4, v4, SOFT))
+    ps, vs = shard_state(mesh, pos, vel)
+    step = make_sharded_step(mesh, kernel="pallas", strategy="sym",
+                             tile_i=8, tile_j=128, interpret=True,
+                             integrator="hermite")
+    p1, v1 = step(ps, vs, DT, SOFT, DAMP)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(ref_p), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(ref_v), atol=2e-5)
 
 
 def test_sharded_sym_subblocks_big_shards(monkeypatch, random_state_tiny):
