@@ -34,8 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "genuine f64, XLA-emulated on TPU, ~0.32 G int/s), "
                         "or ds (double-single two-float32 kernel: fp64-"
                         "GRADE accuracy — |dpos| ~1e-14 vs the f64 oracle "
-                        "— at 68x the emulated-f64 speed; supports "
-                        "--benchmark / --qatest / --drift-check)")
+                        "— at 68x the emulated-f64 speed; full product "
+                        "surface: demo/render/checkpoint/--interactive/"
+                        "--adaptive-dt/--devices plus --benchmark/"
+                        "--qatest/--drift-check)")
     p.add_argument("--hostmem", action="store_true",
                    help="keep state in host memory, stream per step")
     p.add_argument("--benchmark", action="store_true", help="run timed benchmark")
@@ -216,10 +218,11 @@ def main(argv=None) -> int:
 
 
 def _run_ds(args) -> int:
-    """--precision ds: benchmark / QA / drift on the double-single kernel
-    (fp64-grade accuracy at VPU speed; ops/ds_kernel.py, DSBodySystem).
-    Scoped to the measurement modes — the demo/render pipeline is an
-    fp32 visualization path where ds buys nothing."""
+    """--precision ds measurement modes: benchmark / QA / drift on the
+    double-single kernel (fp64-grade accuracy at VPU speed;
+    ops/ds_kernel.py, DSBodySystem) with ds-grade pass gates. The
+    demo/render/checkpoint/mesh path runs through Compute(precision='ds')
+    in _main instead."""
     import time
 
     import numpy as np
@@ -394,15 +397,53 @@ def _main(argv=None) -> int:
             print("error: --precision ds and --fp64 are exclusive",
                   file=sys.stderr)
             return 1
-        if args.adaptive_dt is not None:
-            print("error: --adaptive-dt is not available under "
-                  "--precision ds (the ds rollouts are fixed-dt)",
+        if args.benchmark or args.compare or args.qatest \
+                or args.drift_check is not None:
+            # the measurement modes keep their ds-grade gates and
+            # delta-timed benchmark driver
+            if args.adaptive_dt is not None:
+                print("error: --adaptive-dt is a demo-mode option; the "
+                      "ds measurement modes are fixed-dt", file=sys.stderr)
+                return 1
+            return _run_ds(args)
+        # demo/render/checkpoint/interactive path: Compute(precision='ds')
+        # owns a DSBodySystem behind the same facade
+        if args.hostmem:
+            print("error: --precision ds keeps state on device (no "
+                  "--hostmem)", file=sys.stderr)
+            return 1
+        if args.kernel not in ("auto", "pallas"):
+            print("error: --precision ds runs the double-single pallas "
+                  f"kernels; use --kernel auto/pallas (got {args.kernel})",
                   file=sys.stderr)
             return 1
-        return _run_ds(args)
+        if args.mesh_rows is not None:
+            print("error: --precision ds shards over the 1-D body mesh; "
+                  "drop --mesh-rows", file=sys.stderr)
+            return 1
+        if (args.devices or 0) > 1:
+            if args.strategy not in ("auto", "allgather"):
+                print("error: the sharded ds step gathers hi/lo planes "
+                      "(allgather); use --strategy auto/allgather",
+                      file=sys.stderr)
+                return 1
+            if args.adaptive_dt is not None:
+                print("error: ds adaptive rollouts are single-device; "
+                      "drop --devices or --adaptive-dt", file=sys.stderr)
+                return 1
+        if args.variant not in ("auto", "sym"):
+            print("error: --precision ds variants are auto/sym (got "
+                  f"{args.variant})", file=sys.stderr)
+            return 1
+        if args.selftest:
+            print("error: --selftest measures the fp32/fp64 paths; use "
+                  "--precision ds with --qatest/--drift-check instead",
+                  file=sys.stderr)
+            return 1
     if args.fp64:
         jax.config.update("jax_enable_x64", True)
-    if args.interactive and not jax.config.jax_enable_x64:
+    if args.interactive and args.precision != "ds" \
+            and not jax.config.jax_enable_x64:
         # runtime fp32<->fp64 parity (reference Enter key, controls.cpp:92-94):
         # x64 must be available from process start for the toggle to work
         # mid-loop; fp32 state stays fp32 (dtypes are explicit throughout)
@@ -529,7 +570,8 @@ def _main(argv=None) -> int:
         import numpy as np
 
         n = args.numbodies or 16384
-        gdt = np.float64 if args.fp64 else np.float32
+        gdt = (np.float64 if args.fp64 or args.precision == "ds"
+               else np.float32)
         tipsy_state = ic.galaxy_collision(n, seed=args.seed, dtype=gdt)
 
     if args.tipsy:
@@ -537,7 +579,8 @@ def _main(argv=None) -> int:
         import numpy as np
 
         tpos, tvel = read_tipsy_file(args.tipsy)
-        dt = np.float64 if args.fp64 else np.float32
+        dt = (np.float64 if args.fp64 or args.precision == "ds"
+              else np.float32)
         tipsy_state = (tpos.astype(dt), tvel.astype(dt))
         print(f"Read {tipsy_state[0].shape[0]} bodies from {args.tipsy}")
 
@@ -558,7 +601,11 @@ def _main(argv=None) -> int:
         import numpy as np
 
         cpos, cvel, cparams, meta = load_checkpoint(args.checkpoint_load)
-        dt = np.float64 if args.fp64 else np.float32
+        # ds resumes through f64: the hi/lo pair round-trips exactly
+        # (hi + lo is representable in f64 and ds_from_f64 re-splits to
+        # the identical pair), so a resumed ds run continues bit-identically
+        dt = (np.float64 if args.fp64 or args.precision == "ds"
+              else np.float32)
         tipsy_state = (cpos.astype(dt), cvel.astype(dt))
         checkpoint_params = cparams
         resume_step = int(meta.get("step", 0))
@@ -566,12 +613,14 @@ def _main(argv=None) -> int:
               f"from {args.checkpoint_load}")
 
     backend = args.kernel
-    if args.cpu and backend == "auto":
+    if args.cpu and backend == "auto" and args.precision != "ds":
+        # ds has no XLA twin: --cpu runs the ds kernels in interpret mode
         backend = "xla"
 
     compute = Compute(
         num_bodies=args.numbodies,
         fp64=args.fp64,
+        precision=args.precision,
         cycle_demo=not args.no_cycle,
         backend=backend,
         tile_i=args.block_size,
@@ -595,6 +644,14 @@ def _main(argv=None) -> int:
         compute.active_params = checkpoint_params
         compute.system.update_params(checkpoint_params)
     compute.steps_taken = resume_step  # checkpoint step counter continuity
+    if args.precision == "ds" and args.checkpoint_load:
+        from nbody_tpu.io import load_checkpoint_ds_planes
+
+        planes = load_checkpoint_ds_planes(args.checkpoint_load)
+        if planes is not None:
+            # restore the raw hi/lo planes: bit-exact resume (the f64
+            # view loaded above is the fallback for non-ds checkpoints)
+            compute.system.set_ds_state(*planes)
     if args.adaptive_dt is not None:
         # an explicit floor must sit under the effective ceiling (the
         # starting preset's time_step when --dt-max is omitted); demo
@@ -616,7 +673,7 @@ def _main(argv=None) -> int:
               else f", {args.devices}-device {args.strategy} mesh")
              if mesh else "")
           + (", host memory" if args.hostmem else "")
-          + f", {'fp64' if args.fp64 else 'fp32'}]")
+          + f", {compute.precision if compute.precision != 'ds' else 'ds (fp64-grade)'}]")
 
     if not (0 <= args.demo < len(DEMO_PARAMS)):
         raise ValueError(
@@ -704,6 +761,8 @@ def _main(argv=None) -> int:
             step=compute.steps_taken,
             config=compute.system.config,
             atomic=True,
+            ds_planes=(compute.system.get_ds_state()
+                       if compute.precision == "ds" else None),
         )
         print(f"Checkpoint written to {args.checkpoint_save} "
               f"(step {compute.steps_taken})")
@@ -778,7 +837,10 @@ def _run_demo(compute, args) -> int:
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}
             frame = renderer.render(
-                compute.system.state[0], camera, fp64=compute.fp64_enabled,
+                compute.system.state[0], camera,
+                # ds renders with the fp64 tint: the state IS fp64-grade
+                # (reference green-tints its double-precision mode)
+                fp64=compute.precision != "fp32",
                 sprite_size=args.sprite_size, brightness=args.brightness, **kw
             )
             if not args.no_hud:
@@ -800,6 +862,8 @@ def _run_demo(compute, args) -> int:
                 step=compute.steps_taken,
                 config=compute.system.config,
                 atomic=True,  # a crash mid-write must not eat the last good save
+                ds_planes=(compute.system.get_ds_state()
+                           if compute.precision == "ds" else None),
             )
         frames_since_report += 1
         now = time.monotonic()
@@ -807,7 +871,7 @@ def _run_demo(compute, args) -> int:
             compute.system.hard_sync()
             compute.calculate_fps(frames_since_report, (now - last_report) * 1e3,
                                   steps_per_frame=args.steps_per_frame)
-            precision = "fp64" if compute.fp64_enabled else "fp32"
+            precision = compute.precision
             adaptive_note = ""
             if compute.adaptive_stats is not None:
                 st = compute.adaptive_stats
@@ -931,6 +995,7 @@ def _write_run_metadata(outdir, compute, args, width, height) -> None:
         "num_bodies": compute.num_bodies,
         "params": dataclasses.asdict(compute.active_params),
         "fp64": compute.fp64_enabled,
+        "precision": compute.precision,
         "resolution": [width, height],
         "seed": args.seed,
         "config": args.config,

@@ -61,6 +61,7 @@ class Compute:
         *,
         num_bodies: Optional[int] = None,
         fp64: bool = False,
+        precision: Optional[str] = None,
         cycle_demo: bool = True,
         backend: str = "auto",
         tile_i: Optional[int] = None,
@@ -86,6 +87,21 @@ class Compute:
 
         self.log = log
         self.paused = False
+        # precision: "fp32" | "fp64" (BodySystem dtype) | "ds" (the
+        # double-single DSBodySystem — fp64-grade state behind the same
+        # facade: demo cycling, rendering hi-planes, checkpoints via the
+        # exact f64 round trip, adaptive rollouts). `fp64` stays as the
+        # boolean the reference-shaped call sites use.
+        if precision is None:
+            precision = "fp64" if fp64 else "fp32"
+        if precision not in ("fp32", "fp64", "ds"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if precision == "fp64":
+            fp64 = True
+        elif fp64:
+            raise ValueError("fp64=True contradicts precision="
+                             f"{precision!r}")
+        self.precision = precision
         self.fp64_enabled = fp64
         self.cycle_demo = cycle_demo
         self.active_demo = 0
@@ -113,6 +129,40 @@ class Compute:
             self.active_params = self.active_params.replace(
                 cluster_scale=scales[0], velocity_scale=scales[1]
             )
+
+        if precision == "ds":
+            if backend not in ("auto", "pallas"):
+                raise ValueError(
+                    "precision='ds' runs the double-single pallas "
+                    f"kernels; backend must be 'auto'/'pallas' (got "
+                    f"{backend!r})")
+            if placement != "device":
+                raise ValueError("precision='ds' keeps state on device")
+            if variant not in ("auto", "vpu", "sym", "one_sided"):
+                raise ValueError(
+                    f"precision='ds' variants are 'auto'/'sym'/"
+                    f"'one_sided' (got {variant!r})")
+            from nbody_tpu.models import DSBodySystem
+
+            kw = {}
+            if tile_i is not None:
+                kw["tile_i"] = tile_i
+            self.system = DSBodySystem(
+                num_bodies,
+                self.active_params,
+                tile_j=tile_j,
+                integrator=integrator,
+                variant=variant if variant in ("sym", "one_sided")
+                else "auto",
+                interpret=interpret,
+                seed=seed,
+                state=tipsy_state,
+                mesh=mesh,
+                **kw,
+            )
+            self.num_bodies = self.system.num_bodies
+            self._demo_reset_time = time.monotonic()
+            return
 
         dtype = jnp.float64 if fp64 else jnp.float32
         self.system = BodySystem(
@@ -221,8 +271,15 @@ class Compute:
         self.system.update_params(self.active_params)
 
     def switch_precision(self) -> None:
+        if self.precision == "ds":
+            # the reference Enter key toggles fp32<->fp64; ds IS the
+            # fp64-grade mode and its hi/lo state has no cheaper-precision
+            # twin to hop to — report instead of silently no-opping
+            self.log("precision fixed: double-single (fp64-grade) mode")
+            return
         self.system = self.system.switch_precision()
         self.fp64_enabled = not self.fp64_enabled
+        self.precision = "fp64" if self.fp64_enabled else "fp32"
 
     # ---- perf ----
 
@@ -230,7 +287,12 @@ class Compute:
         self.interactions_per_second = interactions_per_second(
             self.num_bodies, steps_per_second
         )
-        self.g_flops = gflops(self.num_bodies, steps_per_second, self.fp64_enabled)
+        # ds reports at the fp64 convention (30 flops/interaction): the
+        # result is fp64-grade, and the raw ALU multiple (~20x) would
+        # inflate the figure meaninglessly (same convention as the
+        # reference's fp64 mode, compute.cpp:118-121)
+        self.g_flops = gflops(self.num_bodies, steps_per_second,
+                              self.fp64_enabled or self.precision == "ds")
 
     def calculate_fps(self, frame_count: int, milliseconds: float,
                       *, steps_per_frame: int = 1) -> None:
@@ -280,10 +342,14 @@ class Compute:
             f"iterations: {milliseconds:.3f} ms"
         )
         self.log(f"= {self.interactions_per_second:.3f} billion interactions per second")
-        precision = "double" if self.fp64_enabled else "single"
+        precision = {"fp64": "double", "ds": "double-single",
+                     "fp32": "single"}[self.precision]
+        fpi = flops_per_interaction(self.fp64_enabled
+                                    or self.precision == "ds")
         self.log(
             f"= {self.g_flops:.3f} {precision}-precision GFLOP/s at "
-            f"{flops_per_interaction(self.fp64_enabled)} flops per interaction"
+            f"{fpi} flops per interaction"
+            + (" (fp64-convention)" if self.precision == "ds" else "")
         )
         if self.system.backend in ("pm", "p3m"):
             # the reference formula assumes O(N^2) work; for the mesh

@@ -20,10 +20,17 @@ FORMAT_VERSION = 1
 
 def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
                     config: NBodyConfig | None = None, extra: dict | None = None,
-                    atomic: bool = False) -> None:
+                    atomic: bool = False, ds_planes=None) -> None:
     """``atomic=True`` writes to a sibling temp file and ``os.replace``s it
     into place, so a crash mid-write (the case periodic autosave exists
-    for) can never leave a truncated checkpoint under the real name."""
+    for) can never leave a truncated checkpoint under the real name.
+
+    ``ds_planes`` = (pos_hi, pos_lo, vel_hi, vel_lo) float32 arrays of a
+    double-single state: saved alongside the f64 views so a ds resume is
+    BIT-exact. (The f64 view alone is not enough: a ds pair whose hi/lo
+    exponent gap exceeds f64's 29 spare mantissa bits carries information
+    below f64 resolution, so hi+lo would round.) Non-ds loaders read the
+    plain pos/vel and work unchanged."""
     import os
 
     meta = {
@@ -33,16 +40,21 @@ def save_checkpoint(path, pos, vel, params: NBodyParams, *, step: int = 0,
         "config": config.value if config is not None else None,
         "extra": extra or {},
     }
+    arrays = {
+        "pos": np.asarray(pos),
+        "vel": np.asarray(vel),
+    }
+    if ds_planes is not None:
+        meta["ds"] = True
+        for name, a in zip(("pos_hi", "pos_lo", "vel_hi", "vel_lo"),
+                           ds_planes):
+            arrays[name] = np.asarray(a, np.float32)
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     target = f"{path}.tmp{os.getpid()}" if atomic else path
     # write through an open handle: np.savez silently appends ".npz" to bare
     # paths, which would break save/load round trips under the same name
     with open(target, "wb") as f:
-        np.savez(
-            f,
-            pos=np.asarray(pos),
-            vel=np.asarray(vel),
-            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        )
+        np.savez(f, **arrays)
     if atomic:
         os.replace(target, path)
 
@@ -59,6 +71,21 @@ def load_checkpoint(path):
         vel = data["vel"]
         meta = json.loads(bytes(data["meta"].tobytes()).decode())
     return pos, vel, _params_from_meta(meta), meta
+
+
+def load_checkpoint_ds_planes(path):
+    """(pos_hi, pos_lo, vel_hi, vel_lo) if `path` carries a double-single
+    state (save_checkpoint ds_planes=...), else None — the bit-exact ds
+    resume path."""
+    import os
+
+    if os.path.isdir(path):
+        return None  # orbax checkpoints carry the f64 view only
+    with np.load(path) as data:
+        if "pos_hi" not in data.files:
+            return None
+        return tuple(data[k] for k in ("pos_hi", "pos_lo",
+                                       "vel_hi", "vel_lo"))
 
 
 def _params_from_meta(meta: dict) -> NBodyParams:

@@ -23,7 +23,6 @@ from nbody_tpu.config import NBodyConfig
 from nbody_tpu.params import NBodyParams
 from nbody_tpu import ic
 from nbody_tpu.ops.ds_kernel import (
-    DS_AJ_SYM_MAX_N,
     DS_AJ_SYM_TILE_J,
     DS_HERMITE_TILE_J,
     DS_SYM_MAX_N,
@@ -61,10 +60,21 @@ class DSBodySystem:
         config: NBodyConfig = NBodyConfig.SHELL,
         seed: int = 42,
         state: Optional[tuple] = None,
+        mesh=None,
     ):
-        self.num_bodies = int(num_bodies)
+        ndev = 1
+        if mesh is not None:
+            ndev = int(np.prod(list(mesh.shape.values())))
+            if len(mesh.axis_names) != 1:
+                raise ValueError(
+                    "DSBodySystem shards over the 1-D body mesh "
+                    "(make_sharded_ds_step); 2-D meshes are fp32-only")
+        # round N up so body shards divide evenly (BodySystem semantics)
+        self.num_bodies = -(-int(num_bodies) // ndev) * ndev
+        self.mesh = mesh
         self.params = params
         self.tile_i = tile_i
+        self.backend = "pallas"  # the Compute facade's backend probe
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(
                 "DSBodySystem supports integrator='euler' (reference "
@@ -74,29 +84,18 @@ class DSBodySystem:
         self.integrator = integrator
         # variant: 'sym' = Newton's-third-law ds kernels (each pair once,
         # 1.36-1.47x the one-sided euler ds rate — ops/ds_kernel.py) for
-        # euler at ANY N (blockwise composition above DS_SYM_MAX_N) and
-        # hermite at N <= DS_AJ_SYM_MAX_N; 'auto' picks it where it applies
+        # euler AND hermite at ANY N (blockwise compositions above
+        # DS_SYM_MAX_N / DS_AJ_SYM_MAX_N); 'auto' picks it where it
+        # applies (leapfrog's fused DKD kernel has no sym form)
         if variant not in ("auto", "sym", "one_sided"):
             raise ValueError(f"unknown ds variant {variant!r}")
-        # euler sym runs at ANY N (the blockwise composition keeps the
-        # per-block ds reaction scratch in VMEM above DS_SYM_MAX_N);
-        # hermite's ds accel+jerk has no blocked form, so it keeps a cap
-        sym_cap = {"euler": None,
-                   "hermite": DS_AJ_SYM_MAX_N}.get(integrator, False)
-        if variant == "sym":
-            if sym_cap is False:
-                raise ValueError(
-                    "variant='sym' applies to the euler/hermite ds steps")
-            if sym_cap is not None and self.num_bodies > sym_cap:
-                raise ValueError(
-                    f"variant='sym' caps at N={sym_cap} for "
-                    f"integrator={integrator!r} (VMEM ds reaction "
-                    f"scratch); got {self.num_bodies}")
+        sym_ok = integrator in ("euler", "hermite") and mesh is None
+        if variant == "sym" and not sym_ok:
+            raise ValueError(
+                "variant='sym' applies to the euler/hermite ds steps on "
+                "a single device (the sharded ds step is one-sided)")
         if variant == "auto":
-            variant = ("sym" if (sym_cap is not False
-                                 and (sym_cap is None
-                                      or self.num_bodies <= sym_cap))
-                       else "one_sided")
+            variant = "sym" if sym_ok else "one_sided"
         self.variant = variant
         # the accel+jerk kernel's larger live set caps its j-tile below
         # the force-only kernels' (scoped-vmem limit); the sym kernels'
@@ -122,11 +121,57 @@ class DSBodySystem:
     def set_state(self, pos, vel) -> None:
         p64 = np.asarray(pos, np.float64)
         v64 = np.asarray(vel, np.float64)
-        if p64.shape != (self.num_bodies, 4) or v64.shape != (self.num_bodies, 4):
-            raise ValueError(
-                f"state must be (N, 4) AoS with N={self.num_bodies}")
+        if p64.shape[0] != self.num_bodies:
+            # N was rounded up to a shard multiple: pad with inert
+            # zero-mass bodies (BodySystem._place semantics)
+            if p64.shape[0] > self.num_bodies:
+                raise ValueError(
+                    f"state must be (N, 4) AoS with N={self.num_bodies}")
+            padn = self.num_bodies - p64.shape[0]
+            p64 = np.concatenate([p64, np.zeros((padn, 4), np.float64)])
+            v64 = np.concatenate([v64, np.zeros((padn, 4), np.float64)])
         self._ph, self._pl = ds_from_f64(p64)
         self._vh, self._vl = ds_from_f64(v64)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
+            self._ph, self._pl, self._vh, self._vl = (
+                jax.device_put(a, sh)
+                for a in (self._ph, self._pl, self._vh, self._vl))
+
+    def get_ds_state(self):
+        """The raw (pos_hi, pos_lo, vel_hi, vel_lo) float32 planes as host
+        arrays — the BIT-exact checkpoint payload (a ds pair can carry
+        information below f64 resolution when the hi/lo exponent gap
+        exceeds 29 bits, so the f64 view alone does not round-trip)."""
+        return tuple(np.asarray(a)
+                     for a in (self._ph, self._pl, self._vh, self._vl))
+
+    def set_ds_state(self, pos_hi, pos_lo, vel_hi, vel_lo) -> None:
+        """Restore raw hi/lo planes (get_ds_state's inverse)."""
+        planes = [np.asarray(a, np.float32)
+                  for a in (pos_hi, pos_lo, vel_hi, vel_lo)]
+        if planes[0].shape != (self.num_bodies, 4):
+            raise ValueError(
+                f"ds planes must be (N, 4) with N={self.num_bodies}")
+        self._ph, self._pl, self._vh, self._vl = planes
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
+            self._ph, self._pl, self._vh, self._vl = (
+                jax.device_put(a, sh)
+                for a in (self._ph, self._pl, self._vh, self._vl))
+
+    @property
+    def state(self):
+        """(pos4, vel4) float32 device views — the hi planes, which carry
+        the full f32-visible state (renderer input; zero host round-trip,
+        matching BodySystem.state's contract)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._ph), jnp.asarray(self._vh)
 
     @property
     def positions(self) -> np.ndarray:
@@ -150,7 +195,9 @@ class DSBodySystem:
 
     def update_params(self, params: NBodyParams) -> None:
         """Softening/damping/dt land via the SMEM scalar block — no
-        recompilation, mirroring BodySystem.update_params."""
+        recompilation, mirroring BodySystem.update_params. (The adaptive
+        cache keys on softening/damping, so a slider write-through costs
+        one recompile there, never wrong physics.)"""
         self.params = params
 
     # ---- stepping ----
@@ -163,27 +210,76 @@ class DSBodySystem:
             return _scal_ds_hermite(dt, p.softening, p.damping)
         return _scal_ds(dt, p.softening, p.damping)
 
+    def _sharded_step_fn(self):
+        """Lazily-built body-sharded ds step (one-sided kernels; the
+        sharded ds decomposition gathers hi/lo planes over ICI —
+        parallel.sharded.make_sharded_ds_step)."""
+        if getattr(self, "_sharded_step", None) is None:
+            from nbody_tpu.parallel import make_sharded_ds_step
+
+            self._sharded_step = make_sharded_ds_step(
+                self.mesh, tile_i=self.tile_i, tile_j=self.tile_j,
+                interpret=self.interpret, integrator=self.integrator)
+        return self._sharded_step
+
     def _step_fn(self):
         import functools
 
+        if self.mesh is not None:
+            return self._sharded_step_fn()
+        kw = dict(tile_i=self.tile_i, tile_j=self.tile_j,
+                  interpret=self.interpret)
         if self.variant == "sym":
-            if self.integrator == "euler":
-                from nbody_tpu.ops import ds_kernel as dsk
+            from nbody_tpu.ops import ds_kernel as dsk
 
-                # delegates to the single triangle under DS_SYM_MAX_N
-                # (module attr: tests shrink it to force blocking)
+            # delegates to the single triangles under the caps (module
+            # attrs: tests shrink them to force blocking)
+            if self.integrator == "euler":
                 return functools.partial(nbody_step_pallas_ds_sym_blocked,
-                                         block_cap=dsk.DS_SYM_MAX_N)
-            return functools.partial(nbody_step_pallas_ds_hermite, sym=True)
-        return {"euler": nbody_step_pallas_ds,
-                "leapfrog": nbody_step_pallas_ds_leapfrog,
-                "hermite": nbody_step_pallas_ds_hermite}[self.integrator]
+                                         block_cap=dsk.DS_SYM_MAX_N, **kw)
+            return functools.partial(nbody_step_pallas_ds_hermite, sym=True,
+                                     block_cap=dsk.DS_AJ_SYM_MAX_N, **kw)
+        return functools.partial(
+            {"euler": nbody_step_pallas_ds,
+             "leapfrog": nbody_step_pallas_ds_leapfrog,
+             "hermite": nbody_step_pallas_ds_hermite}[self.integrator], **kw)
 
     def update(self, dt: Optional[float] = None) -> None:
         dt = self.params.time_step if dt is None else dt
         self._ph, self._pl, self._vh, self._vl = self._step_fn()(
-            self._ph, self._pl, self._vh, self._vl, self._scal(dt),
-            tile_i=self.tile_i, tile_j=self.tile_j, interpret=self.interpret)
+            self._ph, self._pl, self._vh, self._vl, self._scal(dt))
+
+    def _segment_steps(self) -> int:
+        """Work-bounded per-dispatch step count (BodySystem semantics):
+        hermite runs TWO force evaluations per step, so its budget is
+        half the single-eval integrators'."""
+        n2 = float(self.num_bodies) ** 2
+        work = 2.0e11 if self.integrator == "hermite" else 4.0e11
+        return (max(1, min(1000, int(work / max(n2, 1.0))))
+                if _on_tpu() else 1000)
+
+    def _sharded_rollout_fn(self, steps: int):
+        """Cached k-step scan over the sharded ds step (one dispatch)."""
+        import functools
+
+        cache = getattr(self, "_sharded_rollouts", None)
+        if cache is None:
+            cache = self._sharded_rollouts = {}
+        run = cache.get(steps)
+        if run is None:
+            step = self._sharded_step_fn()
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def run(ph, pl, vh, vl, scal):
+                def body(state, _):
+                    return step(*state, scal), None
+
+                state, _ = jax.lax.scan(body, (ph, pl, vh, vl), None,
+                                        length=steps)
+                return state
+
+            cache[steps] = run
+        return run
 
     def update_many(self, steps: int, dt: Optional[float] = None) -> None:
         """Compiled scan rollouts, work-bounded per dispatch like
@@ -194,15 +290,16 @@ class DSBodySystem:
                 self.update(dt)
             return
         scal = self._scal(dt)
-        n2 = float(self.num_bodies) ** 2
-        # hermite runs TWO force evaluations per step, so its per-dispatch
-        # pair-interaction budget is half the single-eval integrators'
-        work = 2.0e11 if self.integrator == "hermite" else 4.0e11
-        seg_max = (max(1, min(1000, int(work / max(n2, 1.0))))
-                   if _on_tpu() else 1000)
+        seg_max = self._segment_steps()
         done = 0
         while done < steps:
             seg = min(steps - done, seg_max)
+            if self.mesh is not None:
+                self._ph, self._pl, self._vh, self._vl = (
+                    self._sharded_rollout_fn(seg)(
+                        self._ph, self._pl, self._vh, self._vl, scal))
+                done += seg
+                continue
             from nbody_tpu.ops import ds_kernel as dsk
 
             self._ph, self._pl, self._vh, self._vl = rollout_pallas_ds(
@@ -211,8 +308,68 @@ class DSBodySystem:
                 interpret=self.interpret,
                 integrator=self.integrator,
                 sym=self.variant == "sym",
-                block_cap=dsk.DS_SYM_MAX_N)
+                block_cap=(dsk.DS_AJ_SYM_MAX_N
+                           if self.integrator == "hermite"
+                           else dsk.DS_SYM_MAX_N))
             done += seg
+
+    def update_many_adaptive(self, steps: int, *, eta: float = 0.025,
+                             dt_min: Optional[float] = None,
+                             dt_max: Optional[float] = None) -> dict:
+        """Adaptive global timestep in ds: dt picked inside the compiled
+        scan from an f32 criterion on the hi planes (it only picks dt;
+        the step itself stays full ds — ops/ds_kernel.py
+        make_ds_adaptive_rollout). Same criterion family, [dt_min,
+        dt_max] defaults, stats dict, and segmenting as
+        BodySystem.update_many_adaptive. Single-device (the sharded ds
+        step is fixed-dt)."""
+        if self.mesh is not None:
+            raise ValueError(
+                "ds adaptive rollouts are single-device (the sharded ds "
+                "step is fixed-dt); drop mesh= or use update_many")
+        from nbody_tpu.ops import ds_kernel as dsk
+
+        p = self.params
+        if dt_max is None:
+            dt_max = p.time_step
+        if dt_min is None:
+            dt_min = dt_max / 1024.0
+        if not (0.0 < dt_min <= dt_max):
+            raise ValueError(f"need 0 < dt_min <= dt_max, got "
+                             f"[{dt_min}, {dt_max}]")
+        if not eta > 0.0:   # also rejects NaN
+            raise ValueError(f"need eta > 0, got {eta}")
+        cache = getattr(self, "_adaptive_rollouts", None)
+        if cache is None:
+            cache = self._adaptive_rollouts = {}
+        seg_max = self._segment_steps()
+        stats = {"t": 0.0, "dt_last": float(dt_max),
+                 "dt_lo": float("inf"), "dt_hi": 0.0, "steps": int(steps)}
+        done = 0
+        while done < steps:
+            seg = min(steps - done, seg_max)
+            key = (seg, eta, dt_min, dt_max, p.softening, p.damping)
+            run = cache.get(key)
+            if run is None:
+                run = dsk.make_ds_adaptive_rollout(
+                    integrator=self.integrator, softening=p.softening,
+                    damping=p.damping, eta=eta, dt_min=dt_min,
+                    dt_max=dt_max, steps=seg, tile_i=self.tile_i,
+                    tile_j=self.tile_j, interpret=self.interpret,
+                    sym=self.variant == "sym",
+                    block_cap=(dsk.DS_AJ_SYM_MAX_N
+                               if self.integrator == "hermite"
+                               else dsk.DS_SYM_MAX_N))
+                cache[key] = run
+            self._ph, self._pl, self._vh, self._vl, st = run(
+                self._ph, self._pl, self._vh, self._vl)
+            st = np.asarray(st)
+            stats["t"] += float(st[0])
+            stats["dt_last"] = float(st[1])
+            stats["dt_lo"] = min(stats["dt_lo"], float(st[2]))
+            stats["dt_hi"] = max(stats["dt_hi"], float(st[3]))
+            done += seg
+        return stats
 
     # ---- diagnostics ----
 

@@ -390,7 +390,11 @@ def rollout_pallas_ds(pos_hi, pos_lo, vel_hi, vel_lo, scal, *, steps: int,
     _scal_ds_leapfrog); "hermite" scans the two-dispatch P(EC) step
     (scal from _scal_ds_hermite)."""
     if sym and integrator == "hermite":
-        step_fn = functools.partial(nbody_step_pallas_ds_hermite, sym=True)
+        # any-N like the euler branch below; the blocked accel+jerk
+        # composition takes over above the cap (None = production
+        # DS_AJ_SYM_MAX_N, resolved inside the step)
+        step_fn = functools.partial(nbody_step_pallas_ds_hermite, sym=True,
+                                    block_cap=block_cap)
     elif sym and integrator == "euler":
         # any-N: delegates to the single triangle below the cap, the
         # blockwise composition above it. The cap is a STATIC jit arg of
@@ -845,12 +849,14 @@ def hermite_correct(x0, v0, a0, j0, a1, j1, scal):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_i", "tile_j", "interpret", "sym"))
+                   static_argnames=("tile_i", "tile_j", "interpret", "sym",
+                                    "block_cap"))
 def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
                                  *, tile_i: int = DS_TILE_I,
                                  tile_j: int | None = None,
                                  interpret: bool = False,
-                                 sym: bool = False):
+                                 sym: bool = False,
+                                 block_cap: int | None = None):
     """One 4th-order Hermite P(EC) step in ds arithmetic (self-vs-self).
 
     Two ds accel+jerk kernel dispatches (start state, predicted state)
@@ -862,13 +868,16 @@ def nbody_step_pallas_ds_hermite(pos_hi, pos_lo, vel_hi, vel_lo, scal,
     n = pos_hi.shape[0]
 
     fscal = scal[:, :4]
-    if sym:  # Newton's-third-law accel+jerk (each pair once)
+    if sym:  # Newton's-third-law accel+jerk (each pair once, any N via
+        # the blocked composition above the cap; block_cap is a STATIC
+        # jit arg so a changed cap never reuses a stale compiled step)
         aj_tj = DS_AJ_SYM_TILE_J if tile_j is None else tile_j
+        aj_cap = DS_AJ_SYM_MAX_N if block_cap is None else block_cap
 
         def aj(ph, plo, vh, vlo, *_ignored_j):
-            return compute_accel_jerk_pallas_ds_sym(
+            return compute_accel_jerk_pallas_ds_sym_blocked(
                 ph, plo, vh, vlo, fscal, tile_i=tile_i, tile_j=aj_tj,
-                interpret=interpret)
+                interpret=interpret, block_cap=aj_cap)
     else:
         def aj(ph, plo, vh, vlo, jph, jplo, jvh, jvlo):
             return compute_accel_jerk_pallas_ds(
@@ -1680,3 +1689,392 @@ def _ds_aj_sym_kernel_entry(*args, tile_i, tile_j, n_steps, interpret):
                                  n_steps=n_steps)
     finally:
         _ANCHORS = prev
+
+
+# ---- blockwise ds accel+jerk: ds Hermite each-pair-once above the cap ----
+#
+# The 12-reaction-scratch triangle above caps at DS_AJ_SYM_MAX_N. The same
+# blockwise composition as the ds force path lifts it: per-superblock self
+# triangles (the kernel above) + mask-free CROSS rectangles whose 12
+# reaction scratches span one block, partial sums ds-added at the XLA
+# level. Two compiled kernels cover every N.
+
+
+def _ds_aj_sym_cross_kernel(meta_ref, pih_ref, pil_ref, vih_ref, vil_ref,
+                            pth_ref, ptl_ref, vth_ref, vtl_ref,
+                            ah_ref, al_ref, jh_ref, jl_ref,
+                            rah_ref, ral_ref, rjh_ref, rjl_ref,
+                            *scratches, tile_i: int, tile_j: int):
+    """Mask-free ds accel+jerk over one Bi×Bj cross block pair, each
+    (i, j) pair ONCE — _ds_sym_cross_kernel extended with the jerk
+    bracket of _ds_aj_sym_kernel (q antisymmetric under i↔j, reaction
+    −m_i·q accumulated like the force reaction, all in ds arithmetic)."""
+    iacc = scratches[:12]
+    react = scratches[12:]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    eps2 = (meta_ref[0], meta_ref[1])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_reaction():
+        zeros = jnp.zeros_like(react[0])
+        for r in react:
+            r[:] = zeros
+
+    @pl.when(j == 0)
+    def _zero_row_acc():
+        zeros = jnp.zeros_like(iacc[0])
+        for r in iacc:
+            r[:, :] = zeros
+
+    def icol(h_ref, l_ref, c):
+        return (h_ref[:, c:c + 1], l_ref[:, c:c + 1])
+
+    xi, yi, zi = (icol(pih_ref, pil_ref, c) for c in range(3))
+    vxi, vyi, vzi = (icol(vih_ref, vil_ref, c) for c in range(3))
+    mi = icol(pih_ref, pil_ref, 3)
+    j_base = j * tile_j
+
+    for k in range(tile_j // LANES):
+        sl = slice(k * LANES, (k + 1) * LANES)
+
+        def jrow(h_ref, l_ref, r):
+            return (h_ref[r:r + 1, sl], l_ref[r:r + 1, sl])
+
+        dx = ds_sub(jrow(pth_ref, ptl_ref, 0), xi)
+        dy = ds_sub(jrow(pth_ref, ptl_ref, 1), yi)
+        dz = ds_sub(jrow(pth_ref, ptl_ref, 2), zi)
+        dvx = ds_sub(jrow(vth_ref, vtl_ref, 0), vxi)
+        dvy = ds_sub(jrow(vth_ref, vtl_ref, 1), vyi)
+        dvz = ds_sub(jrow(vth_ref, vtl_ref, 2), vzi)
+        r2 = ds_add(ds_add(ds_mul(dx, dx), ds_mul(dy, dy)),
+                    ds_add(ds_mul(dz, dz), eps2))
+        inv = ds_rsqrt(r2)
+        inv2 = ds_mul(inv, inv)
+        inv3 = ds_mul(inv2, inv)
+        rv = ds_add(ds_add(ds_mul(dx, dvx), ds_mul(dy, dvy)),
+                    ds_mul(dz, dvz))
+        c3p = ds_mul_f32(ds_mul(ds_mul(rv, inv2), inv3),
+                         jnp.float32(3.0))  # 3 (dr.dv)/r^5, mass-free
+        mj = jrow(pth_ref, ptl_ref, 3)
+        s = ds_mul(mj, inv3)   # acc scale toward j, on i
+        t = ds_mul(mi, inv3)   # reaction acc scale on j
+
+        qx = ds_sub(ds_mul(inv3, dvx), ds_mul(c3p, dx))
+        qy = ds_sub(ds_mul(inv3, dvy), ds_mul(c3p, dy))
+        qz = ds_sub(ds_mul(inv3, dvz), ds_mul(c3p, dz))
+
+        axh, axl, ayh, ayl, azh, azl = iacc[:6]
+        gxh, gxl, gyh, gyl, gzh, gzl = iacc[6:]
+        for (ah, al), d in (((axh, axl), dx), ((ayh, ayl), dy),
+                            ((azh, azl), dz)):
+            acc = ds_add((ah[:, :], al[:, :]), ds_mul(s, d))
+            ah[:, :] = acc[0]
+            al[:, :] = acc[1]
+        for (gh, gl), q in (((gxh, gxl), qx), ((gyh, gyl), qy),
+                            ((gzh, gzl), qz)):
+            jrk = ds_add((gh[:, :], gl[:, :]), ds_mul(mj, q))
+            gh[:, :] = jrk[0]
+            gl[:, :] = jrk[1]
+
+        # reactions: -t*d (acc) and -m_i*q (jerk), ds-reduced TI->8
+        def rmw(rh_s, rl_s, u):
+            uh, ul = u
+            u8 = (uh[0:_SYM_SUB], ul[0:_SYM_SUB])
+            for q_ in range(1, tile_i // _SYM_SUB):
+                u8 = ds_add(u8,
+                            (uh[q_ * _SYM_SUB:(q_ + 1) * _SYM_SUB],
+                             ul[q_ * _SYM_SUB:(q_ + 1) * _SYM_SUB]))
+            idx = (slice(0, _SYM_SUB),
+                   pl.ds(j_base + k * LANES, LANES))
+            cur = ds_sub((rh_s[idx], rl_s[idx]), u8)
+            rh_s[idx] = cur[0]
+            rl_s[idx] = cur[1]
+
+        for c, d in enumerate((dx, dy, dz)):
+            rmw(react[2 * c], react[2 * c + 1], ds_mul(t, d))
+        for c, q in enumerate((qx, qy, qz)):
+            rmw(react[6 + 2 * c], react[7 + 2 * c], ds_mul(mi, q))
+
+    @pl.when(j == nj - 1)
+    def _finalize_row():
+        for c in range(3):
+            hi, lo = reduce_ds_lanes(iacc[2 * c], iacc[2 * c + 1])
+            ah_ref[:, c:c + 1] = hi
+            al_ref[:, c:c + 1] = lo
+            hi, lo = reduce_ds_lanes(iacc[6 + 2 * c], iacc[7 + 2 * c])
+            jh_ref[:, c:c + 1] = hi
+            jl_ref[:, c:c + 1] = lo
+        for ref in (ah_ref, al_ref, jh_ref, jl_ref):
+            ref[:, 3:4] = jnp.zeros_like(ref[:, 3:4])
+
+    @pl.when(jnp.logical_and(i == pl.num_programs(0) - 1, j == nj - 1))
+    def _emit_reaction():
+        for c in range(3):
+            for (rh_s, rl_s), (oh, ol) in (
+                ((react[2 * c], react[2 * c + 1]), (rah_ref, ral_ref)),
+                ((react[6 + 2 * c], react[7 + 2 * c]), (rjh_ref, rjl_ref)),
+            ):
+                v = (rh_s[0:1, :], rl_s[0:1, :])
+                for q_ in range(1, _SYM_SUB):
+                    v = ds_add(v, (rh_s[q_:q_ + 1, :], rl_s[q_:q_ + 1, :]))
+                oh[c:c + 1, :] = v[0]
+                ol[c:c + 1, :] = v[1]
+
+
+def _ds_aj_sym_cross_entry(*args, tile_i, tile_j, interpret):
+    # compiled (Mosaic) tracing must not emit barrier primitives
+    global _ANCHORS
+    prev = _ANCHORS
+    _ANCHORS = bool(interpret)
+    try:
+        return _ds_aj_sym_cross_kernel(*args, tile_i=tile_i, tile_j=tile_j)
+    finally:
+        _ANCHORS = prev
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def _ds_aj_sym_cross(pih, pil, vih, vil, pth, ptl, vth, vtl, meta,
+                     *, tile_i: int, tile_j: int, interpret: bool = False):
+    """One Bi×Bj ds accel+jerk cross block pair: i-set AoS hi/lo (Bi, 4)
+    pos+vel, j-set transposed hi/lo (4, Bj), meta = eps² (hi, lo).
+    Returns (acc_hi, acc_lo, jerk_hi, jerk_lo) (Bi, 4) and
+    (react_acc_hi/lo, react_jerk_hi/lo) (3, Bj)."""
+    f32 = jnp.float32
+    bi = pih.shape[0]
+    bj = pth.shape[1]
+    row_spec = pl.BlockSpec((tile_i, 4), lambda i, j, meta: _ix(i, 0))
+    col_spec = pl.BlockSpec((4, tile_j), lambda i, j, meta: _ix(0, j))
+    full_spec = pl.BlockSpec((3, bj), lambda i, j, meta: _ix(0, 0))
+    return pl.pallas_call(
+        functools.partial(_ds_aj_sym_cross_entry, tile_i=tile_i,
+                          tile_j=tile_j, interpret=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bi // tile_i, bj // tile_j),
+            in_specs=[row_spec] * 4 + [col_spec] * 4,
+            out_specs=[row_spec] * 4 + [full_spec] * 4,
+            scratch_shapes=(
+                [pltpu.VMEM((tile_i, LANES), f32) for _ in range(12)]
+                + [pltpu.VMEM((_SYM_SUB, bj), f32) for _ in range(12)]
+            ),
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((bi, 4), f32)] * 4
+            + [jax.ShapeDtypeStruct((3, bj), f32)] * 4
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # rows share the reaction scratch -> sequential walk
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=1000 * bi * bj,
+            bytes_accessed=(bi // tile_i) * (bj // tile_j)
+            * (tile_i + tile_j) * 64,
+            transcendentals=bi * bj,
+        ),
+        interpret=interpret,
+    )(meta, pih, pil, vih, vil, pth, ptl, vth, vtl)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret",
+                                             "block_cap"))
+def compute_accel_jerk_pallas_ds_sym_blocked(
+        pos_hi, pos_lo, vel_hi, vel_lo, scal, *, tile_i: int = DS_TILE_I,
+        tile_j: int | None = None, interpret: bool = False,
+        block_cap: int = DS_AJ_SYM_MAX_N):
+    """ds (acc_hi, acc_lo, jerk_hi, jerk_lo), each (N, 4) with column 3
+    zero, each pair evaluated once, ANY N — the blockwise composition of
+    the ds accel+jerk triangle. N ≤ block_cap delegates to the
+    single-triangle kernel bit-exactly."""
+    n = pos_hi.shape[0]
+    kw = dict(tile_i=tile_i, interpret=interpret)
+    if n <= block_cap:
+        return compute_accel_jerk_pallas_ds_sym(
+            pos_hi, pos_lo, vel_hi, vel_lo, scal,
+            **kw, **({} if tile_j is None else {"tile_j": tile_j}))
+    from nbody_tpu.ops.symmetric_kernel import sym_blocking
+
+    if tile_j is None:
+        tile_j = DS_AJ_SYM_TILE_J
+    if tile_i % _SYM_SUB or tile_j % LANES or tile_j % tile_i:
+        raise ValueError(
+            f"need {_SYM_SUB} | tile_i, {LANES} | tile_j and tile_i | "
+            f"tile_j; got ({tile_i}, {tile_j})")
+    k, blk = sym_blocking(n, tile_j, block_cap)
+    if tile_j * 2 > blk:
+        # the measured Mosaic scoped-vmem hazard of the blocked paths (a
+        # block-wide j-stream leaves a single-grid-step cross program):
+        # clamp to the widest tile dividing the block at <= blk/2
+        import math
+
+        base = LANES * tile_i // math.gcd(LANES, tile_i)
+        fitted = (blk // 2 // base) * base
+        while fitted > base and blk % fitted:
+            fitted -= base
+        if fitted >= base and blk % fitted == 0:
+            tile_j = fitted
+        elif blk > 4096:
+            raise ValueError(
+                f"blocked ds sym aj needs tile_j <= block/2: got "
+                f"tile_j={tile_j}, block={blk} (use a smaller tile_j)")
+        else:
+            tile_j = blk
+    n_pad = k * blk
+
+    def pad(a):
+        return jnp.pad(a, ((0, n_pad - n), (0, 0)))
+
+    planes = [pad(a) for a in (pos_hi, pos_lo, vel_hi, vel_lo)]
+    blocks = [tuple(p[a * blk:(a + 1) * blk] for p in planes)
+              for a in range(k)]
+    meta = jnp.stack([scal[0, 1], scal[1, 1]])
+
+    acc_parts = [[] for _ in range(k)]
+    jerk_parts = [[] for _ in range(k)]
+    for a in range(k):
+        ah, al, jh, jl = compute_accel_jerk_pallas_ds_sym(
+            *blocks[a], scal, tile_i=tile_i, tile_j=tile_j,
+            interpret=interpret)
+        acc_parts[a].append((ah[:, :3], al[:, :3]))
+        jerk_parts[a].append((jh[:, :3], jl[:, :3]))
+    for a in range(k):
+        for b in range(a + 1, k):
+            bT = tuple(p.T for p in blocks[b])
+            ah, al, jh, jl, rah, ral, rjh, rjl = _ds_aj_sym_cross(
+                *blocks[a], *bT, meta, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret)
+            acc_parts[a].append((ah[:, :3], al[:, :3]))
+            jerk_parts[a].append((jh[:, :3], jl[:, :3]))
+            acc_parts[b].append((rah.T, ral.T))
+            jerk_parts[b].append((rjh.T, rjl.T))
+
+    def merge(parts_per_block):
+        hs, ls = [], []
+        for parts in parts_per_block:
+            total = parts[0]
+            for p_ in parts[1:]:
+                total = ds_add(total, p_)
+            hs.append(total[0])
+            ls.append(total[1])
+        h = jnp.concatenate(hs)[:n]
+        lo = jnp.concatenate(ls)[:n]
+        z = jnp.zeros((n, 1), h.dtype)
+        return (jnp.concatenate([h, z], axis=1),
+                jnp.concatenate([lo, z], axis=1))
+
+    acc_h, acc_l = merge(acc_parts)
+    jrk_h, jrk_l = merge(jerk_parts)
+    return acc_h, acc_l, jrk_h, jrk_l
+
+
+# ---- adaptive global timestep in ds (the ops/adaptive.py analogue) ----
+#
+# The fixed-dt ds steps take a host-built scal block whose dt columns are
+# exact f64->ds splits. An adaptive rollout picks dt INSIDE the compiled
+# scan (ops/adaptive.py's design: zero host round-trips), so the block's
+# dt-dependent columns must be rebuilt from a TRACED float32 dt. dt
+# itself is exact (hi=dt, lo=0); derived powers are error-free ds
+# products, so every coefficient stays ds-grade. The dt CRITERION runs
+# in plain f32 on the hi planes — it only picks dt, and the hi plane
+# carries the full f32-visible state (VERDICT r3 item 2).
+
+_DS_SIXTH = (jnp.float32(1.0 / 6.0),
+             jnp.float32(1.0 / 6.0 - float(jnp.float32(1.0 / 6.0))))
+
+
+def ds_scal_with_dt(base, dt, *, integrator: str = "euler"):
+    """Rebuild a `_scal_ds*` block's dt-dependent columns from a traced
+    float32 `dt`. `base` comes from the matching `_scal_ds*` builder
+    (its eps²/damping splits stay host-exact)."""
+    z = jnp.zeros((), jnp.float32)
+    dt = jnp.asarray(dt, jnp.float32)
+    out = base.at[0, 0].set(dt).at[1, 0].set(z)
+    if integrator == "euler":
+        return out
+    out = out.at[0, 3].set(dt * 0.5).at[1, 3].set(z)  # dt/2: exact
+    if integrator == "leapfrog":
+        return out
+    # hermite: cols 4..6 = dt²/2, dt³/6, dt²/12
+    d2h, d2l = _two_prod(dt, dt)           # exact dt²
+    dt2_2 = (d2h * 0.5, d2l * 0.5)         # /2 exact
+    dt3 = ds_mul((d2h, d2l), (dt, z))
+    dt3_6 = ds_mul(dt3, _DS_SIXTH)
+    dt2_12 = ds_mul(dt2_2, _DS_SIXTH)
+    for c, (vh, vl) in ((4, dt2_2), (5, dt3_6), (6, dt2_12)):
+        out = out.at[0, c].set(vh).at[1, c].set(vl)
+    return out
+
+
+def make_ds_adaptive_rollout(*, integrator: str, softening, damping,
+                             eta: float, dt_min: float, dt_max: float,
+                             steps: int, tile_i: int = DS_TILE_I,
+                             tile_j: int | None = None,
+                             interpret: bool = False, sym: bool = False,
+                             block_cap: int | None = None):
+    """Jitted `(ph, pl, vh, vl) -> (ph, pl, vh, vl, stats)` ds adaptive
+    rollout. stats is a (4,) f32 [t_total, dt_last, dt_lo, dt_hi] like
+    ops/adaptive.py. Criteria match the f32 path: euler/leapfrog use
+    eta·sqrt(eps/max|a|), hermite Aarseth's eta·min|a|/|j| — computed in
+    f32 from the hi planes (an O(N²) f32 evaluation next to the ~20×
+    ds step is a few percent). Leapfrog here is the fused DKD kernel
+    with a per-step dt (dt is chosen before the step from the
+    start-of-step forces, so the DKD form needs no carried accel)."""
+    from nbody_tpu.ops.adaptive import accel_timestep, aarseth_timestep
+    from nbody_tpu.ops.pallas_kernel import (
+        compute_accel_jerk_pallas,
+        compute_accel_pallas,
+    )
+
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    base = {"euler": _scal_ds, "leapfrog": _scal_ds_leapfrog,
+            "hermite": _scal_ds_hermite}[integrator](0.0, softening, damping)
+
+    def stats_init():
+        return jnp.asarray([0.0, 0.0, jnp.inf, 0.0], jnp.float32)
+
+    def stats_update(stats, dt):
+        return jnp.stack([stats[0] + dt, dt,
+                          jnp.minimum(stats[2], dt),
+                          jnp.maximum(stats[3], dt)])
+
+    def ds_step(ph, pl, vh, vl, scal):
+        if integrator == "hermite":
+            return nbody_step_pallas_ds_hermite(
+                ph, pl, vh, vl, scal, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret, sym=sym, block_cap=block_cap)
+        if integrator == "leapfrog":
+            return nbody_step_pallas_ds_leapfrog(
+                ph, pl, vh, vl, scal, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret)
+        if sym:
+            return nbody_step_pallas_ds_sym_blocked(
+                ph, pl, vh, vl, scal, tile_i=tile_i, tile_j=tile_j,
+                interpret=interpret,
+                block_cap=DS_SYM_MAX_N if block_cap is None else block_cap)
+        return nbody_step_pallas_ds(ph, pl, vh, vl, scal, tile_i=tile_i,
+                                    tile_j=tile_j, interpret=interpret)
+
+    def body(state, _):
+        ph, pl, vh, vl, stats = state
+        if integrator == "hermite":
+            acc, jerk = compute_accel_jerk_pallas(
+                ph, vh, ph, vh, softening, interpret=interpret)
+            dt = aarseth_timestep(acc, jerk, eta, dt_min, dt_max)
+        else:
+            acc = compute_accel_pallas(ph, ph, softening,
+                                       interpret=interpret)
+            dt = accel_timestep(acc, softening, eta, dt_min, dt_max)
+        scal = ds_scal_with_dt(base, dt, integrator=integrator)
+        ph, pl, vh, vl = ds_step(ph, pl, vh, vl, scal)
+        return (ph, pl, vh, vl, stats_update(stats, dt)), None
+
+    def run(ph, pl, vh, vl):
+        init = (ph, pl, vh, vl, stats_init())
+        (ph, pl, vh, vl, stats), _ = jax.lax.scan(body, init, None,
+                                                  length=steps)
+        return ph, pl, vh, vl, stats
+
+    return jax.jit(run, donate_argnums=(0, 1, 2, 3))

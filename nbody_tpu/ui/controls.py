@@ -49,7 +49,7 @@ class Controls:
         elif key in ("\r", "\n"):
             try:
                 c.switch_precision()
-                self.log(f"precision: {'fp64' if c.fp64_enabled else 'fp32'}")
+                self.log(f"precision: {getattr(c, 'precision', 'fp64' if c.fp64_enabled else 'fp32')}")
             except ValueError as e:
                 # e.g. fp64 without x64 enabled — report, don't kill the loop
                 self.log(f"precision switch unavailable: {e}")

@@ -108,7 +108,9 @@ def hud_lines(compute, device_name: str, show_interactions: bool = False):
         perf = f"{compute.interactions_per_second:.2f} B interactions/s"
     else:
         perf = f"{compute.g_flops:.1f} GFLOP/s"
-    precision = "FP64" if compute.fp64_enabled else "FP32"
+    precision = {"fp64": "FP64", "ds": "DS64", "fp32": "FP32"}[
+        getattr(compute, "precision", "fp64" if compute.fp64_enabled
+                else "fp32")]
     return [
         device_name,
         f"{compute.num_bodies} bodies ({precision})",

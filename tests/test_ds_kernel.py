@@ -556,3 +556,63 @@ def test_ds_system_euler_sym_any_n(monkeypatch):
     a.update_many(3, 1e-3)
     b.update_many(3, 1e-3)
     assert np.abs(a.positions - b.positions).max() < 1e-12
+
+
+def test_ds_aj_sym_blocked_matches_triangle():
+    """The blocked ds accel+jerk composition (self triangles + cross
+    rectangles with 12 reaction scratches) matches the single triangle
+    to ds rounding for BOTH quantities; k=2,3,4 cover one-cross,
+    multi-cross, and remainder-pad shapes, and delegation under the cap
+    is bit-exact."""
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds_hermite,
+        compute_accel_jerk_pallas_ds_sym,
+        compute_accel_jerk_pallas_ds_sym_blocked,
+        ds_from_f64,
+        ds_to_f64,
+    )
+
+    pos, vel = ic.generate(NBodyConfig.RANDOM, 1000, 1.54, 8.0, seed=5,
+                           dtype=np.float64)
+    ph, plo = ds_from_f64(pos)
+    vh, vlo = ds_from_f64(vel)
+    fscal = _scal_ds_hermite(1e-3, 0.1, 1.0)[:, :4]
+    ref = compute_accel_jerk_pallas_ds_sym(
+        ph, plo, vh, vlo, fscal, tile_i=8, tile_j=128, interpret=True)
+    for cap in (512, 384, 256):
+        got = compute_accel_jerk_pallas_ds_sym_blocked(
+            ph, plo, vh, vlo, fscal, tile_i=8, tile_j=128, interpret=True,
+            block_cap=cap)
+        for name, i in (("acc", 0), ("jerk", 2)):
+            r = ds_to_f64(ref[i], ref[i + 1])
+            g = ds_to_f64(got[i], got[i + 1])
+            assert np.abs(g - r).max() / np.abs(r).max() < 1e-12, (cap, name)
+
+    under = compute_accel_jerk_pallas_ds_sym_blocked(
+        ph, plo, vh, vlo, fscal, tile_i=8, tile_j=128, interpret=True,
+        block_cap=4096)
+    for i in range(4):
+        assert np.array_equal(np.asarray(under[i]), np.asarray(ref[i])), i
+
+
+def test_ds_system_hermite_sym_any_n(monkeypatch):
+    """DSBodySystem hermite auto-resolves to sym at ANY N now (the
+    blocked accel+jerk composition); caps monkeypatched small BEFORE
+    construction so update() and update_many() genuinely run blocked in
+    interpret mode, compared against the one-sided hermite system."""
+    import nbody_tpu.ops.ds_kernel as dsk
+    from nbody_tpu.models.ds_system import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(dsk, "DS_AJ_SYM_MAX_N", 256)
+    params = NBodyParams(softening=0.1, damping=1.0)
+    a = DSBodySystem(640, params, integrator="hermite", tile_j=128, seed=4)
+    assert a.variant == "sym"  # no cap for hermite anymore
+    b = DSBodySystem(640, params, integrator="hermite", tile_j=128, seed=4,
+                     variant="one_sided")
+    a.update(1e-3)
+    b.update(1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
+    a.update_many(3, 1e-3)
+    b.update_many(3, 1e-3)
+    assert np.abs(a.positions - b.positions).max() < 1e-12
