@@ -94,9 +94,31 @@ class DSBodySystem:
             raise ValueError(
                 "variant='sym' applies to the euler/hermite ds steps on "
                 "a single device (the sharded ds step is one-sided)")
+        # the autotuner's ds-family winner (nbody-tune --family ds/
+        # ds_leapfrog/ds_hermite) resolves 'auto' and the default tiles
+        # by measurement on this chip; compile-time defaults otherwise
+        winner = None
+        if variant == "auto" or tile_j is None:
+            if mesh is None and _on_tpu():
+                from nbody_tpu.tune import best_config
+
+                fam = {"euler": "ds", "leapfrog": "ds_leapfrog",
+                       "hermite": "ds_hermite"}[integrator]
+                winner = best_config(self.num_bodies, family=fam)
         if variant == "auto":
-            variant = "sym" if sym_ok else "one_sided"
+            if winner is not None:
+                variant = ("sym" if winner.get("variant") == "sym"
+                           and sym_ok else "one_sided")
+            else:
+                variant = "sym" if sym_ok else "one_sided"
         self.variant = variant
+        if winner is not None and winner.get("variant", variant) != variant:
+            winner = None  # tiles were measured on the other kernel
+        if winner is not None:
+            if tile_j is None:
+                tile_j = winner["tile_j"]
+            if tile_i == DS_TILE_I:
+                self.tile_i = tile_i = winner["tile_i"]
         # the accel+jerk kernel's larger live set caps its j-tile below
         # the force-only kernels' (scoped-vmem limit); the sym kernels'
         # dual (masked+unmasked) chunk loops cap it further

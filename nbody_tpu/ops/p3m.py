@@ -361,7 +361,7 @@ from nbody_tpu.ops.p3m_kernel import p3m_kernel_blk  # noqa: E402,F401
 def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
               chunk: int = 2048, assignment: str = "cic",
               short_range: str = "xla", pair_budget: int | None = None,
-              influence: str = "optimal",
+              influence: str = "optimal", blk: int | None = None,
               interpret: bool = False):
     """(N, 4) [x,y,z,m] -> ((N, 3) accelerations, overflow count).
 
@@ -413,7 +413,8 @@ def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
                 "p3m_pair_count)")
         acc_sr, overflow, _ = p3m_short_range_pallas(
             pos, softening, grid=grid, capacity=capacity,
-            pair_budget=pair_budget, blk=p3m_kernel_blk(capacity),
+            pair_budget=pair_budget,
+            blk=p3m_kernel_blk(capacity) if blk is None else blk,
             interpret=interpret)
         return acc_lr + acc_sr, overflow
     if short_range != "xla":
@@ -436,7 +437,7 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
                    capacity: int = 128, chunk: int = 2048,
                    assignment: str = "cic", short_range: str = "xla",
                    pair_budget: int | None = None,
-                   influence: str = "optimal",
+                   influence: str = "optimal", blk: int | None = None,
                    interpret: bool = False):
     """P3M step with the reference's damped semi-implicit Euler update.
 
@@ -449,7 +450,8 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
     a, overflow = p3m_accel(pos, softening, grid=grid, capacity=capacity,
                             chunk=chunk, assignment=assignment,
                             short_range=short_range, pair_budget=pair_budget,
-                            influence=influence, interpret=interpret)
+                            influence=influence, blk=blk,
+                            interpret=interpret)
     new_pos, new_vel = integrate(pos, vel, a, dt, damping)
     return new_pos, new_vel, overflow
 

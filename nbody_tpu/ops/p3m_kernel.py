@@ -108,8 +108,27 @@ def p3m_kernel_blk(capacity: int) -> int:
     small-capacity states. Probe (p3m_pair_count) and engine
     (p3m_short_range_pallas / p3m_accel) both default blk through this, so
     a budget sized by the probe can never be measured against a different
-    tile count than the engine runs."""
+    tile count than the engine runs.
+
+    An autotuner winner (``nbody-tune --family p3m``, cached per
+    CAPACITY bucket) overrides the compile-time heuristic — and because
+    every probe and engine resolves blk HERE, the override keeps them
+    consistent by construction."""
+    tuned = _tuned_blk(int(capacity))
+    if tuned is not None:
+        return tuned
     return 256 if capacity > 192 else 128
+
+
+@functools.lru_cache(maxsize=64)
+def _tuned_blk(capacity: int):
+    try:
+        from nbody_tpu.tune import best_config
+
+        winner = best_config(capacity, family="p3m")
+    except Exception:
+        return None
+    return int(winner["blk"]) if winner and "blk" in winner else None
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "capacity", "blk"))

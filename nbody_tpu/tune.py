@@ -1,14 +1,39 @@
 """Tile auto-tuner: sweep kernel configurations on the attached chip and
-cache the winner.
+cache the winner — across EVERY kernel family, not just the euler force.
 
 The reference exposes --blockSize and leaves tuning to the user
 (/root/reference/src/nbody.cpp:285); a production TPU framework should
-measure. ``autotune(n)`` times each (variant, tile_i, tile_j) candidate with
-a hard-synced scan rollout and persists the best configuration per
-(device_kind, N-bucket) in ``~/.cache/nbody_tpu/tune.json``, which
-``best_config(n)`` serves back.
+measure. ``autotune(n, family=...)`` times each candidate with a
+hard-synced scan rollout and persists the best configuration per
+(device_kind, family, N-bucket) in ``~/.cache/nbody_tpu/tune.json``,
+which ``best_config(n, family=...)`` serves back.
 
-CLI: ``nbody-tune`` / ``python -m nbody_tpu.tune [--numbodies N]``.
+Families and their consumers:
+
+* ``euler``       — the fp32 force kernels (vpu/mxu/sym). Consumed by
+                    BodySystem variant='auto' (steps + leapfrog accel).
+* ``hermite``     — the fp32 fused accel+jerk kernels (one-sided vs the
+                    Newton's-third-law blocked composition). Consumed by
+                    BodySystem._accel_jerk_closure.
+* ``ds``          — the double-single euler kernels (one-sided vs sym).
+* ``ds_leapfrog`` — the fused ds DKD kernel (tile sweep; no sym form).
+* ``ds_hermite``  — the ds accel+jerk kernels (one-sided vs sym).
+                    The ds families are consumed by DSBodySystem.
+* ``p3m``         — the block-sparse short-range pair-tile edge ``blk``
+                    (bucketed by CAPACITY, not N: probe and engine both
+                    resolve blk through ops.p3m_kernel.p3m_kernel_blk, so
+                    the cached winner keeps them consistent by
+                    construction).
+
+Drift gate: only the euler family carries arithmetic-changing variants
+(mxu_bf16's reduced-precision accumulation); its candidates must match
+the exact-fp32 vpu anchor's energy drift over DRIFT_GATE_STEPS. Every
+other family's candidates share their family's arithmetic exactly
+(sym re-orders the same fp32/ds sums), so speed can never buy a
+different simulation there by construction.
+
+CLI: ``nbody-tune [--family F | --all]`` /
+``python -m nbody_tpu.tune [--numbodies N]``.
 """
 
 from __future__ import annotations
@@ -19,7 +44,7 @@ import pathlib
 import time
 
 DEFAULT_CANDIDATES = (
-    ("sym", 64, 4096),      # Newton's-third-law kernel (N <= SYM_MAX_N)
+    ("sym", 64, 4096),      # Newton's-third-law kernel (any N, blocked)
     ("sym", 64, 8192),
     ("vpu", 64, 32768),
     ("vpu", 64, 8192),
@@ -28,6 +53,43 @@ DEFAULT_CANDIDATES = (
     ("mxu_bf16", 512, 4096),
     ("mxu_bf16", 1024, 8192),
 )
+
+# measured champions bracket each sweep (provenance: the r3/r4 hand
+# sweeps whose winners these families' compile-time defaults froze —
+# ops/symmetric_kernel.py, ops/ds_kernel.py tile comments)
+FAMILY_CANDIDATES = {
+    "euler": DEFAULT_CANDIDATES,
+    "hermite": (
+        ("sym", 64, 1024),
+        ("sym", 64, 2048),
+        ("sym", 64, 4096),
+        ("one_sided", 32, 16384),
+        ("one_sided", 32, 8192),
+        ("one_sided", 64, 8192),
+    ),
+    "ds": (
+        ("sym", 64, 512),
+        ("sym", 64, 1024),
+        ("sym", 64, 2048),
+        ("one_sided", 64, 2048),
+        ("one_sided", 64, 4096),
+        ("one_sided", 64, 8192),
+    ),
+    "ds_leapfrog": (
+        ("one_sided", 64, 1024),
+        ("one_sided", 64, 2048),
+        ("one_sided", 64, 4096),
+    ),
+    "ds_hermite": (
+        ("sym", 64, 512),
+        ("sym", 64, 1024),
+        ("sym", 64, 2048),
+        ("one_sided", 64, 1024),
+        ("one_sided", 64, 2048),
+    ),
+    # blk sweep; candidates are (blk,) tuples
+    "p3m": ((128,), (256,), (512,)),
+}
 
 # Drift gate: a candidate only qualifies if its relative energy drift over
 # DRIFT_GATE_STEPS steps agrees with the exact-fp32 `vpu` anchor to within
@@ -44,6 +106,8 @@ DEFAULT_CANDIDATES = (
 DRIFT_GATE_STEPS = 1000
 DRIFT_GATE_REL = 0.02
 DRIFT_GATE_ABS = 5e-4
+
+FAMILIES = tuple(FAMILY_CANDIDATES)
 
 
 def _cache_path() -> pathlib.Path:
@@ -73,9 +137,20 @@ def load_cache() -> dict:
     return {}
 
 
-def best_config(n: int) -> dict | None:
-    """Cached best (variant, tile_i, tile_j) for this device and N-bucket."""
-    entry = load_cache().get(_key(), {}).get(_bucket(n))
+def best_config(n: int, family: str = "euler") -> dict | None:
+    """Cached best candidate for this device, family, and N-bucket.
+
+    Schema: cache[device][family][bucket]. Pre-family caches (r3) stored
+    euler winners flat under cache[device][bucket]; those are still
+    served for family='euler' so an existing tuned chip keeps its
+    winner."""
+    dev = load_cache().get(_key(), {})
+    entry = dev.get(family, {}).get(_bucket(n)) if isinstance(
+        dev.get(family), dict) else None
+    if entry is None and family == "euler":
+        legacy = dev.get(_bucket(n))
+        if isinstance(legacy, dict) and "variant" in legacy:
+            entry = legacy
     return dict(entry) if entry else None
 
 
@@ -119,90 +194,230 @@ def _gate_by_drift(results, drift_of, *, log=print) -> list:
     return gated
 
 
-def autotune(n: int = 65536, *, steps: int = 20,
-             candidates=DEFAULT_CANDIDATES, save: bool = True,
-             drift_gate: bool = True, log=print) -> dict:
-    import jax
+def _make_family_harness(family: str, n: int):
+    """(state0, make_step) for a family: state0 is the rollout carry,
+    make_step(candidate) -> step(*state) -> state."""
     import jax.numpy as jnp
+    import numpy as np
 
     from nbody_tpu import NBodyConfig, ic
-    from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
-    from nbody_tpu.utils.timing import hard_sync
 
-    if jax.default_backend() == "cpu":
-        raise RuntimeError("autotune needs an accelerator (got cpu backend)")
+    dt, soft, damp = 0.016, 0.1, 1.0
 
-    pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0)
-    p, v = jnp.asarray(pos), jnp.asarray(vel)
+    if family in ("ds", "ds_leapfrog", "ds_hermite"):
+        from nbody_tpu.ops.ds_kernel import (
+            _scal_ds,
+            _scal_ds_hermite,
+            _scal_ds_leapfrog,
+            ds_from_f64,
+            nbody_step_pallas_ds,
+            nbody_step_pallas_ds_hermite,
+            nbody_step_pallas_ds_leapfrog,
+            nbody_step_pallas_ds_sym_blocked,
+        )
 
-    def make_roll(variant, ti, tj, length):
-        if variant == "sym":
-            from nbody_tpu.ops.symmetric_kernel import (
-                nbody_step_symmetric_blocked,
-            )
+        pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0,
+                               dtype=np.float64)
+        ph, pl = ds_from_f64(pos)
+        vh, vl = ds_from_f64(vel)
+        scal = {"ds": _scal_ds, "ds_leapfrog": _scal_ds_leapfrog,
+                "ds_hermite": _scal_ds_hermite}[family](dt, soft, damp)
+        state0 = (jnp.asarray(ph), jnp.asarray(pl),
+                  jnp.asarray(vh), jnp.asarray(vl))
 
-            # any N: above SYM_MAX_N this is the blocked composition,
-            # below it delegates to the single triangle bit-exactly
+        def make_step(cand):
+            variant, ti, tj = cand
+            if family == "ds":
+                if variant == "sym":
+                    def step(*s):
+                        return nbody_step_pallas_ds_sym_blocked(
+                            *s, scal, tile_i=ti, tile_j=tj)
+                else:
+                    def step(*s):
+                        return nbody_step_pallas_ds(*s, scal, tile_i=ti,
+                                                    tile_j=tj)
+            elif family == "ds_leapfrog":
+                def step(*s):
+                    return nbody_step_pallas_ds_leapfrog(*s, scal,
+                                                         tile_i=ti,
+                                                         tile_j=tj)
+            else:  # ds_hermite
+                def step(*s):
+                    return nbody_step_pallas_ds_hermite(
+                        *s, scal, tile_i=ti, tile_j=tj,
+                        sym=variant == "sym")
+            return step
+
+        return state0, make_step, {}
+
+    if family == "p3m":
+        from nbody_tpu.ops.p3m import nbody_step_p3m, p3m_max_occupancy
+        from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+
+        pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0)
+        p, v = jnp.asarray(pos), jnp.asarray(vel)
+        # BodySystem's auto-size rule: max occupancy + 50%, multiple of 8
+        occ = int(p3m_max_occupancy(p, grid=64))
+        cap = max(8, -(-int(occ * 1.5 + 1) // 8) * 8)
+
+        def make_step(cand):
+            (blk,) = cand
+            budget = int(p3m_pair_count(p, grid=64, capacity=cap,
+                                        blk=blk)) + 64
 
             def step(pp, vv):
-                return nbody_step_symmetric_blocked(pp, vv, 0.016, 0.1, 1.0,
+                pp, vv, _ = nbody_step_p3m(
+                    pp, vv, dt, soft, damp, grid=64, capacity=cap,
+                    short_range="pallas", pair_budget=budget, blk=blk)
+                return pp, vv
+            return step
+
+        # the winner is consumed through p3m_kernel_blk(capacity), so it
+        # is cached under the CAPACITY bucket, not the N bucket
+        return (p, v), make_step, {"bucket_value": cap}
+
+    pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0)
+    state0 = (jnp.asarray(pos), jnp.asarray(vel))
+
+    if family == "hermite":
+        from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+        from nbody_tpu.ops.reference import nbody_step_hermite
+        from nbody_tpu.ops.symmetric_kernel import (
+            compute_accel_jerk_symmetric_blocked,
+        )
+
+        def make_step(cand):
+            variant, ti, tj = cand
+            if variant == "sym":
+                def aj(p4, v4):
+                    return compute_accel_jerk_symmetric_blocked(
+                        p4, v4, soft, tile_i=ti, tile_j=tj)
+            else:
+                def aj(p4, v4):
+                    return compute_accel_jerk_pallas(p4, v4, p4, v4, soft,
+                                                     tile_i=ti, tile_j=tj)
+
+            def step(pp, vv):
+                return nbody_step_hermite(pp, vv, dt, soft, damp,
+                                          accel_jerk_fn=aj)
+            return step
+
+        return state0, make_step, {}
+
+    # euler
+    from nbody_tpu.ops.pallas_kernel import nbody_step_pallas
+    from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric_blocked
+
+    def make_step(cand):
+        variant, ti, tj = cand
+        if variant == "sym":
+            # any N: above SYM_MAX_N this is the blocked composition,
+            # below it delegates to the single triangle bit-exactly
+            def step(pp, vv):
+                return nbody_step_symmetric_blocked(pp, vv, dt, soft, damp,
                                                     tile_i=ti, tile_j=tj)
         else:
             def step(pp, vv):
-                return nbody_step_pallas(pp, vv, 0.016, 0.1, 1.0,
+                return nbody_step_pallas(pp, vv, dt, soft, damp,
                                          tile_i=ti, tile_j=tj,
                                          variant=variant)
+        return step
 
-        def roll_fn(pp, vv):
+    return state0, make_step, {}
+
+
+def _cand_record(family: str, cand, gips: float) -> dict:
+    if family == "p3m":
+        return {"blk": cand[0], "g_interactions_per_s": round(gips, 1)}
+    variant, ti, tj = cand
+    return {"variant": variant, "tile_i": ti, "tile_j": tj,
+            "g_interactions_per_s": round(gips, 1)}
+
+
+def autotune(n: int = 65536, *, family: str = "euler", steps: int = 20,
+             candidates=None, save: bool = True,
+             drift_gate: bool = True, log=print) -> dict:
+    import jax
+
+    from nbody_tpu.utils.timing import hard_sync
+
+    if family not in FAMILY_CANDIDATES:
+        raise ValueError(f"unknown family {family!r}; one of {FAMILIES}")
+    if jax.default_backend() == "cpu":
+        raise RuntimeError("autotune needs an accelerator (got cpu backend)")
+    if candidates is None:
+        candidates = FAMILY_CANDIDATES[family]
+
+    state0, make_step, harness_meta = _make_family_harness(family, n)
+
+    def make_roll(step, length):
+        def roll_fn(*state):
             def body(s, _):
                 return step(*s), None
-            (pp, vv), _ = jax.lax.scan(body, (pp, vv), None, length=length)
-            return pp, vv
+            state, _ = jax.lax.scan(body, state, None, length=length)
+            return state
         return jax.jit(roll_fn)
 
-    def energy_f32(pp, vv):
-        from nbody_tpu.ops.energy import kinetic_energy
-        from nbody_tpu.ops.pallas_kernel import potential_energy_pallas
-
-        return float(kinetic_energy(pp, vv) + potential_energy_pallas(pp, 0.1))
-
-    def drift_of(variant, ti, tj):
-        roll = make_roll(variant, ti, tj, DRIFT_GATE_STEPS)
-        e0 = energy_f32(p, v)
-        out = roll(p, v)
-        hard_sync(out)
-        return (energy_f32(*out) - e0) / abs(e0)
+    # hermite runs 2 force evals/step: count interactions accordingly so
+    # family rates are comparable to their own kernels' published numbers
+    evals = 2 if family in ("hermite", "ds_hermite") else 1
 
     results = []
-    for variant, ti, tj in candidates:
-        roll = make_roll(variant, ti, tj, steps)
+    for cand in candidates:
         try:
-            out = roll(p, v)
+            roll = make_roll(make_step(cand), steps)
+            out = roll(*state0)
             hard_sync(out)
             t0 = time.perf_counter()
-            out = roll(p, v)
+            out = roll(*state0)
             hard_sync(out)
-            dt = time.perf_counter() - t0
+            dtime = time.perf_counter() - t0
         except Exception as e:  # config invalid on this chip — skip it
-            log(f"  {variant} ti={ti} tj={tj}: failed ({type(e).__name__})")
+            log(f"  {family} {cand}: failed ({type(e).__name__})")
             continue
-        gips = n * n * steps / dt * 1e-9
-        log(f"  {variant} ti={ti} tj={tj}: {gips:7.1f} G interactions/s")
-        results.append({"variant": variant, "tile_i": ti, "tile_j": tj,
-                        "g_interactions_per_s": round(gips, 1)})
+        gips = n * n * steps * evals / dtime * 1e-9
+        log(f"  {family} {cand}: {gips:7.1f} G interactions/s")
+        results.append(_cand_record(family, cand, gips))
 
     if not results:
         raise RuntimeError("no tuning candidate succeeded")
 
-    if drift_gate:
+    if drift_gate and family == "euler":
+        # only the euler family carries arithmetic-changing variants
+        # (mxu_bf16); see module docstring
+        import jax.numpy as jnp
+
+        from nbody_tpu import NBodyConfig, ic
+        from nbody_tpu.ops.energy import kinetic_energy
+        from nbody_tpu.ops.pallas_kernel import potential_energy_pallas
+
+        pos, vel = ic.generate(NBodyConfig.SHELL, n, 1.54, 8.0, seed=0)
+        p, v = jnp.asarray(pos), jnp.asarray(vel)
+
+        def energy_f32(pp, vv):
+            return float(kinetic_energy(pp, vv)
+                         + potential_energy_pallas(pp, 0.1))
+
+        def drift_of(variant, ti, tj):
+            roll = make_roll(make_step((variant, ti, tj)),
+                             DRIFT_GATE_STEPS)
+            e0 = energy_f32(p, v)
+            out = roll(p, v)
+            hard_sync(out)
+            return (energy_f32(*out) - e0) / abs(e0)
+
         results = _gate_by_drift(results, drift_of, log=log)
 
     best = max(results, key=lambda r: r["g_interactions_per_s"])
-    log(f"best: {best}")
+    log(f"best[{family}]: {best}")
 
     if save:
         cache = load_cache()
-        cache.setdefault(_key(), {})[_bucket(n)] = best
+        dev = cache.setdefault(_key(), {})
+        fam = dev.get(family)
+        if not isinstance(fam, dict):
+            fam = dev[family] = {}
+        fam[_bucket(harness_meta.get("bucket_value", n))] = best
         path = _cache_path()
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(cache, indent=2))
@@ -216,12 +431,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nbody-tune")
     ap.add_argument("--numbodies", type=int, default=65536)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--family", choices=FAMILIES, default="euler",
+                    help="kernel family to sweep (see module docstring)")
+    ap.add_argument("--all", action="store_true",
+                    help="sweep every family at this N")
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--no-drift-gate", action="store_true",
                     help="skip the energy-drift-vs-vpu qualification pass")
     args = ap.parse_args(argv)
-    autotune(args.numbodies, steps=args.steps, save=not args.no_save,
-             drift_gate=not args.no_drift_gate)
+    families = FAMILIES if args.all else (args.family,)
+    for family in families:
+        autotune(args.numbodies, family=family, steps=args.steps,
+                 save=not args.no_save,
+                 drift_gate=not args.no_drift_gate)
     return 0
 
 

@@ -173,7 +173,8 @@ def test_auto_falls_back_when_cached_sym_inapplicable(monkeypatch, tmp_path):
 
     monkeypatch.setattr(
         tune, "best_config",
-        lambda n: {"variant": "sym", "tile_i": 64, "tile_j": 4096})
+        lambda n, family="euler": {"variant": "sym", "tile_i": 64,
+                                   "tile_j": 4096})
 
     from nbody_tpu.ops.symmetric_kernel import AJ_SYM_MAX_N
 

@@ -24,14 +24,71 @@ def test_best_config_roundtrip(tmp_path):
     path.parent.mkdir(parents=True)
     entry = {"variant": "mxu_bf16", "tile_i": 1024, "tile_j": 8192,
              "g_interactions_per_s": 205.0}
-    path.write_text(json.dumps({tune._key(): {"65536": entry}}))
+    path.write_text(json.dumps(
+        {tune._key(): {"euler": {"65536": entry}}}))
     assert tune.best_config(65536) == entry
     assert tune.best_config(50000) == entry  # same bucket
     assert tune.best_config(200000) is None
+    assert tune.best_config(65536, family="hermite") is None
+
+
+def test_best_config_legacy_flat_schema_served_for_euler(tmp_path):
+    """Pre-family caches (r3) stored euler winners flat under the device
+    key; they must still be served for family='euler' so a tuned chip
+    keeps its winner across the schema change."""
+    path = tune._cache_path()
+    path.parent.mkdir(parents=True)
+    entry = {"variant": "sym", "tile_i": 64, "tile_j": 4096,
+             "g_interactions_per_s": 285.0}
+    path.write_text(json.dumps({tune._key(): {"65536": entry}}))
+    assert tune.best_config(65536) == entry
+    assert tune.best_config(65536, family="hermite") is None
+
+
+def test_best_config_families_are_independent(tmp_path):
+    path = tune._cache_path()
+    path.parent.mkdir(parents=True)
+    euler = {"variant": "sym", "tile_i": 64, "tile_j": 4096,
+             "g_interactions_per_s": 285.0}
+    hermite = {"variant": "one_sided", "tile_i": 32, "tile_j": 16384,
+               "g_interactions_per_s": 52.0}
+    p3m = {"blk": 256, "g_interactions_per_s": 900.0}
+    path.write_text(json.dumps({tune._key(): {
+        "euler": {"65536": euler},
+        "hermite": {"65536": hermite},
+        "p3m": {"64": p3m},
+    }}))
+    assert tune.best_config(65536) == euler
+    assert tune.best_config(65536, family="hermite") == hermite
+    assert tune.best_config(48, family="p3m") == p3m
+    assert tune.best_config(65536, family="ds") is None
+
+
+def test_p3m_kernel_blk_consumes_tuned_winner(tmp_path):
+    from nbody_tpu.ops import p3m_kernel
+
+    path = tune._cache_path()
+    path.parent.mkdir(parents=True)
+    path.write_text(json.dumps({tune._key(): {
+        "p3m": {"1024": {"blk": 512, "g_interactions_per_s": 1.0}}}}))
+    p3m_kernel._tuned_blk.cache_clear()
+    try:
+        assert p3m_kernel.p3m_kernel_blk(1000) == 512
+        # un-tuned capacity bucket falls back to the heuristic
+        assert p3m_kernel.p3m_kernel_blk(128) == 128
+        assert p3m_kernel.p3m_kernel_blk(200) == 256
+    finally:
+        p3m_kernel._tuned_blk.cache_clear()
 
 
 def test_best_config_empty_cache():
     assert tune.best_config(65536) is None
+    assert tune.best_config(65536, family="ds_hermite") is None
+
+
+def test_unknown_family_rejected():
+    with pytest.raises((ValueError, RuntimeError)):
+        tune.autotune(1024, family="nope")
 
 
 def test_autotune_requires_accelerator():
