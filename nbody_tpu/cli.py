@@ -473,11 +473,6 @@ def _main(argv=None) -> int:
                       "kernels only (pm/p3m are fixed-dt); drop "
                       "--devices or --adaptive-dt", file=sys.stderr)
                 return 1
-            if args.mesh_rows is not None:
-                print("error: --adaptive-dt uses the 1-D body mesh "
-                      "(2-D decomposition is fixed-dt); drop "
-                      "--mesh-rows", file=sys.stderr)
-                return 1
             if args.strategy in ("ring_fused", "sym"):
                 print("error: --adaptive-dt supports allgather/ring/"
                       "auto (ring_fused fuses the fixed-dt update; "

@@ -188,12 +188,20 @@ class BodySystem:
                     "saving on a mesh use strategy='sym' instead")
 
         if variant == "auto":
-            # use the autotuner's cached winner for this chip/N if present
+            # use the autotuner's cached winner for this chip/N if
+            # present — hermite systems consult the HERMITE family (the
+            # accel+jerk kernels were measured, not the euler force;
+            # nbody-tune --family hermite), others the euler family
             resolved = None
             if backend == "pallas" and _default_backend_is_tpu():
                 from nbody_tpu.tune import best_config
 
-                resolved = best_config(self.num_bodies)
+                fam = "hermite" if integrator == "hermite" else "euler"
+                resolved = best_config(self.num_bodies, family=fam)
+                if resolved and resolved.get("variant") == "one_sided":
+                    # the tune families name the one-sided aj kernel
+                    # 'one_sided'; the system-level variant for it is vpu
+                    resolved = dict(resolved, variant="vpu")
             if resolved and resolved["variant"] == "sym":
                 if mesh is not None:
                     # the cached winner was tuned single-device; a mesh
@@ -613,13 +621,16 @@ class BodySystem:
             )
 
             interpret = self.interpret
+            # hermite systems' cached tiles come from the HERMITE tune
+            # family (measured on these accel+jerk kernels, __init__), so
+            # they are honored; a euler-family winner adopted by a
+            # non-hermite system must never leak into this shape
+            aj_cache_ok = self.integrator == "hermite"
             if self.variant == "sym":
                 from nbody_tpu.ops import symmetric_kernel as symk
 
-                # cache_ok=False: the tune cache measured the euler
-                # force kernel, not this accel+jerk shape
                 s_ti, s_tj = self._sym_tiles(
-                    symk.TI, symk.AJ_SYM_TILE_J, cache_ok=False)
+                    symk.TI, symk.AJ_SYM_TILE_J, cache_ok=aj_cache_ok)
                 cap = symk.AJ_SYM_MAX_N  # module attr: tests shrink it
 
                 def aj_sym(p4, v4, soft):
@@ -631,8 +642,11 @@ class BodySystem:
 
                 return aj_sym
 
-            tile_i = self.tile_i if self._explicit_tiles[0] else AJ_TILE_I
-            tile_j = self.tile_j if self._explicit_tiles[1] else AJ_TILE_J
+            from_cache = aj_cache_ok and self._tiles_from_cache
+            tile_i = (self.tile_i if self._explicit_tiles[0] or from_cache
+                      else AJ_TILE_I)
+            tile_j = (self.tile_j if self._explicit_tiles[1] or from_cache
+                      else AJ_TILE_J)
 
             def aj(p4, v4, soft):
                 return compute_accel_jerk_pallas(
@@ -677,7 +691,12 @@ class BodySystem:
             return cached
         step = self._step_fn()
 
-        if self.backend == "p3m" and self.mesh is None:
+        if self.backend == "p3m":
+            # single-device AND sharded: the probe's O(N) bincounts run
+            # at the jit level on the (possibly sharded) global state, so
+            # GSPMD inserts the needed collectives — a sharded collapsing
+            # rollout reports its first breached step too, not a post-hoc
+            # warning up to a segment late (VERDICT r3 item 6)
             run = self._p3m_probed_rollout(step, steps)
         else:
             # donated buffers: the functional equivalent of the reference's
@@ -890,12 +909,6 @@ class BodySystem:
             done += seg
             if self.backend != "p3m":
                 continue
-            if first is None:
-                # sharded p3m: shard_map outputs are the stepped state
-                # only, so the post-hoc probe (per segment) remains the
-                # detection path there
-                self._warn_if_p3m_contract_broken()
-                continue
             if first < 0:
                 self._p3m_contract_warned = False
                 continue
@@ -928,7 +941,7 @@ class BodySystem:
         """Run the compiled rollout; for single-device p3m returns the first
         breached step (-1 = contract held throughout), else None."""
         p = self.params
-        probed = self.backend == "p3m" and self.mesh is None
+        probed = self.backend == "p3m"
         host = self.placement == "host"
         if host:
             # stream host state in ONCE, scan k steps on-device, stream out:
@@ -985,19 +998,19 @@ class BodySystem:
         rather than looping 1-step calls, which would double the per-step
         force work.
 
-        Mesh-capable for the exact kernels over the 1-D body mesh: the
-        dt criterion adds ONE scalar pmax/pmin collective per step
-        (parallel.sharded.make_sharded_adaptive_rollout); pm/p3m and
-        2-D meshes stay fixed-dt."""
+        Mesh-capable for the exact kernels over the 1-D body mesh AND
+        the 2-D (rows x cols) decomposition: the dt criterion adds ONE
+        scalar pmax/pmin collective per step (over both axes for 2-D —
+        parallel.sharded.make_sharded_adaptive_rollout[_2d]); pm/p3m
+        stay fixed-dt."""
         from nbody_tpu.utils.profiling import annotate
 
         if self.mesh is not None:
-            if self.backend not in ("pallas", "xla") or \
-                    self._mesh_axes != ("bodies",):
+            if self.backend not in ("pallas", "xla"):
                 raise ValueError(
-                    "adaptive rollouts shard over the 1-D body mesh with "
-                    "the exact kernels only (pm/p3m and 2-D decomposition "
-                    "are fixed-dt); drop mesh= or use update_many")
+                    "adaptive rollouts shard with the exact kernels "
+                    "only (pm/p3m are fixed-dt); drop mesh= or use "
+                    "update_many")
             if self.strategy == "ring_fused":
                 raise ValueError(
                     "strategy='ring_fused' fuses the fixed-dt Euler "
@@ -1052,20 +1065,25 @@ class BodySystem:
         if self.mesh is not None:
             from nbody_tpu.parallel.sharded import (
                 make_sharded_adaptive_rollout,
+                make_sharded_adaptive_rollout_2d,
             )
 
-            run = make_sharded_adaptive_rollout(
-                self.mesh,
+            kw = dict(
                 softening=p.softening, damping=p.damping,
                 eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps,
                 kernel="pallas" if self.backend == "pallas" else "xla",
-                strategy=self.strategy,
                 integrator=self.integrator,
                 tile_i=self.tile_i if self._explicit_tiles[0] else None,
                 tile_j=self.tile_j if self._explicit_tiles[1] else None,
                 interpret=bool(self.interpret),
                 chunk_size=self.chunk_size,
             )
+            if len(self._mesh_axes) == 2:
+                run = make_sharded_adaptive_rollout_2d(
+                    self.mesh, axes=self._mesh_axes, **kw)
+            else:
+                run = make_sharded_adaptive_rollout(
+                    self.mesh, strategy=self.strategy, **kw)
             self._adaptive_cache[key] = run
             return run
         from nbody_tpu.ops.adaptive import make_adaptive_rollout

@@ -876,6 +876,121 @@ def make_sharded_adaptive_rollout(
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_sharded_adaptive_rollout_2d(
+    mesh: Mesh,
+    *,
+    softening,
+    damping,
+    eta: float,
+    dt_min: float,
+    dt_max: float,
+    steps: int,
+    axes: tuple = ("rows", "cols"),
+    kernel: str = "pallas",
+    integrator: str = "euler",
+    tile_i: int | None = None,
+    tile_j: int | None = None,
+    interpret: bool = False,
+    chunk_size: int | None = None,
+):
+    """Adaptive global timestep over the 2-D (rows × cols) decomposition:
+    (pos, vel) -> (pos, vel, stats), pos/vel sharded P(axes, None).
+
+    Exactly the 1-D design (make_sharded_adaptive_rollout) on the 2-D
+    force evaluation of make_sharded_step_2d: each device evaluates its
+    chunk's forces through the two-axis gathers + cols-psum, and the
+    GLOBAL dt criterion is ONE pmax (pmin for hermite) over BOTH mesh
+    axes — jax.lax.pmax takes the axis-name tuple directly, so the
+    criterion costs a single scalar collective per step here too. Every
+    chunk steps with the same dt; stats replicate."""
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if kernel not in ("pallas", "xla"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    from nbody_tpu.ops.adaptive import make_adaptive_scan
+
+    row_ax, col_ax = axes
+    explicit_i, explicit_j = tile_i is not None, tile_j is not None
+    tile_i = DEFAULT_TILE_I if tile_i is None else tile_i
+    tile_j = DEFAULT_TILE_J if tile_j is None else tile_j
+
+    def accel_vs(pos_i, pos_j):
+        if kernel == "pallas":
+            return compute_accel_pallas(
+                pos_i, pos_j, softening,
+                tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+            )
+        return compute_accel_xla_vs(pos_i, pos_j, softening,
+                                    chunk_size=chunk_size)
+
+    def local(pos_ch, vel_ch):
+        nloc = pos_ch.shape[0]
+
+        def _chunk_slice(block):
+            c = jax.lax.axis_index(col_ax)
+            return jax.lax.dynamic_slice_in_dim(
+                block, (c * nloc).astype(jnp.int32), nloc, axis=0)
+
+        def accel_fn(p_ch):
+            i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0, tiled=True)
+            j_pos = jax.lax.all_gather(p_ch, row_ax, axis=0, tiled=True)
+            acc = jax.lax.psum(accel_vs(i_pos, j_pos), col_ax)
+            return _chunk_slice(acc)
+
+        aj_fn = None
+        if integrator == "hermite":
+            from nbody_tpu.ops.pallas_kernel import AJ_TILE_I, AJ_TILE_J
+            from nbody_tpu.ops.reference import _accel_jerk_rows
+
+            aj_ti = tile_i if explicit_i else AJ_TILE_I
+            aj_tj = tile_j if explicit_j else AJ_TILE_J
+
+            def aj_fn(p_ch, v_ch):
+                i_pos = jax.lax.all_gather(p_ch, col_ax, axis=0,
+                                           tiled=True)
+                i_vel = jax.lax.all_gather(v_ch, col_ax, axis=0,
+                                           tiled=True)
+                j_pos = jax.lax.all_gather(p_ch, row_ax, axis=0,
+                                           tiled=True)
+                j_vel = jax.lax.all_gather(v_ch, row_ax, axis=0,
+                                           tiled=True)
+                if kernel == "pallas":
+                    from nbody_tpu.ops.pallas_kernel import (
+                        compute_accel_jerk_pallas,
+                    )
+
+                    a, jk = compute_accel_jerk_pallas(
+                        i_pos, i_vel, j_pos, j_vel, softening,
+                        tile_i=aj_ti, tile_j=aj_tj, interpret=interpret)
+                else:
+                    eps2 = jnp.asarray(softening, p_ch.dtype) ** 2
+                    a, jk = _accel_jerk_rows(
+                        i_pos[:, :3], i_vel[:, :3], j_pos[:, :3],
+                        j_vel[:, :3], j_pos[:, 3], eps2)
+                a = jax.lax.psum(a, col_ax)
+                jk = jax.lax.psum(jk, col_ax)
+                return _chunk_slice(a), _chunk_slice(jk)
+
+        run = make_adaptive_scan(
+            integrator, accel_fn=accel_fn, accel_jerk_fn=aj_fn,
+            softening=softening, damping=damping, eta=eta,
+            dt_min=dt_min, dt_max=dt_max, steps=steps,
+            mesh_axis=(row_ax, col_ax))
+        return run(pos_ch, vel_ch)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(axes, None)),
+        # stats replicate: the two-axis pmax/pmin makes every chunk's dt
+        # (hence its stats carry) identical
+        out_specs=(P(axes, None), P(axes, None), P()),
+        check_vma=False,
+    )
+
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
                          tile_i: int | None = None,
                          tile_j: int | None = None,

@@ -217,6 +217,28 @@ def test_sharded_adaptive_pallas_interpret():
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("integ", ["euler", "leapfrog", "hermite"])
+def test_2d_mesh_adaptive_matches_single_device(integ):
+    """Adaptive dt over the 2-D (rows x cols) decomposition: the
+    criterion pmax/pmin reduces over BOTH axes, so every chunk steps
+    with the single-device dt sequence (VERDICT r3 item 5)."""
+    import jax
+
+    from nbody_tpu.parallel import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = BodySystem(256, P, backend="xla", integrator=integ, seed=10)
+    sharded = BodySystem(256, P, backend="xla", integrator=integ, seed=10,
+                         mesh=make_mesh_2d(2, 4))
+    ss = single.update_many_adaptive(15, eta=0.01)
+    ms = sharded.update_many_adaptive(15, eta=0.01)
+    np.testing.assert_allclose(single.positions, sharded.positions,
+                               atol=1e-5)
+    for k in ("t", "dt_lo", "dt_hi", "dt_last"):
+        assert ss[k] == pytest.approx(ms[k], rel=1e-5), k
+
+
 def test_mesh_solver_and_ring_fused_rejected():
     bs = BodySystem(512, P, backend="pm", mesh=_body_mesh(), seed=10,
                     pm_grid=16, integrator="leapfrog")
