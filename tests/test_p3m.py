@@ -552,6 +552,61 @@ def test_p3m_in_rollout_probe_detects_breach_step():
     assert abs(detected - truth) <= 2, (detected, truth)
 
 
+def test_p3m_sharded_in_rollout_probe_detects_breach_step():
+    """The in-scan breach probe now runs for SHARDED p3m rollouts too:
+    the carry's bincounts run at the jit level on the sharded global
+    state (GSPMD collectives), so a sharded collapsing run reports its
+    first breached step instead of a post-hoc warning up to a segment
+    late (VERDICT r3 item 6)."""
+    import jax
+
+    from nbody_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    single = _collapsing_system()
+    cap = single.p3m_capacity
+    steps = 60
+    truth = single._update_many_inner(steps, 0.01)
+    assert truth >= 1, "scenario must breach mid-run, not at t=0"
+
+    sharded = _collapsing_system(mesh=make_mesh(4), p3m_capacity=cap)
+    detected = sharded._update_many_inner(steps, 0.01)
+    assert detected >= 0, "sharded rollout probe missed the breach"
+    # single-device scan vs sharded scan trajectories differ by float
+    # reassociation; the probe is ulp-sensitive at cell edges
+    assert abs(detected - truth) <= 2, (detected, truth)
+
+
+def test_p3m_sharded_auto_refresh_recovers_mid_rollout():
+    """p3m_auto_refresh over a mesh: the sharded breach carry rewinds to
+    the snapshot, re-sizes, rebuilds the sharded step, and resumes."""
+    import warnings
+
+    import jax
+
+    from nbody_tpu.ops.p3m import p3m_overflow_count
+    from nbody_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    s = _collapsing_system(mesh=make_mesh(4), p3m_auto_refresh=True)
+    cap0 = s.p3m_capacity
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s.update_many(60, 0.01)
+    assert not any("contract broken" in str(x.message) for x in w)
+    assert s.p3m_capacity > cap0, "auto-refresh should have re-sized"
+    assert np.isfinite(s.positions).all()
+    assert int(p3m_overflow_count(
+        jnp.asarray(s.positions, jnp.float32),
+        grid=16, capacity=s.p3m_capacity)) == 0
+
+
 def test_p3m_auto_refresh_recovers_mid_rollout():
     """p3m_auto_refresh=True: a breached rollout rewinds to the breach
     step, re-sizes the contract from that state, and resumes — no warning,
