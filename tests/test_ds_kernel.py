@@ -111,11 +111,15 @@ def test_cli_precision_ds_qatest(capsys):
 
 
 def test_cli_precision_ds_scope_errors(capsys):
+    """ds is a full product surface since r4 — the demo path RUNS; only
+    genuinely contradictory combinations error (see test_cli.py's
+    test_precision_ds_demo_gates for the full ladder)."""
     from nbody_tpu.cli import main
 
-    rc = main(["--precision", "ds", "--numbodies", "256", "--frames", "1"])
-    assert rc == 1
-    assert "error:" in capsys.readouterr().err
+    rc = main(["--precision", "ds", "--numbodies", "128", "--frames", "1",
+               "--no-cycle"])
+    assert rc == 0
+    assert "ds (fp64-grade)" in capsys.readouterr().out
     rc = main(["--precision", "ds", "--fp64", "--benchmark"])
     assert rc == 1
 
@@ -179,6 +183,7 @@ def test_sharded_ds_leapfrog_matches_single_device(state64):
         make_sharded_ds_step(mesh, integrator="rk4")
 
 
+@pytest.mark.slow
 def test_sharded_ds_hermite_matches_single_device(state64):
     """8-device ds Hermite P(EC) == single-device ds Hermite. Two gather
     rounds (start state, locally-predicted state); per-shard predictor/
@@ -310,6 +315,7 @@ def test_ds_hermite_matches_f64_oracle(state64):
     assert np.array_equal(np.asarray(npl)[:, 3], np.asarray(plo)[:, 3])
 
 
+@pytest.mark.slow
 def test_ds_hermite_fourth_order(state64):
     """O(dt^4) local accuracy: against the f64 oracle hermite reference,
     the ds hermite one-step error vs a dt-halved two-step run contracts
@@ -338,6 +344,7 @@ def test_ds_hermite_fourth_order(state64):
     assert e_half < e_full / 6, (e_full, e_half)
 
 
+@pytest.mark.slow
 def test_cli_precision_ds_hermite(capsys):
     from nbody_tpu.cli import main
 
@@ -471,6 +478,7 @@ def test_ds_hermite_sym_step_and_system():
     assert np.abs(a.positions - b.positions).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_rollout_none_tile_defaults_per_integrator():
     """rollout_pallas_ds with tile_j=None lets each step resolve its own
     tuned default — a direct caller must not inherit the euler tile into
@@ -558,6 +566,7 @@ def test_ds_system_euler_sym_any_n(monkeypatch):
     assert np.abs(a.positions - b.positions).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_ds_aj_sym_blocked_matches_triangle():
     """The blocked ds accel+jerk composition (self triangles + cross
     rectangles with 12 reaction scratches) matches the single triangle
@@ -595,6 +604,7 @@ def test_ds_aj_sym_blocked_matches_triangle():
         assert np.array_equal(np.asarray(under[i]), np.asarray(ref[i])), i
 
 
+@pytest.mark.slow
 def test_ds_system_hermite_sym_any_n(monkeypatch):
     """DSBodySystem hermite auto-resolves to sym at ANY N now (the
     blocked accel+jerk composition); caps monkeypatched small BEFORE

@@ -163,6 +163,7 @@ def test_plummer_centred():
     assert np.abs((pos[:, 3:4] * vel[:, :3]).sum(0)).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_plummer_is_dynamically_stable():
     """The equilibrium survives a leapfrog rollout: r_half moves <10% over
     100 steps (~2.6 dynamical times). This is the end-to-end physics check

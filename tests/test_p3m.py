@@ -291,6 +291,7 @@ def test_p3m_tsc_via_body_system_and_cli_flag():
         BodySystem(64, NBodyParams(), backend="pm", pm_assignment="ngp")
 
 
+@pytest.mark.slow
 def test_p3m_i_tile_invariance(cloud):
     """The i-subtile worklist is a pure layout change: any i_tile must give
     the same forces as one-tile-per-cell (i_tile >= capacity), because each
@@ -343,6 +344,7 @@ def test_sharded_p3m_slab_fft_matches_single_device(cloud):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_short_range_matches_xla(cloud):
     """The block-sparse Pallas pair kernel (interpret mode on CPU) must
     reproduce the XLA short-range pass inside the full P3M force."""
@@ -379,6 +381,7 @@ def test_pallas_short_range_budget_required(cloud):
                   interpret=True)
 
 
+@pytest.mark.slow
 def test_sharded_p3m_pallas_short_range_matches(cloud):
     """Sharded P3M with the Pallas pair kernel (per-device chunk ranges,
     interpret mode) must reproduce the single-device solve — including
@@ -552,6 +555,7 @@ def test_p3m_in_rollout_probe_detects_breach_step():
     assert abs(detected - truth) <= 2, (detected, truth)
 
 
+@pytest.mark.slow
 def test_p3m_sharded_in_rollout_probe_detects_breach_step():
     """The in-scan breach probe now runs for SHARDED p3m rollouts too:
     the carry's bincounts run at the jit level on the sharded global
@@ -580,6 +584,7 @@ def test_p3m_sharded_in_rollout_probe_detects_breach_step():
     assert abs(detected - truth) <= 2, (detected, truth)
 
 
+@pytest.mark.slow
 def test_p3m_sharded_auto_refresh_recovers_mid_rollout():
     """p3m_auto_refresh over a mesh: the sharded breach carry rewinds to
     the snapshot, re-sizes, rebuilds the sharded step, and resumes."""
@@ -607,6 +612,7 @@ def test_p3m_sharded_auto_refresh_recovers_mid_rollout():
         grid=16, capacity=s.p3m_capacity)) == 0
 
 
+@pytest.mark.slow
 def test_p3m_auto_refresh_recovers_mid_rollout():
     """p3m_auto_refresh=True: a breached rollout rewinds to the breach
     step, re-sizes the contract from that state, and resumes — no warning,

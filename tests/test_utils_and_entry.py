@@ -30,6 +30,7 @@ def test_trace_noop_without_dir(monkeypatch):
         assert t is None
 
 
+@pytest.mark.slow
 def test_trace_writes_profile(tmp_path):
     from nbody_tpu.utils.profiling import trace
 
@@ -104,6 +105,7 @@ def test_format_memory_line(monkeypatch):
     assert profiling.format_memory_line() == ""
 
 
+@pytest.mark.slow
 def test_cli_profile_flag_writes_trace(tmp_path, capsys):
     from nbody_tpu.cli import main
 
