@@ -65,8 +65,12 @@ def main():
                                          short_range="xla")
             return np_, nv_
 
+        # short rolls: a 5x-iters full-step roll at N=1M must stay under
+        # the attached worker's ~90 s dispatch watchdog (ARCHITECTURE
+        # "Dispatch economics"; the first attempt at iters=10 was killed)
+        it = 10 if n <= 300000 else 2
         ms_sort = delta_time_rolls(sort_step, (p, v), iters=10, rolls=3)
-        ms_step = delta_time_rolls(full_step, (p, v), iters=10, rolls=3)
+        ms_step = delta_time_rolls(full_step, (p, v), iters=it, rolls=3)
         frac = ms_sort / ms_step
         dstar = max((ms_step - ms_sort) / max(ms_sort, 1e-9), 0.0)
         print(json.dumps({

@@ -140,8 +140,9 @@ def test_explicit_tiles_override_tune_cache(monkeypatch):
 
     monkeypatch.setattr(bs_mod, "_default_backend_is_tpu", lambda: True)
     monkeypatch.setattr(tune, "best_config",
-                        lambda n: {"variant": "mxu_bf16",
-                                   "tile_i": 1024, "tile_j": 8192})
+                        lambda n, family="euler": {"variant": "mxu_bf16",
+                                                   "tile_i": 1024,
+                                                   "tile_j": 8192})
     # no explicit tiles: the cached winner applies in full
     s = BodySystem(4096, NBodyParams(), backend="pallas", variant="auto",
                    interpret=True)
