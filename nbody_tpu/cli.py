@@ -167,6 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "cost scales with N*splat^2)")
     p.add_argument("--brightness", type=float, default=0.3,
                    help="splat additive intensity (source-alpha analogue)")
+    p.add_argument("--raster", choices=["auto", "scatter", "conv"],
+                   default="auto",
+                   help="rasterizer path: scatter = exact N*splat^2 "
+                        "fragment scatter; conv = N-point deposit + dense "
+                        "Hermite-kernel convolutions (TPU-fast at large "
+                        "N*splat^2, ~1/255-grade approximation); auto "
+                        "switches to conv once the fragment count makes "
+                        "the serialized scatter dominate")
     p.add_argument("--checkpoint-save", type=str, default=None)
     p.add_argument("--checkpoint-load", type=str, default=None)
     p.add_argument("--autosave", type=int, default=None, metavar="N",
@@ -791,7 +799,8 @@ def _run_demo(compute, args) -> int:
         splat = args.splat
         if splat is None:
             splat = 16 if compute.num_bodies <= 262144 else 8
-        renderer = FrameRenderer(width=width, height=height, splat=splat)
+        renderer = FrameRenderer(width=width, height=height, splat=splat,
+                                 method=args.raster)
         if args.render:
             outdir = pathlib.Path(args.outdir)
             outdir.mkdir(parents=True, exist_ok=True)

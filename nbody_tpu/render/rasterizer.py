@@ -175,16 +175,162 @@ def _raster(pos, mv, proj, sprite_size, tint, brightness, *,
     return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "splat", "mode", "sizes", "cic"),
+)
+def _raster_conv(pos, mv, proj, sprite_size, tint, brightness, *,
+                 width, height, splat, mode, sizes=6, cic=True):
+    """Deposit + dense convolution: the TPU-first reformulation of the
+    splat scatter (VERDICT r3 item 7).
+
+    The exact path scatters N·K² weighted fragments — a 64M-element
+    scatter-add at 1M bodies that XLA serializes (measured ~11 ns/elem).
+    This path scatters only O(N) DEPOSIT points and turns the splat into
+    dense convolutions, which XLA lowers onto the TPU's conv/matmul
+    machinery:
+
+    * each body deposits its total brightness at its continuous screen
+      position — bilinearly over the 2×2 nearest pixels (``cic=True``,
+      the PM solver's CIC trick: first-order-accurate subpixel placement)
+      or to the nearest pixel,
+    * perspective point size is handled by a geometric SIZE LADDER: the
+      body's clamped size lands between two ladder rungs and its deposit
+      lerps between their planes, so radius varies smoothly with depth,
+    * each (size-rung, color-class) plane convolves with that rung's
+      K×K Hermite splat kernel (evaluated at integer pixel offsets), and
+      rungs sum into the frame.
+
+    Approximation vs the exact path: CIC linearizes the kernel's
+    subpixel shift (exact when a body sits on a pixel center and its
+    size on a rung). Visually indistinguishable for the smooth Hermite
+    blobs; the tests pin a tolerance. POINTS mode needs no convolution
+    (the exact path is already O(N)); SPRITES_ALPHA keeps the exact
+    path (its depth slabs multiply plane count 16×)."""
+    n = pos.shape[0]
+    k = splat
+    p3 = pos[:, :3].astype(jnp.float32)
+
+    idx = jnp.arange(n)
+    if mode == "sprites_color":
+        nclass = 3
+        cls = (idx % 3).astype(jnp.int32)
+        onehot = jnp.stack([
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.array([0.0, 1.0, 0.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        ])
+        class_rgb = (0.6 + 0.4 * onehot) * tint[None, :]
+    else:
+        nclass = 1
+        cls = jnp.zeros((n,), jnp.int32)
+        class_rgb = tint[None, :]
+
+    eye = p3 @ mv[:3, :3].T + mv[:3, 3]
+    clip = eye @ proj[:3, :3].T + proj[:3, 3]
+    wc = -eye[:, 2]
+    valid = wc > 0.1
+    ndc = clip / jnp.where(valid, wc, 1.0)[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width
+    sy = (1.0 - ndc[:, 1]) * 0.5 * height
+    size = jnp.clip(500.0 * sprite_size / (1.0 - eye[:, 2]), 1.0, float(k))
+
+    # geometric size ladder 1..k; rung spacing constant in log(size)
+    nsz = sizes
+    log_ratio = np.log(float(k)) / (nsz - 1)
+    rung_sizes = np.exp(np.arange(nsz) * log_ratio)  # 1 .. k
+    f = jnp.log(size) / log_ratio                    # fractional rung
+    j0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, nsz - 2)
+    fj = jnp.clip(f - j0.astype(jnp.float32), 0.0, 1.0)
+
+    # deposits: (rung, class) planes with a 1px halo so CIC at the frame
+    # edge stays in-bounds; splat halo comes from conv padding
+    hw, hh = width + 2, height + 2
+    plane_len = nsz * nclass * hh * hw
+    base = (j0 * nclass + cls) * (hh * hw)
+    base_hi = jnp.minimum(j0 + 1, nsz - 1) * nclass + cls
+    base_hi = base_hi * (hh * hw)
+
+    px = sx - 0.5 + 1.0  # continuous position in halo pixel coords
+    py = sy - 0.5 + 1.0
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    w_amp = jnp.where(valid, brightness, 0.0)
+
+    def clip_ok(xi, yi):
+        return (xi >= 0) & (xi < hw) & (yi >= 0) & (yi < hh)
+
+    if cic:
+        fx = px - x0.astype(jnp.float32)
+        fy = py - y0.astype(jnp.float32)
+        corners = [(x0, y0, (1 - fx) * (1 - fy)),
+                   (x0 + 1, y0, fx * (1 - fy)),
+                   (x0, y0 + 1, (1 - fx) * fy),
+                   (x0 + 1, y0 + 1, fx * fy)]
+    else:
+        corners = [(jnp.round(px).astype(jnp.int32),
+                    jnp.round(py).astype(jnp.int32),
+                    jnp.ones_like(px))]
+
+    flats = []
+    weights = []
+    for xi, yi, cw in corners:
+        ok = clip_ok(xi, yi)
+        cell = jnp.where(ok, yi * hw + xi, 0)
+        dead = jnp.where(ok, 0, plane_len)  # sacrificial slot
+        for b, rung_w in ((base, (1.0 - fj)), (base_hi, fj)):
+            flats.append(b + cell + dead)
+            weights.append(w_amp * cw * rung_w)
+    flat = jnp.concatenate(flats)
+    wts = jnp.concatenate(weights)
+    planes = jnp.zeros((plane_len + 1,), jnp.float32).at[flat].add(wts)
+    planes = planes[:plane_len].reshape(nsz * nclass, 1, hh, hw)
+
+    # per-rung Hermite splat kernels at integer offsets (odd support so
+    # the kernel is centered; K is the max radius's support)
+    ksup = k + (k % 2 == 0)  # odd
+    off = np.arange(ksup, dtype=np.float32) - (ksup // 2)
+    dyy, dxx = np.meshgrid(off, off, indexing="ij")
+    dist = np.sqrt(dxx * dxx + dyy * dyy)
+    kerns = []
+    for s in rung_sizes:
+        d = np.minimum(dist / max(s * 0.5, 0.5), 1.0)
+        kerns.append(2 * d**3 - 3 * d**2 + 1)
+    kern = jnp.asarray(np.stack(kerns), jnp.float32)  # (nsz, ksup, ksup)
+
+    # one grouped conv: feature group per rung, classes ride the batch dim
+    planes = planes.reshape(nsz, nclass, hh, hw).transpose(1, 0, 2, 3)
+    out = jax.lax.conv_general_dilated(
+        planes,                                  # (nclass, nsz, hh, hw)
+        kern[:, None, :, :],                     # (nsz, 1, ksup, ksup)
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=nsz,
+    )                                            # (nclass, nsz, hh, hw)
+    acc = out.sum(axis=1)[:, 1:1 + height, 1:1 + width]  # drop halo
+    img = jnp.einsum("chw,ck->hwk", acc, class_rgb)
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 class FrameRenderer:
     def __init__(self, width: int = 1024, height: int = 768, *,
                  splat: int = 16, fov_deg: float = 60.0,
                  znear: float = 0.1, zfar: float = 1000.0,
-                 chunk: int = 65536, depth_buckets: int = 16):
+                 chunk: int = 65536, depth_buckets: int = 16,
+                 method: str = "auto"):
         self.width = width
         self.height = height
         self.splat = splat
         self.chunk = chunk
         self.depth_buckets = depth_buckets  # SPRITES_ALPHA slab count
+        # method: "scatter" (exact N*K^2 fragment scatter), "conv"
+        # (deposit + dense convolution — see _raster_conv), or "auto"
+        # (conv for the sprite modes once the fragment count is large
+        # enough that the serialized scatter dominates; measured
+        # crossover well below 262k bodies at K>=8)
+        if method not in ("auto", "scatter", "conv"):
+            raise ValueError(f"unknown raster method {method!r}")
+        self.method = method
         self.proj = perspective(fov_deg, width / height, znear, zfar)
 
     def render(
@@ -203,6 +349,27 @@ class FrameRenderer:
         source-alpha analogue) so dense cores don't immediately saturate."""
         mv = camera.view_matrix() if camera is not None else np.eye(4, dtype=np.float32)
         tint = jnp.asarray(FP64_TINT if fp64 else FP32_TINT, jnp.float32)
+        use_conv = (
+            self.method == "conv"
+            or (self.method == "auto"
+                and mode in (DisplayMode.SPRITES, DisplayMode.SPRITES_COLOR)
+                and pos.shape[0] * self.splat * self.splat >= 1 << 22)
+        )
+        if use_conv and mode in (DisplayMode.SPRITES,
+                                 DisplayMode.SPRITES_COLOR):
+            frame = _raster_conv(
+                jnp.asarray(pos, jnp.float32),
+                jnp.asarray(mv),
+                jnp.asarray(self.proj),
+                jnp.float32(sprite_size),
+                tint,
+                jnp.float32(brightness),
+                width=self.width,
+                height=self.height,
+                splat=self.splat,
+                mode=mode.value,
+            )
+            return np.array(frame)
         frame = _raster(
             jnp.asarray(pos, jnp.float32),
             jnp.asarray(mv),

@@ -68,7 +68,7 @@ def main():
         # short rolls: a 5x-iters full-step roll at N=1M must stay under
         # the attached worker's ~90 s dispatch watchdog (ARCHITECTURE
         # "Dispatch economics"; the first attempt at iters=10 was killed)
-        it = 10 if n <= 300000 else 2
+        it = 10 if n <= 200000 else 1
         ms_sort = delta_time_rolls(sort_step, (p, v), iters=10, rolls=3)
         ms_step = delta_time_rolls(full_step, (p, v), iters=it, rolls=3)
         frac = ms_sort / ms_step

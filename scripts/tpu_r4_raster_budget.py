@@ -113,8 +113,16 @@ def main():
                                   splat=splat, chunk=65536,
                                   scatter=scatter)
 
+        from nbody_tpu.render.rasterizer import _raster_conv
+
+        def conv():
+            return _raster_conv(p, mv, proj, jnp.float32(1.0), tint,
+                                jnp.float32(0.3), width=W, height=H,
+                                splat=splat, mode="sprites_color")
+
         out = {}
         for name, fn in (("frame_ms", prod),
+                         ("conv_frame_ms", conv),
                          ("with_scatter_ms", lambda: abl(True)),
                          ("no_scatter_ms", lambda: abl(False))):
             hard_sync(fn())  # warm
