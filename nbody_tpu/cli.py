@@ -167,6 +167,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "cost scales with N*splat^2)")
     p.add_argument("--brightness", type=float, default=0.3,
                    help="splat additive intensity (source-alpha analogue)")
+    p.add_argument("--live", action="store_true",
+                   help="live view IN THE TERMINAL (24-bit half-block "
+                        "cells, flicker-free repaint) — the reference's "
+                        "real-time window, display-server-free; combine "
+                        "with --interactive for the full key map")
     p.add_argument("--raster", choices=["auto", "scatter", "conv"],
                    default="auto",
                    help="rasterizer path: scatter = exact N*splat^2 "
@@ -781,7 +786,7 @@ def _run_demo(compute, args) -> int:
     renderer = None
     camera = None
     want_frames = args.render or args.animate
-    if want_frames or args.interactive:
+    if want_frames or args.interactive or args.live:
         from nbody_tpu.render import Camera
 
         origin = compute.active_params.camera_origin
@@ -807,6 +812,22 @@ def _run_demo(compute, args) -> int:
             _write_run_metadata(outdir, compute, args, width, height)
     anim_frames = [] if args.animate else None
 
+    live_view = live_renderer = None
+    if args.live:
+        # the reference's real-time window, display-server-free: render
+        # at terminal resolution (one half-block cell = two pixels) and
+        # repaint in place (ui/terminal_view.py)
+        from nbody_tpu.render import FrameRenderer
+        from nbody_tpu.ui.terminal_view import (
+            TerminalViewer,
+            terminal_cell_size,
+        )
+
+        cols, rows = terminal_cell_size()
+        live_renderer = FrameRenderer(width=cols, height=2 * rows,
+                                      splat=8, method=args.raster)
+        live_view = TerminalViewer()
+
     controls = None
     if args.interactive:
         from nbody_tpu.ui import Controls
@@ -830,13 +851,26 @@ def _run_demo(compute, args) -> int:
     last_report = time.monotonic()
     frames_since_report = 0
     quit_requested = False
-    while frames_done < args.frames and not quit_requested:
+    live_status = ""
+    try:
+      while frames_done < args.frames and not quit_requested:
         if controls is not None:
             for key in controls.read_keys():
                 if not controls.handle(key):
-                    print("quit")
+                    if live_view is None:
+                        print("quit")
                     quit_requested = True
         compute.update_simulation(camera, steps=args.steps_per_frame)
+        if live_view is not None and (controls is None
+                                      or controls.display_enabled):
+            mode = controls.display_mode if controls is not None else None
+            kw = {"mode": mode} if mode is not None else {}
+            small = live_renderer.render(
+                compute.system.state[0], camera,
+                fp64=compute.precision != "fp32",
+                sprite_size=args.sprite_size,
+                brightness=args.brightness, **kw)
+            live_view.show(small, live_status or "starting...")
         if renderer is not None and (controls is None or controls.display_enabled):
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}
@@ -881,12 +915,18 @@ def _run_demo(compute, args) -> int:
                 st = compute.adaptive_stats
                 adaptive_note = (f" | dt={st['dt_last']:.3e} "
                                  f"t={st['t']:.4f}")
-            print(
+            report = (
                 f"[demo {compute.active_demo}] frame {frames_done}/{args.frames} | "
                 f"{compute.fps:.1f} fps | {compute.interactions_per_second:.2f} "
                 f"G interactions/s | {compute.g_flops:.1f} GFLOP/s ({precision})"
                 + adaptive_note
             )
+            if live_view is not None:
+                # the alternate screen owns stdout: the report becomes
+                # the viewer's status line instead of a print
+                live_status = report
+            else:
+                print(report)
             if args.metrics:
                 import json
 
@@ -905,6 +945,9 @@ def _run_demo(compute, args) -> int:
                     f.write(json.dumps(record) + "\n")
             last_report = now
             frames_since_report = 0
+    finally:
+        if live_view is not None:
+            live_view.close()  # restore the terminal even on an exception
 
     compute.system.block_until_ready()
     if args.energy:

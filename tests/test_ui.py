@@ -185,3 +185,49 @@ def test_hud_interactions_mode():
     c.interactions_per_second = 1.5
     lines = hud_lines(c, "dev", show_interactions=True)
     assert any("interactions" in l for l in lines)
+
+
+def test_terminal_viewer_halfblocks_and_session():
+    """frame_to_ansi: one cell = two vertical pixels ('▀', fg=top,
+    bg=bottom, 24-bit); TerminalViewer enters the alternate screen once,
+    repaints with cursor-home (no clear), and restores on close."""
+    import io
+
+    import numpy as np
+
+    from nbody_tpu.ui.terminal_view import TerminalViewer, frame_to_ansi
+
+    frame = np.zeros((4, 3, 3), np.uint8)
+    frame[0, 0] = (255, 0, 0)   # top pixel of cell (0,0) -> fg red
+    frame[1, 0] = (0, 0, 255)   # bottom pixel -> bg blue
+    s = frame_to_ansi(frame)
+    assert s.count("▀") == 6    # 2 cell rows x 3 cols
+    assert "\x1b[38;2;255;0;0m" in s and "\x1b[48;2;0;0;255m" in s
+    # repeated colors elide: the all-black remainder re-emits few codes
+    assert s.count("\x1b[38;2;0;0;0m") <= 3
+
+    out = io.StringIO()
+    v = TerminalViewer(stream=out)
+    v.show(frame, status="stat")
+    v.show(frame)
+    v.close()
+    text = out.getvalue()
+    assert text.count("\x1b[?1049h") == 1       # one session enter
+    assert text.count("\x1b[H") == 2            # home per repaint
+    assert "stat" in text
+    assert text.endswith("\x1b[?1049l\x1b[?25h")  # restored
+    v.close()  # idempotent
+
+
+def test_cli_live_demo(capsys):
+    """--live: the reference's real-time window as a terminal session —
+    runs the full demo loop, draws half-block frames, restores the
+    terminal, and routes the report into the status line."""
+    from nbody_tpu.cli import main
+
+    rc = main(["--numbodies", "128", "--frames", "2", "--kernel", "xla",
+               "--no-cycle", "--live"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "▀" in out
+    assert "\x1b[?1049h" in out and "\x1b[?1049l" in out
