@@ -829,10 +829,19 @@ def _run_demo(compute, args) -> int:
         live_view = TerminalViewer()
 
     controls = None
+    live_log = [""]
     if args.interactive:
         from nbody_tpu.ui import Controls
 
-        controls = Controls(compute, camera)
+        if live_view is not None:
+            # the alternate screen owns stdout: key-handler logs (precision
+            # toggles, the param panel, 'o' params) become status lines
+            # under the perf report instead of raw prints that would
+            # accumulate below the repainted frame
+            controls = Controls(compute, camera,
+                                log=lambda msg: live_log.__setitem__(0, str(msg)))
+        else:
+            controls = Controls(compute, camera)
         print("interactive: space=pause q=quit enter=precision [ ]=demos "
               "1/2/3/4=reset c=cycle p=mode o=params w/s=zoom a/e=rotate "
               "H/J/K/L=translate")
@@ -870,7 +879,10 @@ def _run_demo(compute, args) -> int:
                 fp64=compute.precision != "fp32",
                 sprite_size=args.sprite_size,
                 brightness=args.brightness, **kw)
-            live_view.show(small, live_status or "starting...")
+            status = live_status or "starting..."
+            if live_log[0]:
+                status += "\n" + live_log[0]
+            live_view.show(small, status)
         if renderer is not None and (controls is None or controls.display_enabled):
             mode = controls.display_mode if controls is not None else None
             kw = {"mode": mode} if mode is not None else {}

@@ -52,7 +52,7 @@ class DSBodySystem:
         num_bodies: int,
         params: NBodyParams,
         *,
-        tile_i: int = DS_TILE_I,
+        tile_i: Optional[int] = None,
         tile_j: Optional[int] = None,
         integrator: str = "euler",
         variant: str = "auto",
@@ -73,7 +73,10 @@ class DSBodySystem:
         self.num_bodies = -(-int(num_bodies) // ndev) * ndev
         self.mesh = mesh
         self.params = params
-        self.tile_i = tile_i
+        # None = "pick for me" (compile-time default, autotuner may
+        # override); an explicit tile_i always wins, even when it equals
+        # the default — the BodySystem sentinel convention
+        self.tile_i = DS_TILE_I if tile_i is None else int(tile_i)
         self.backend = "pallas"  # the Compute facade's backend probe
         if integrator not in ("euler", "leapfrog", "hermite"):
             raise ValueError(
@@ -117,8 +120,8 @@ class DSBodySystem:
         if winner is not None:
             if tile_j is None:
                 tile_j = winner["tile_j"]
-            if tile_i == DS_TILE_I:
-                self.tile_i = tile_i = winner["tile_i"]
+            if tile_i is None:
+                self.tile_i = winner["tile_i"]
         # the accel+jerk kernel's larger live set caps its j-tile below
         # the force-only kernels' (scoped-vmem limit); the sym kernels'
         # dual (masked+unmasked) chunk loops cap it further

@@ -349,7 +349,10 @@ class FrameRenderer:
         source-alpha analogue) so dense cores don't immediately saturate."""
         mv = camera.view_matrix() if camera is not None else np.eye(4, dtype=np.float32)
         tint = jnp.asarray(FP64_TINT if fp64 else FP32_TINT, jnp.float32)
-        use_conv = (
+        # the conv path's geometric size ladder needs k >= 2 rungs
+        # (splat=1 would divide by log(1)); the scatter path handles the
+        # 1px-splat case exactly and just as cheaply
+        use_conv = self.splat >= 2 and (
             self.method == "conv"
             or (self.method == "auto"
                 and mode in (DisplayMode.SPRITES, DisplayMode.SPRITES_COLOR)

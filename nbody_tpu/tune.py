@@ -421,6 +421,11 @@ def autotune(n: int = 65536, *, family: str = "euler", steps: int = 20,
         path = _cache_path()
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(cache, indent=2))
+        # consumers that memoize cache READS must see the new winner in
+        # this same process (notebook/driver flows: tune, then rebuild)
+        from nbody_tpu.ops.p3m_kernel import _tuned_blk
+
+        _tuned_blk.cache_clear()
         log(f"cached to {path}")
     return best
 

@@ -88,7 +88,13 @@ class TerminalViewer:
             self._active = True
         self.stream.write(_HOME + body)
         if status:
-            self.stream.write("\n" + _RESET + status + "\x1b[K")
+            # multi-line statuses (e.g. the interactive param panel) are
+            # painted as discrete erased lines under the frame
+            for line in status.split("\n"):
+                self.stream.write("\n" + _RESET + line + "\x1b[K")
+        # erase below: clears shrunken statuses and any stray writes, so
+        # a raw print cannot accumulate garbage in the alternate screen
+        self.stream.write(_RESET + "\x1b[0J")
         self.stream.flush()
 
     def close(self) -> None:

@@ -626,3 +626,88 @@ def test_ds_system_hermite_sym_any_n(monkeypatch):
     a.update_many(3, 1e-3)
     b.update_many(3, 1e-3)
     assert np.abs(a.positions - b.positions).max() < 1e-12
+
+
+# ---- adaptive ds rollouts (ds_scal_with_dt + make_ds_adaptive_rollout) ----
+
+
+@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "hermite"])
+def test_ds_adaptive_fixed_window_matches_update_many(integrator):
+    """dt_min == dt_max degenerates the adaptive ds rollout to the
+    fixed-dt path — this pins ds_scal_with_dt's traced-dt scal rebuild
+    (column mapping and coefficient arithmetic) against the host
+    _scal_ds* builders for every integrator, end to end through
+    DSBodySystem. dt is a power of two so the host f64 split and the
+    traced f32 rebuild agree on the dt/dt-half columns exactly; the
+    hermite dt-power columns differ only at the ds lo-plane ulp (the
+    1/6 pair), hence the ~1e-13 bound instead of bit-equality there."""
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+
+    dt = 2.0 ** -6
+    params = NBodyParams(time_step=dt, softening=SOFT, damping=1.0)
+    a = DSBodySystem(64, params, seed=11, integrator=integrator, tile_j=128)
+    b = DSBodySystem(64, params, seed=11, integrator=integrator, tile_j=128)
+    a.update_many(6, dt)
+    stats = b.update_many_adaptive(6, dt_min=dt, dt_max=dt)
+    assert stats["dt_lo"] == stats["dt_hi"] == pytest.approx(dt)
+    assert stats["t"] == pytest.approx(6 * dt, rel=1e-6)
+    tol = 0.0 if integrator in ("euler", "leapfrog") else 5e-13
+    np.testing.assert_allclose(a.positions, b.positions, rtol=0, atol=tol)
+    np.testing.assert_allclose(a.velocities, b.velocities, rtol=0, atol=tol)
+
+
+def test_ds_adaptive_criterion_matches_f32_formula():
+    """The adaptive ds rollout picks dt from the f32 criterion evaluated
+    on the HI planes: euler/leapfrog use eta*sqrt(eps/max|a|), hermite
+    Aarseth's eta*min(|a|/|j|) — cross-checked against the criterion
+    functions applied to the same planes outside the rollout."""
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.ops.adaptive import aarseth_timestep, accel_timestep
+    from nbody_tpu.ops.pallas_kernel import (
+        compute_accel_jerk_pallas,
+        compute_accel_pallas,
+    )
+    from nbody_tpu.params import NBodyParams
+
+    params = NBodyParams(time_step=1.0, softening=SOFT, damping=1.0)
+
+    s = DSBodySystem(64, params, seed=3, tile_j=128)
+    acc = compute_accel_pallas(s._ph, s._ph, SOFT, interpret=True)
+    expect = float(accel_timestep(acc, SOFT, 0.025, 1e-9, 1.0))
+    stats = s.update_many_adaptive(1, eta=0.025, dt_min=1e-9, dt_max=1.0)
+    assert stats["dt_last"] == pytest.approx(expect, rel=1e-6)
+    assert 1e-9 < stats["dt_last"] < 1.0  # genuinely chosen, not clamped
+
+    h = DSBodySystem(64, params, seed=3, integrator="hermite", tile_j=128)
+    acc, jerk = compute_accel_jerk_pallas(h._ph, h._vh, h._ph, h._vh, SOFT,
+                                          interpret=True)
+    expect = float(aarseth_timestep(acc, jerk, 0.025, 1e-9, 1.0))
+    stats = h.update_many_adaptive(1, eta=0.025, dt_min=1e-9, dt_max=1.0)
+    assert stats["dt_last"] == pytest.approx(expect, rel=1e-6)
+    assert 1e-9 < stats["dt_last"] < 1.0
+
+
+def test_ds_explicit_tile_i_beats_tune_cache(monkeypatch):
+    """An EXPLICIT tile_i equal to the compile-time default must survive
+    an autotuner winner with a different tile (review finding r4: the
+    old `tile_i == DS_TILE_I` guard conflated 'unspecified' with
+    'explicitly the default'); tile_i=None adopts the winner."""
+    import nbody_tpu.models.ds_system as ds_mod
+    import nbody_tpu.tune as tune
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.ops.ds_kernel import DS_TILE_I
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(ds_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        tune, "best_config",
+        lambda n, family="euler": {"variant": "sym", "tile_i": 32,
+                                   "tile_j": 128})
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    s = DSBodySystem(256, params, interpret=True)  # unspecified -> winner
+    assert (s.tile_i, s.tile_j, s.variant) == (32, 128, "sym")
+    s = DSBodySystem(256, params, tile_i=DS_TILE_I, interpret=True)
+    assert s.tile_i == DS_TILE_I  # explicit default value honored
+    s = DSBodySystem(256, params, tile_i=16, interpret=True)
+    assert s.tile_i == 16

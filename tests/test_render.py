@@ -194,3 +194,19 @@ def test_conv_raster_centered_body_near_exact():
                                 mode="sprites")).astype(np.float32)
     assert a.max() > 0
     assert np.abs(a - b).max() <= 2.0
+
+
+def test_conv_raster_splat1_falls_back_to_scatter():
+    """splat=1 has no geometric size ladder (log(1) rung spacing); the
+    renderer must serve the exact scatter path instead of feeding NaN
+    rung indices into the deposit (review finding r4)."""
+    from nbody_tpu import NBodyConfig, ic
+
+    pos, _ = ic.generate(NBodyConfig.SHELL, 256, 1.5, 2.0, seed=1)
+    cam = Camera(origin=(0.0, 0.0, -30.0))
+    a = FrameRenderer(width=64, height=48, splat=1, method="conv")
+    b = FrameRenderer(width=64, height=48, splat=1, method="scatter")
+    fa = a.render(pos, cam)
+    fb = b.render(pos, cam)
+    assert fa.sum() > 0  # scene drawn, not a NaN-blanked frame
+    np.testing.assert_array_equal(fa, fb)

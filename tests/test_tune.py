@@ -166,3 +166,24 @@ def test_drift_gate_all_rejected_raises():
             lambda v, ti, tj: 0.0 if v == "vpu" else 1.0,
             log=lambda *a: None,
         )
+
+
+def test_p3m_tuned_blk_cache_invalidation(monkeypatch):
+    """p3m_kernel_blk memoizes tune-cache reads (they hit the filesystem);
+    a winner written later in the same process must be served after the
+    save-path invalidation (_tuned_blk.cache_clear — review finding r4:
+    the memoized miss was permanent)."""
+    import nbody_tpu.tune as tune
+    from nbody_tpu.ops import p3m_kernel as pk
+
+    pk._tuned_blk.cache_clear()
+    try:
+        monkeypatch.setattr(tune, "best_config", lambda n, family="euler": None)
+        assert pk.p3m_kernel_blk(100) == 128   # heuristic, miss memoized
+        monkeypatch.setattr(tune, "best_config",
+                            lambda n, family="euler": {"blk": 512})
+        assert pk.p3m_kernel_blk(100) == 128   # still the memoized miss
+        pk._tuned_blk.cache_clear()            # what autotune(save=True) does
+        assert pk.p3m_kernel_blk(100) == 512   # new winner visible
+    finally:
+        pk._tuned_blk.cache_clear()            # drop monkeypatched entries

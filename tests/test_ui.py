@@ -215,8 +215,20 @@ def test_terminal_viewer_halfblocks_and_session():
     assert text.count("\x1b[?1049h") == 1       # one session enter
     assert text.count("\x1b[H") == 2            # home per repaint
     assert "stat" in text
+    # every repaint erases below the status so stray writes / shrinking
+    # statuses can't accumulate in the alternate screen
+    assert text.count("\x1b[0J") == 2
     assert text.endswith("\x1b[?1049l\x1b[?25h")  # restored
     v.close()  # idempotent
+
+    # multi-line statuses (the interactive param panel under --live)
+    # paint as discrete erased lines
+    out = io.StringIO()
+    v = TerminalViewer(stream=out)
+    v.show(frame, status="line one\nline two")
+    v.close()
+    text = out.getvalue()
+    assert "line one\x1b[K" in text and "line two\x1b[K" in text
 
 
 def test_cli_live_demo(capsys):
@@ -231,3 +243,29 @@ def test_cli_live_demo(capsys):
     out = capsys.readouterr().out
     assert "▀" in out
     assert "\x1b[?1049h" in out and "\x1b[?1049l" in out
+
+
+def test_cli_live_interactive_logs_route_to_status(capsys, monkeypatch):
+    """--live --interactive: key-handler logs (here 'o' = print params)
+    must land in the viewer's status area — NOT as raw prints that
+    accumulate below the repainted frame (review finding r4)."""
+    import io
+
+    import jax
+
+    from nbody_tpu.cli import main
+
+    # 'o' logs the live params on frame 1; 'q' quits on frame 2
+    monkeypatch.setattr("sys.stdin", io.StringIO("oq"))
+    try:
+        rc = main(["--numbodies", "128", "--frames", "5", "--kernel", "xla",
+                   "--no-cycle", "--live", "--interactive"])
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the params dump (source-pasteable brace format, the 'o' key) reached
+    # the alternate screen as an erased status line
+    assert "{ 0.016" in out
+    i = out.rindex("{ 0.016")
+    assert "\x1b[K" in out[i:i + 120]
