@@ -440,10 +440,6 @@ def _main(argv=None) -> int:
                       "(allgather); use --strategy auto/allgather",
                       file=sys.stderr)
                 return 1
-            if args.adaptive_dt is not None:
-                print("error: ds adaptive rollouts are single-device; "
-                      "drop --devices or --adaptive-dt", file=sys.stderr)
-                return 1
         if args.variant not in ("auto", "sym"):
             print("error: --precision ds variants are auto/sym (got "
                   f"{args.variant})", file=sys.stderr)

@@ -346,12 +346,10 @@ class DSBodySystem:
         the step itself stays full ds — ops/ds_kernel.py
         make_ds_adaptive_rollout). Same criterion family, [dt_min,
         dt_max] defaults, stats dict, and segmenting as
-        BodySystem.update_many_adaptive. Single-device (the sharded ds
-        step is fixed-dt)."""
-        if self.mesh is not None:
-            raise ValueError(
-                "ds adaptive rollouts are single-device (the sharded ds "
-                "step is fixed-dt); drop mesh= or use update_many")
+        BodySystem.update_many_adaptive. Mesh-capable: on a body mesh
+        the rollout shards like the fixed-dt ds step (allgather hi/lo
+        planes) with ONE scalar pmax/pmin collective per step for the
+        global dt (parallel.sharded.make_sharded_ds_adaptive_rollout)."""
         from nbody_tpu.ops import ds_kernel as dsk
 
         p = self.params
@@ -376,15 +374,27 @@ class DSBodySystem:
             key = (seg, eta, dt_min, dt_max, p.softening, p.damping)
             run = cache.get(key)
             if run is None:
-                run = dsk.make_ds_adaptive_rollout(
-                    integrator=self.integrator, softening=p.softening,
-                    damping=p.damping, eta=eta, dt_min=dt_min,
-                    dt_max=dt_max, steps=seg, tile_i=self.tile_i,
-                    tile_j=self.tile_j, interpret=self.interpret,
-                    sym=self.variant == "sym",
-                    block_cap=(dsk.DS_AJ_SYM_MAX_N
-                               if self.integrator == "hermite"
-                               else dsk.DS_SYM_MAX_N))
+                if self.mesh is not None:
+                    from nbody_tpu.parallel import (
+                        make_sharded_ds_adaptive_rollout,
+                    )
+
+                    run = make_sharded_ds_adaptive_rollout(
+                        self.mesh, integrator=self.integrator,
+                        softening=p.softening, damping=p.damping,
+                        eta=eta, dt_min=dt_min, dt_max=dt_max,
+                        steps=seg, tile_i=self.tile_i,
+                        tile_j=self.tile_j, interpret=self.interpret)
+                else:
+                    run = dsk.make_ds_adaptive_rollout(
+                        integrator=self.integrator, softening=p.softening,
+                        damping=p.damping, eta=eta, dt_min=dt_min,
+                        dt_max=dt_max, steps=seg, tile_i=self.tile_i,
+                        tile_j=self.tile_j, interpret=self.interpret,
+                        sym=self.variant == "sym",
+                        block_cap=(dsk.DS_AJ_SYM_MAX_N
+                                   if self.integrator == "hermite"
+                                   else dsk.DS_SYM_MAX_N))
                 cache[key] = run
             self._ph, self._pl, self._vh, self._vl, st = run(
                 self._ph, self._pl, self._vh, self._vl)

@@ -10,6 +10,7 @@ from nbody_tpu.parallel.mesh import make_mesh, make_mesh_2d, shard_state
 from nbody_tpu.parallel.sharded import (
     choose_strategy,
     make_sharded_step,
+    make_sharded_ds_adaptive_rollout,
     make_sharded_ds_step,
     make_sharded_step_2d,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "shard_state",
     "choose_strategy",
     "make_sharded_step",
+    "make_sharded_ds_adaptive_rollout",
     "make_sharded_ds_step",
     "make_sharded_step_2d",
     "initialize_multihost",

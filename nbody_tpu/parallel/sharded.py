@@ -1097,3 +1097,155 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
                                        interpret=interpret)
 
     return step
+
+
+def make_sharded_ds_adaptive_rollout(
+    mesh: Mesh,
+    *,
+    axis: str = BODY_AXIS,
+    integrator: str = "euler",
+    softening,
+    damping,
+    eta: float,
+    dt_min: float,
+    dt_max: float,
+    steps: int,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
+    interpret: bool = False,
+):
+    """Body-sharded double-single ADAPTIVE-timestep rollout: (pos_hi,
+    pos_lo, vel_hi, vel_lo) -> same four sharded planes + the replicated
+    (4,) f32 stats [t, dt_last, dt_lo, dt_hi] of ops.adaptive.
+
+    Composes the two designs that already exist separately: the sharded
+    ds step's allgather decomposition (make_sharded_ds_step — hi/lo
+    planes gather, local i-shard vs gathered j-set) and the ds adaptive
+    rollout's traced-dt scal rebuild (ops.ds_kernel.ds_scal_with_dt,
+    criterion in f32 on the HI planes). Per step, each shard:
+
+    1. gathers the j-side hi (and lo) planes once,
+    2. evaluates the f32 criterion kernel for its LOCAL i rows against
+       the gathered hi planes and pmax/pmin-reduces the scalar over the
+       body axis (one bytes-free collective — every shard steps with
+       the same global dt; the local-rows-vs-full-j-set form keeps each
+       row's reduction order identical to the single-device criterion,
+       so the chosen dt matches it EXACTLY, not just approximately),
+    3. rebuilds the scal block's dt columns from the traced dt and runs
+       the same local ds kernel as the fixed-dt sharded step (hermite:
+       the P(EC) second gather round, reusing round-1 gathers for its
+       criterion).
+
+    The scan stays inside ONE compiled shard_map dispatch, like the
+    fixed-dt sharded rollouts. allgather only (the sharded ds family's
+    strategy; the criterion is a few-percent f32 add-on next to the
+    ~20x ds arithmetic).
+    """
+    from nbody_tpu.ops.adaptive import aarseth_timestep, accel_timestep
+    from nbody_tpu.ops.ds_kernel import (
+        DS_HERMITE_TILE_J,
+        DS_TILE_I,
+        DS_TILE_J,
+        _scal_ds,
+        _scal_ds_hermite,
+        _scal_ds_leapfrog,
+        compute_accel_jerk_pallas_ds,
+        ds_scal_with_dt,
+        hermite_assemble,
+        hermite_correct,
+        hermite_planes,
+        hermite_predict,
+        nbody_step_pallas_ds_leapfrog_vs,
+        nbody_step_pallas_ds_vs,
+    )
+    from nbody_tpu.ops.pallas_kernel import compute_accel_jerk_pallas
+
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if not (0.0 < dt_min <= dt_max):
+        raise ValueError(f"need 0 < dt_min <= dt_max, got "
+                         f"[{dt_min}, {dt_max}]")
+    ti = DS_TILE_I if tile_i is None else tile_i
+    tj = ((DS_HERMITE_TILE_J if integrator == "hermite" else DS_TILE_J)
+          if tile_j is None else tile_j)
+    base = {"euler": _scal_ds, "leapfrog": _scal_ds_leapfrog,
+            "hermite": _scal_ds_hermite}[integrator](0.0, softening, damping)
+
+    def stats_init():
+        return jnp.asarray([0.0, 0.0, jnp.inf, 0.0], jnp.float32)
+
+    def stats_update(stats, dt):
+        return jnp.stack([stats[0] + dt, dt,
+                          jnp.minimum(stats[2], dt),
+                          jnp.maximum(stats[3], dt)])
+
+    def ag(x):
+        return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+
+    def hermite_step(ph, plo, vh, vlo, scal, gathered):
+        # round-1 gathers arrive from the caller (shared with the
+        # criterion); the P(EC) second round gathers the local
+        # predictions — same arithmetic as make_sharded_ds_step
+        jh, jl, jvh, jvl = gathered
+        fscal = scal[:, :4]
+        a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
+            ph, plo, vh, vlo, jh, jl, jvh, jvl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        x0, v0 = hermite_planes(ph, plo), hermite_planes(vh, vlo)
+        a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
+        xp, vp = hermite_predict(x0, v0, a0, j0, scal)
+        pph, ppl = hermite_assemble(xp, ph[:, 3:4], plo[:, 3:4])
+        vph, vpl = hermite_assemble(vp, vh[:, 3:4], vlo[:, 3:4])
+        a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
+            pph, ppl, vph, vpl, ag(pph), ag(ppl), ag(vph), ag(vpl), fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
+        x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
+        nph, npl = hermite_assemble(x1, ph[:, 3:4], plo[:, 3:4])
+        nvh, nvl = hermite_assemble(v1, vh[:, 3:4], vlo[:, 3:4])
+        return nph, npl, nvh, nvl
+
+    def local(ph, plo, vh, vlo):
+        def body(state, _):
+            ph, plo, vh, vlo, stats = state
+            jh, jl = ag(ph), ag(plo)
+            if integrator == "hermite":
+                jvh, jvl = ag(vh), ag(vlo)
+                acc, jerk = compute_accel_jerk_pallas(
+                    ph, vh, jh, jvh, softening, interpret=interpret)
+                dt = aarseth_timestep(acc, jerk, eta, dt_min, dt_max,
+                                      mesh_axis=axis)
+                scal = ds_scal_with_dt(base, dt, integrator="hermite")
+                out = hermite_step(ph, plo, vh, vlo, scal,
+                                   (jh, jl, jvh, jvl))
+            else:
+                acc = compute_accel_pallas(ph, jh, softening,
+                                           interpret=interpret)
+                dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
+                                    mesh_axis=axis)
+                scal = ds_scal_with_dt(base, dt, integrator=integrator)
+                if integrator == "leapfrog":
+                    jvh, jvl = ag(vh), ag(vlo)
+                    out = nbody_step_pallas_ds_leapfrog_vs(
+                        ph, plo, vh, vlo, jh, jl, jvh, jvl, scal,
+                        tile_i=ti, tile_j=tj, interpret=interpret)
+                else:
+                    out = nbody_step_pallas_ds_vs(
+                        ph, plo, vh, vlo, jh, jl, scal,
+                        tile_i=ti, tile_j=tj, interpret=interpret)
+            return (*out, stats_update(stats, dt)), None
+
+        init = (ph, plo, vh, vlo, stats_init())
+        (ph, plo, vh, vlo, stats), _ = jax.lax.scan(body, init, None,
+                                                    length=steps)
+        return ph, plo, vh, vlo, stats
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),) * 4,
+        # stats replicate: the pmax/pmin'd dt is identical on every shard
+        out_specs=(P(axis, None),) * 4 + (P(),),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2, 3))

@@ -319,6 +319,16 @@ def test_precision_ds_adaptive_demo(capsys):
     assert rc == 0
 
 
+def test_precision_ds_mesh_adaptive_demo(capsys):
+    """--precision ds --devices N --adaptive-dt: the sharded ds ADAPTIVE
+    rollout through the full CLI demo path (the last empty cell of the
+    adaptive x precision x mesh matrix)."""
+    rc = main(["--precision", "ds", "--numbodies", "128", "--frames", "2",
+               "--no-cycle", "--devices", "8", "--adaptive-dt", "0.02"])
+    assert rc == 0
+    assert "8-device" in capsys.readouterr().out
+
+
 def test_precision_ds_demo_gates(capsys):
     for argv, frag in (
         (["--hostmem"], "device"),

@@ -711,3 +711,67 @@ def test_ds_explicit_tile_i_beats_tune_cache(monkeypatch):
     assert s.tile_i == DS_TILE_I  # explicit default value honored
     s = DSBodySystem(256, params, tile_i=16, interpret=True)
     assert s.tile_i == 16
+
+
+@pytest.mark.parametrize("integrator", [
+    "euler", "leapfrog",
+    pytest.param("hermite", marks=pytest.mark.slow)])
+def test_sharded_ds_adaptive_matches_single_device(integrator):
+    """8-device sharded ds ADAPTIVE rollout == the single-device ds
+    adaptive rollout: the criterion's local-i-rows-vs-gathered-j form
+    keeps each row's reduction order identical, so the pmax'd dt — and
+    with it the whole trajectory — matches, not just approximately
+    (completes the adaptive x precision x mesh matrix)."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import make_ds_adaptive_rollout
+    from nbody_tpu.parallel import make_mesh, make_sharded_ds_adaptive_rollout
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    pos, vel = ic.generate(NBodyConfig.SHELL, 128, 1.68, 2.98, seed=9)
+    ph, plo = ds_from_f64(pos.astype(np.float64))
+    vh, vlo = ds_from_f64(vel.astype(np.float64))
+    kw = dict(integrator=integrator, softening=SOFT, damping=DAMP,
+              eta=0.025, dt_min=1e-6, dt_max=0.016, steps=3,
+              tile_j=128, interpret=True)
+    import jax.numpy as jnp
+
+    # both rollouts donate their inputs: hand each its own copies
+    ref = make_ds_adaptive_rollout(**kw)(
+        *(jnp.array(x, copy=True) for x in (ph, plo, vh, vlo)))
+    mesh = make_mesh(8)
+    got = make_sharded_ds_adaptive_rollout(mesh, **kw)(
+        *(jnp.array(x, copy=True) for x in (ph, plo, vh, vlo)))
+    # euler's one-sided i-vs-j chains match to lo-plane exactness; the
+    # DKD/P(EC) EFT chains carry the CPU-interpret LLVM FMA-contraction
+    # wobble across different fusion boundaries (5e-9 is the fixed-dt
+    # sharded tests' ONE-step bound; three steps compound it) — on-chip
+    # Mosaic has no such hazard
+    tol = 1e-12 if integrator == "euler" else 3 * 5e-9
+    for g, w in zip(got[:4], ref[:4]):
+        assert np.abs(np.asarray(g) - np.asarray(w)).max() < tol
+    st_g, st_w = np.asarray(got[4]), np.asarray(ref[4])
+    np.testing.assert_allclose(st_g, st_w, rtol=1e-6)
+    assert 1e-6 < st_g[1] < 0.016  # dt genuinely chosen, not clamped
+
+
+def test_ds_system_mesh_adaptive(monkeypatch):
+    """DSBodySystem.update_many_adaptive on a body mesh: stats account
+    like the single-device path and the trajectory matches it."""
+    import jax
+
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.parallel import make_mesh
+    from nbody_tpu.params import NBodyParams
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    params = NBodyParams(time_step=0.016, softening=SOFT, damping=1.0)
+    a = DSBodySystem(128, params, seed=6, tile_j=128)
+    b = DSBodySystem(128, params, seed=6, tile_j=128, mesh=make_mesh(8))
+    sa = a.update_many_adaptive(3, eta=0.025)
+    sb = b.update_many_adaptive(3, eta=0.025)
+    assert sb["dt_last"] == pytest.approx(sa["dt_last"], rel=1e-6)
+    assert sb["t"] == pytest.approx(sa["t"], rel=1e-6)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-12)
