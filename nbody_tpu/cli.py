@@ -435,10 +435,11 @@ def _main(argv=None) -> int:
                   "drop --mesh-rows", file=sys.stderr)
             return 1
         if (args.devices or 0) > 1:
-            if args.strategy not in ("auto", "allgather"):
-                print("error: the sharded ds step gathers hi/lo planes "
-                      "(allgather); use --strategy auto/allgather",
-                      file=sys.stderr)
+            if args.strategy not in ("auto", "allgather", "ring"):
+                print("error: the sharded ds step gathers or ring-"
+                      "rotates the hi/lo planes; use --strategy "
+                      "auto/allgather/ring (ring_fused and sym are "
+                      "fp32 mesh paths)", file=sys.stderr)
                 return 1
         if args.variant not in ("auto", "sym"):
             print("error: --precision ds variants are auto/sym (got "

@@ -158,6 +158,7 @@ class Compute:
                 seed=seed,
                 state=tipsy_state,
                 mesh=mesh,
+                strategy=strategy,
                 **kw,
             )
             self.num_bodies = self.system.num_bodies

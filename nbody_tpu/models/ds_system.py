@@ -61,6 +61,7 @@ class DSBodySystem:
         seed: int = 42,
         state: Optional[tuple] = None,
         mesh=None,
+        strategy: str = "auto",
     ):
         ndev = 1
         if mesh is not None:
@@ -69,9 +70,24 @@ class DSBodySystem:
                 raise ValueError(
                     "DSBodySystem shards over the 1-D body mesh "
                     "(make_sharded_ds_step); 2-D meshes are fp32-only")
+        if strategy not in ("auto", "allgather", "ring"):
+            raise ValueError(
+                "DSBodySystem strategy must be 'auto', 'allgather', or "
+                f"'ring' (got {strategy!r}); ring_fused/sym are fp32 "
+                "mesh paths")
         # round N up so body shards divide evenly (BodySystem semantics)
         self.num_bodies = -(-int(num_bodies) // ndev) * ndev
         self.mesh = mesh
+        # mesh strategy: 'auto' applies the shared ICI cost model
+        # (choose_strategy — ring once shards amortize the per-hop launch;
+        # ds moves 2x [euler] to 4x [hermite] the fp32 bytes, so the ring's
+        # O(N/D) live j-bytes matter MORE here, making the shared threshold
+        # conservative for ds, never wrong)
+        if mesh is not None and strategy == "auto":
+            from nbody_tpu.parallel import choose_strategy
+
+            strategy = choose_strategy(self.num_bodies, ndev)
+        self.strategy = strategy if mesh is not None else "allgather"
         self.params = params
         # None = "pick for me" (compile-time default, autotuner may
         # override); an explicit tile_i always wins, even when it equals
@@ -236,15 +252,16 @@ class DSBodySystem:
         return _scal_ds(dt, p.softening, p.damping)
 
     def _sharded_step_fn(self):
-        """Lazily-built body-sharded ds step (one-sided kernels; the
-        sharded ds decomposition gathers hi/lo planes over ICI —
-        parallel.sharded.make_sharded_ds_step)."""
+        """Lazily-built body-sharded ds step (one-sided kernels; the hi/lo
+        planes either gather over ICI or rotate the ring per
+        self.strategy — parallel.sharded.make_sharded_ds_step)."""
         if getattr(self, "_sharded_step", None) is None:
             from nbody_tpu.parallel import make_sharded_ds_step
 
             self._sharded_step = make_sharded_ds_step(
                 self.mesh, tile_i=self.tile_i, tile_j=self.tile_j,
-                interpret=self.interpret, integrator=self.integrator)
+                interpret=self.interpret, integrator=self.integrator,
+                strategy=self.strategy)
         return self._sharded_step
 
     def _step_fn(self):
@@ -349,7 +366,10 @@ class DSBodySystem:
         BodySystem.update_many_adaptive. Mesh-capable: on a body mesh
         the rollout shards like the fixed-dt ds step (allgather hi/lo
         planes) with ONE scalar pmax/pmin collective per step for the
-        global dt (parallel.sharded.make_sharded_ds_adaptive_rollout)."""
+        global dt (parallel.sharded.make_sharded_ds_adaptive_rollout).
+        The adaptive decomposition is allgather regardless of
+        self.strategy — the criterion kernel needs the full gathered
+        hi planes anyway, so a ring would move the same bytes twice."""
         from nbody_tpu.ops import ds_kernel as dsk
 
         p = self.params

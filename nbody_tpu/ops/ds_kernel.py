@@ -360,6 +360,149 @@ def nbody_step_pallas_ds_vs(pos_hi, pos_lo, vel_hi, vel_lo,
     return nph[:n], npl[:n], nvh[:n], nvl[:n]
 
 
+def _ds_accel_kernel(scal_ref, pihi_ref, pilo_ref, pthi_ref, ptlo_ref,
+                     ah_ref, al_ref,
+                     axh, axl, ayh, ayl, azh, azl, *, tile_j: int):
+    """Accel-ONLY variant of `_ds_step_kernel`: same pair arithmetic, but
+    the finalize emits the lane-reduced ds acceleration instead of
+    integrating. This is the building block the ring strategy needs —
+    partial forces from a rotating j-shard must accumulate ACROSS kernel
+    calls (one per ppermute hop), so integration happens once at the XLA
+    level after the last hop (`_ds_integrate` / `_ds_leapfrog_finish`)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        zeros = jnp.zeros_like(axh)
+        for r in (axh, axl, ayh, ayl, azh, azl):
+            r[:, :] = zeros
+
+    eps2 = (scal_ref[0, 1], scal_ref[1, 1])
+    _ds_accumulate_tile(pihi_ref, pilo_ref, pthi_ref, ptlo_ref, eps2,
+                        axh, axl, ayh, ayl, azh, azl, tile_j)
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        acc = (reduce_ds_lanes(axh, axl), reduce_ds_lanes(ayh, ayl),
+               reduce_ds_lanes(azh, azl))
+        for c in range(3):
+            ah_ref[:, c:c + 1] = acc[c][0]
+            al_ref[:, c:c + 1] = acc[c][1]
+        ah_ref[:, 3:4] = jnp.zeros_like(ah_ref[:, 3:4])
+        al_ref[:, 3:4] = jnp.zeros_like(al_ref[:, 3:4])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def compute_accel_pallas_ds(pos_hi, pos_lo, jpos_hi, jpos_lo, scal,
+                            *, tile_i: int = DS_TILE_I,
+                            tile_j: int | None = None,
+                            interpret: bool = False):
+    """(acc_hi, acc_lo), each (N, 3): ds accelerations of the i-set under
+    the j-set. Same per-pair arithmetic as the fused `_ds_step_kernel`
+    (results agree to the last ds bit for the same j-set); `scal` is any
+    (2, >=2) hi/lo block with eps² in column 1."""
+    n = pos_hi.shape[0]
+    tile_i = min(tile_i, _round_up(n, 8))
+    if tile_j is None:
+        tile_j = DS_TILE_J
+    tile_j = min(tile_j, _round_up(jpos_hi.shape[0], LANES))
+
+    def pad(a, m):
+        p = _round_up(a.shape[0], m)
+        return jnp.pad(a, ((0, p - a.shape[0]), (0, 0))) if p != a.shape[0] else a
+
+    ph, plo = pad(pos_hi, tile_i), pad(pos_lo, tile_i)
+    jh = pad(jpos_hi, tile_j).T
+    jl = pad(jpos_lo, tile_j).T
+    m_pad, n_pad = ph.shape[0], jh.shape[1]
+    grid = (m_pad // tile_i, n_pad // tile_j)
+
+    smem = pl.BlockSpec(scal.shape, lambda i, j: _ix(0, 0),
+                        memory_space=pltpu.SMEM)
+    i_tile = pl.BlockSpec((tile_i, 4), lambda i, j: _ix(i, 0),
+                          memory_space=pltpu.VMEM)
+    j_tile = pl.BlockSpec((4, tile_j), lambda i, j: _ix(0, j),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((m_pad, 4), jnp.float32)] * 2
+    scratch = [pltpu.VMEM((tile_i, LANES), jnp.float32) for _ in range(6)]
+
+    def kernel_entry(*args):
+        # compiled (Mosaic) tracing must not emit barrier primitives
+        global _ANCHORS
+        prev = _ANCHORS
+        _ANCHORS = bool(interpret)
+        try:
+            return _ds_accel_kernel(*args, tile_j=tile_j)
+        finally:
+            _ANCHORS = prev
+
+    ah, al = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=[smem, i_tile, i_tile, j_tile, j_tile],
+        out_specs=[i_tile] * 2,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=380 * m_pad * n_pad,
+            bytes_accessed=(m_pad // tile_i + 4) * n_pad * 16,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(scal, ph, plo, jh, jl)
+    return ah[:n, :3], al[:n, :3]
+
+
+def ds_half_drift(pos_hi, pos_lo, vel_hi, vel_lo, scal):
+    """XLA-level ds half-drift: pos + vel·(dt/2) on the coordinate
+    columns, mass column carried through. `scal` from `_scal_ds_leapfrog`
+    (dt/2 hi/lo in column 3). The op sequence is identical to the fused
+    DKD kernel's in-kernel drift (`_ds_leapfrog_kernel`), so the values
+    match bit-for-bit — the ring strategy drifts every shard ONCE here
+    and rotates the drifted planes instead of re-drifting per chunk."""
+    dt_half = (scal[0, 3], scal[1, 3])
+    cols_h, cols_l = [], []
+    for c in range(3):
+        pc = ds_add((pos_hi[:, c], pos_lo[:, c]),
+                    ds_mul((vel_hi[:, c], vel_lo[:, c]), dt_half))
+        cols_h.append(pc[0])
+        cols_l.append(pc[1])
+    cols_h.append(pos_hi[:, 3])
+    cols_l.append(pos_lo[:, 3])
+    return jnp.stack(cols_h, axis=1), jnp.stack(cols_l, axis=1)
+
+
+def ds_leapfrog_finish(half_hi, half_lo, vel_hi, vel_lo, acc, scal):
+    """Kick + second half-drift of the DKD step in anchored XLA-level ds,
+    mirroring `_ds_leapfrog_kernel`'s finalize exactly: v' = (v + a·dt)·
+    damping, p' = p_half + v'·(dt/2). `acc` = (acc_hi, acc_lo), each
+    (N, 3) at the half-step positions."""
+    dt = (scal[0, 0], scal[1, 0])
+    damping = (scal[0, 2], scal[1, 2])
+    dt_half = (scal[0, 3], scal[1, 3])
+    nph, npl, nvh, nvl = [], [], [], []
+    for c in range(3):
+        a_c = (acc[0][:, c], acc[1][:, c])
+        v_c = (vel_hi[:, c], vel_lo[:, c])
+        vnew = ds_mul(ds_add(v_c, ds_mul(a_c, dt)), damping)
+        pnew = ds_add((half_hi[:, c], half_lo[:, c]),
+                      ds_mul(vnew, dt_half))
+        nph.append(pnew[0])
+        npl.append(pnew[1])
+        nvh.append(vnew[0])
+        nvl.append(vnew[1])
+    nph.append(half_hi[:, 3])
+    npl.append(half_lo[:, 3])
+    nvh.append(vel_hi[:, 3])
+    nvl.append(vel_lo[:, 3])
+    stack = lambda cols_: jnp.stack(cols_, axis=1)  # noqa: E731
+    return stack(nph), stack(npl), stack(nvh), stack(nvl)
+
+
 def nbody_step_ds(pos64, vel64, dt, softening, damping,
                   *, tile_i: int = DS_TILE_I, tile_j: int = DS_TILE_J,
                   interpret: bool = False):

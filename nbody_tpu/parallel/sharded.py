@@ -995,23 +995,41 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
                          tile_i: int | None = None,
                          tile_j: int | None = None,
                          interpret: bool = False,
-                         integrator: str = "euler"):
+                         integrator: str = "euler",
+                         strategy: str = "allgather"):
     """Body-sharded double-single (fp64-grade) step: (pos_hi, pos_lo,
     vel_hi, vel_lo, scal) -> same four arrays, each sharded P(axis, None).
 
-    allgather strategy: the hi AND lo position planes gather over ICI
-    (2x the fp32 strategy's bytes — still ~32 MB at 1M bodies), each chip
-    runs the fused ds kernel on its local i-shard vs the gathered j-set.
-    `scal` is the (2, 4) hi/lo parameter block (ops.ds_kernel._scal_ds).
+    allgather strategy (default): the hi AND lo position planes gather
+    over ICI (2x the fp32 strategy's bytes — still ~32 MB at 1M bodies),
+    each chip runs the fused ds kernel on its local i-shard vs the
+    gathered j-set. `scal` is the (2, 4) hi/lo parameter block
+    (ops.ds_kernel._scal_ds).
 
-    integrator="leapfrog" composes the fused DKD kernel instead: the
-    j-side velocity planes gather too (4 planes, 2x the euler bytes)
-    because the kernel evaluates forces at half-drifted positions on
-    both sides of each pair; `scal` must then come from
-    _scal_ds_leapfrog. Same per-shard arithmetic as the single-device
-    DKD step — both half-drift from the same gathered start-of-step
-    state (exact under Mosaic; CPU interpret carries the ds_kernel
-    FMA-contraction caveat).
+    strategy="ring": the j-planes rotate around the ICI ring via
+    `ppermute` inside a scan (the fp32 `_ring_accel_fn` dataflow), one
+    accel-ONLY ds kernel call per hop (`compute_accel_pallas_ds` /
+    `compute_accel_jerk_pallas_ds`), with the per-hop partial forces
+    accumulated in anchored XLA-level ds (`ds_add`) so no fp32 summation
+    error leaks between hops; integration happens once after the last
+    hop (`_ds_integrate` / `ds_leapfrog_finish` / hermite corrector).
+    Peak live j-bytes drop from O(N) to O(N/D) and the async permute
+    overlaps hop k+1's transfer with hop k's compute — worth the most
+    for ds, whose gathered planes are 2x (euler) to 4x (leapfrog /
+    hermite) the fp32 strategy's bytes. Results differ from allgather
+    only by ds-level reduction order (partials per hop vs one in-kernel
+    sweep).
+
+    integrator="leapfrog" composes the fused DKD kernel: the j-side
+    velocity planes gather too (4 planes, 2x the euler bytes) because
+    the kernel evaluates forces at half-drifted positions on both sides
+    of each pair; `scal` must then come from _scal_ds_leapfrog. Same
+    per-shard arithmetic as the single-device DKD step — both half-drift
+    from the same gathered start-of-step state (exact under Mosaic; CPU
+    interpret carries the ds_kernel FMA-contraction caveat). Under the
+    ring, every shard half-drifts ONCE at the XLA level (bit-identical
+    op sequence — ds_kernel.ds_half_drift) and the DRIFTED planes
+    rotate, so only 2 planes ride the ring instead of 4.
 
     integrator="hermite" composes the 4th-order P(EC) scheme: TWO
     gather rounds per step (start state, then the locally-predicted
@@ -1020,13 +1038,19 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     need that shard's a0/j0), each followed by a local-i-vs-gathered-j
     ds accel+jerk kernel; the O(N/D) predictor/corrector polynomials
     run at the XLA level per shard, identical ds arithmetic to the
-    single-device step. `scal` from _scal_ds_hermite.
+    single-device step. `scal` from _scal_ds_hermite. Under the ring,
+    each round rotates the 4 j-planes with ds-accumulated (acc, jerk)
+    partials per hop.
     """
     from nbody_tpu.ops.ds_kernel import (
         DS_HERMITE_TILE_J,
         DS_TILE_I,
         DS_TILE_J,
         compute_accel_jerk_pallas_ds,
+        compute_accel_pallas_ds,
+        ds_add,
+        ds_half_drift,
+        ds_leapfrog_finish,
         hermite_assemble,
         hermite_correct,
         hermite_planes,
@@ -1034,14 +1058,59 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
         nbody_step_pallas_ds_leapfrog_vs,
         nbody_step_pallas_ds_vs,
     )
+    from nbody_tpu.ops.ds_kernel import (
+        _ds_integrate,  # noqa: PLC2701 — the ds integrator halves share it
+    )
 
     if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(
             f"make_sharded_ds_step: integrator must be 'euler', "
             f"'leapfrog', or 'hermite', got {integrator!r}")
+    if strategy not in ("allgather", "ring"):
+        raise ValueError(
+            f"make_sharded_ds_step: strategy must be 'allgather' or "
+            f"'ring', got {strategy!r}")
+    ndev = int(mesh.shape[axis])
+    perm = [(d, (d + 1) % ndev) for d in range(ndev)]
     ti = DS_TILE_I if tile_i is None else tile_i
     tj = ((DS_HERMITE_TILE_J if integrator == "hermite" else DS_TILE_J)
           if tile_j is None else tile_j)
+
+    def _ring_ds_accel(iph, ipl, fscal):
+        """ds forces on the local i-shard from the whole body set, j-shard
+        rotating: per-hop accel-only kernel + anchored ds accumulation."""
+        def hop(carry, _):
+            jh, jl, acch, accl = carry
+            ah, al = compute_accel_pallas_ds(
+                iph, ipl, jh, jl, fscal,
+                tile_i=ti, tile_j=tj, interpret=interpret)
+            s = ds_add((acch, accl), (ah, al))
+            jh = jax.lax.ppermute(jh, axis, perm)
+            jl = jax.lax.ppermute(jl, axis, perm)
+            return (jh, jl, s[0], s[1]), None
+
+        z = jnp.zeros((iph.shape[0], 3), jnp.float32)
+        (_, _, acch, accl), _ = jax.lax.scan(
+            hop, (iph, ipl, z, z), None, length=ndev)
+        return acch, accl
+
+    def _ring_ds_aj(iph, ipl, ivh, ivl, fscal):
+        """Hermite's (acc, jerk) ds force evaluation, j-planes rotating."""
+        def hop(carry, _):
+            jh, jl, jvh, jvl, ach, acl, jkh, jkl = carry
+            ah, al, jh_, jl_ = compute_accel_jerk_pallas_ds(
+                iph, ipl, ivh, ivl, jh, jl, jvh, jvl, fscal,
+                tile_i=ti, tile_j=tj, interpret=interpret)
+            sa = ds_add((ach, acl), (ah, al))
+            sj = ds_add((jkh, jkl), (jh_, jl_))
+            jh, jl, jvh, jvl = (jax.lax.ppermute(x, axis, perm)
+                                for x in (jh, jl, jvh, jvl))
+            return (jh, jl, jvh, jvl, sa[0], sa[1], sj[0], sj[1]), None
+
+        z = jnp.zeros((iph.shape[0], 4), jnp.float32)
+        (_, _, _, _, ach, acl, jkh, jkl), _ = jax.lax.scan(
+            hop, (iph, ipl, ivh, ivl, z, z, z, z), None, length=ndev)
+        return ach, acl, jkh, jkl
 
     def _hermite_step(ph, plo, vh, vlo, scal):
         fscal = scal[:, :4]
@@ -1050,10 +1119,15 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
             return tuple(jax.lax.all_gather(x, axis, axis=0, tiled=True)
                          for x in (a, b, c, d))
 
-        jh, jl, jvh, jvl = gather4(ph, plo, vh, vlo)
-        a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
-            ph, plo, vh, vlo, jh, jl, jvh, jvl, fscal,
-            tile_i=ti, tile_j=tj, interpret=interpret)
+        def aj_eval(iph, ipl, ivh, ivl):
+            if strategy == "ring":
+                return _ring_ds_aj(iph, ipl, ivh, ivl, fscal)
+            jh, jl, jvh, jvl = gather4(iph, ipl, ivh, ivl)
+            return compute_accel_jerk_pallas_ds(
+                iph, ipl, ivh, ivl, jh, jl, jvh, jvl, fscal,
+                tile_i=ti, tile_j=tj, interpret=interpret)
+
+        a0h, a0l, j0h, j0l = aj_eval(ph, plo, vh, vlo)
 
         x0, v0 = hermite_planes(ph, plo), hermite_planes(vh, vlo)
         a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
@@ -1062,10 +1136,7 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
         pph, ppl = hermite_assemble(xp, ph[:, 3:4], plo[:, 3:4])
         vph, vpl = hermite_assemble(vp, vh[:, 3:4], vlo[:, 3:4])
 
-        gpph, gppl, gvph, gvpl = gather4(pph, ppl, vph, vpl)
-        a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
-            pph, ppl, vph, vpl, gpph, gppl, gvph, gvpl, fscal,
-            tile_i=ti, tile_j=tj, interpret=interpret)
+        a1h, a1l, j1h, j1l = aj_eval(pph, ppl, vph, vpl)
         a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
 
         x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
@@ -1084,14 +1155,27 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     def step(ph, plo, vh, vlo, scal):
         if integrator == "hermite":
             return _hermite_step(ph, plo, vh, vlo, scal)
-        jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
-        jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
         if integrator == "leapfrog":
+            if strategy == "ring":
+                # Drift every shard ONCE at the XLA level (bit-identical
+                # op sequence to the fused kernel's in-kernel drift) and
+                # rotate the DRIFTED position planes — 2 planes on the
+                # ring instead of the allgather path's 4.
+                hh, hl = ds_half_drift(ph, plo, vh, vlo, scal)
+                acc = _ring_ds_accel(hh, hl, scal[:, :4])
+                return ds_leapfrog_finish(hh, hl, vh, vlo, acc, scal)
+            jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
+            jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
             jvh = jax.lax.all_gather(vh, axis, axis=0, tiled=True)
             jvl = jax.lax.all_gather(vlo, axis, axis=0, tiled=True)
             return nbody_step_pallas_ds_leapfrog_vs(
                 ph, plo, vh, vlo, jh, jl, jvh, jvl, scal,
                 tile_i=ti, tile_j=tj, interpret=interpret)
+        if strategy == "ring":
+            acc = _ring_ds_accel(ph, plo, scal[:, :4])
+            return _ds_integrate(ph, plo, vh, vlo, acc, scal)
+        jh = jax.lax.all_gather(ph, axis, axis=0, tiled=True)
+        jl = jax.lax.all_gather(plo, axis, axis=0, tiled=True)
         return nbody_step_pallas_ds_vs(ph, plo, vh, vlo, jh, jl, scal,
                                        tile_i=ti, tile_j=tj,
                                        interpret=interpret)

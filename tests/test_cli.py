@@ -260,9 +260,10 @@ def test_adaptive_dt_rejects_fixed_dt_modes(capsys):
                    "--adaptive-dt", *extra])
         assert rc == 1, extra
         assert "error:" in capsys.readouterr().err
-    # ds: adaptive is a demo-mode option — measurement modes reject it,
-    # and the sharded ds step is fixed-dt
-    for extra in (["--benchmark"], ["--devices", "2"]):
+    # ds: adaptive is a demo-mode option — measurement modes reject it
+    # (meshes are fine: make_sharded_ds_adaptive_rollout covers
+    # --precision ds --devices N --adaptive-dt, tested below)
+    for extra in (["--benchmark"],):
         rc = main(["--numbodies", "256", "--precision", "ds",
                    "--adaptive-dt", *extra])
         assert rc == 1, extra
@@ -313,6 +314,15 @@ def test_precision_ds_mesh_demo(capsys):
     assert "8-device" in capsys.readouterr().out
 
 
+def test_precision_ds_mesh_ring_demo(capsys):
+    """--precision ds --devices N --strategy ring: the rotating-j-planes
+    ds decomposition through the full CLI demo path."""
+    rc = main(["--precision", "ds", "--numbodies", "256", "--frames", "1",
+               "--no-cycle", "--devices", "8", "--strategy", "ring"])
+    assert rc == 0
+    assert "8-device" in capsys.readouterr().out
+
+
 def test_precision_ds_adaptive_demo(capsys):
     rc = main(["--precision", "ds", "--numbodies", "128", "--frames", "2",
                "--no-cycle", "--adaptive-dt", "0.02"])
@@ -334,7 +344,7 @@ def test_precision_ds_demo_gates(capsys):
         (["--hostmem"], "device"),
         (["--kernel", "pm"], "auto/pallas"),
         (["--devices", "4", "--mesh-rows", "2"], "1-D body mesh"),
-        (["--devices", "2", "--strategy", "ring"], "allgather"),
+        (["--devices", "2", "--strategy", "ring_fused"], "allgather/ring"),
         (["--variant", "mxu"], "auto/sym"),
         (["--selftest"], "fp32/fp64"),
         (["--fp64"], "exclusive"),

@@ -218,6 +218,77 @@ def test_sharded_ds_hermite_matches_single_device(state64):
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-9
 
 
+def test_ds_accel_only_plus_integrate_matches_fused_step(state64):
+    """The ring strategy's building blocks — the accel-ONLY ds kernel +
+    the XLA-level ds integrator — reproduce the fused step exactly for
+    the same (full) j-set (ops/ds_kernel.py::compute_accel_pallas_ds,
+    _ds_integrate)."""
+    from nbody_tpu.ops.ds_kernel import (
+        _ds_integrate,
+        _scal_ds,
+        compute_accel_pallas_ds,
+        nbody_step_pallas_ds,
+    )
+
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal = _scal_ds(DT, SOFT, DAMP)
+    ref = nbody_step_pallas_ds(ph, plo, vh, vlo, scal, tile_j=512,
+                               interpret=True)
+    acc = compute_accel_pallas_ds(ph, plo, ph, plo, scal, tile_j=512,
+                                  interpret=True)
+    got = _ds_integrate(ph, plo, vh, vlo, acc, scal)
+    for g, w in zip(got, ref):
+        # in-kernel vs XLA-level integration: same anchored ds op
+        # sequence, CPU-jit FMA-contraction caveat (module docstring)
+        assert np.abs(np.asarray(g) - np.asarray(w)).max() < 5e-9
+
+
+@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "hermite"])
+def test_sharded_ds_ring_matches_single_device(state64, integrator):
+    """strategy='ring' (j-planes rotating via ppermute, per-hop partial
+    forces accumulated in anchored XLA-level ds) == the single-device ds
+    step, for all three integrators. Differences vs allgather are ds-level
+    reduction order only (parallel/sharded.py::make_sharded_ds_step)."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds,
+        _scal_ds_hermite,
+        _scal_ds_leapfrog,
+        nbody_step_pallas_ds,
+        nbody_step_pallas_ds_hermite,
+        nbody_step_pallas_ds_leapfrog,
+    )
+    from nbody_tpu.parallel import make_mesh, make_sharded_ds_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal, single = {
+        "euler": (_scal_ds, nbody_step_pallas_ds),
+        "leapfrog": (_scal_ds_leapfrog, nbody_step_pallas_ds_leapfrog),
+        "hermite": (_scal_ds_hermite, nbody_step_pallas_ds_hermite),
+    }[integrator]
+    scal = scal(DT, SOFT, DAMP)
+    ref = single(ph, plo, vh, vlo, scal, tile_j=512, interpret=True)
+
+    mesh = make_mesh(8)
+    step = make_sharded_ds_step(mesh, tile_j=512, interpret=True,
+                                integrator=integrator, strategy="ring")
+    out = step(ph, plo, vh, vlo, scal)
+    for got, want in zip(out, ref):
+        # per-hop ds partials vs one in-kernel sweep: reduction-order
+        # differences at ds precision + the CPU-jit FMA-contraction
+        # caveat — fp64-grade either way (f32 would be ~1e-5 here)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-9
+    with pytest.raises(ValueError):
+        make_sharded_ds_step(mesh, strategy="ring_fused")
+
+
 def test_cli_precision_ds_drift_check(capsys):
     from nbody_tpu.cli import main
 
