@@ -8,12 +8,16 @@ GFLOP/s at the reference's 20-flops-per-interaction convention
 The kernel is the exact-fp32 Newton's-third-law `sym` variant
 (ops/symmetric_kernel.py): each pair evaluated ONCE, both sides
 accumulated — same math as the one-sided vpu kernel to reduction-order
-rounding (measured 285.3 vs 221.2 G int/s at this shape, 1.29x;
-drift-faithful by construction since the arithmetic is identical exact
-fp32). Deliberately NOT the faster mxu_bf16 mode: the measured drift
-table (PARITY.md) shows bf16-reduction force noise makes the simulation
-explode by 10k steps, so its throughput would be for a different
-simulation than the reference runs.
+rounding (drift-faithful by construction since the arithmetic is
+identical exact fp32). The shape is the HALF-CAP blocked composition
+(block_cap=32768, tile_j=4096): half the pairs run as mask-free cross
+rectangles with no triangle-walk machinery, measured 288.7 G int/s at
+this shape vs the single triangle's 285.3 and the one-sided vpu
+champion's 221.2 (scripts/tpu_r4_sym_bench_shape.py,
+scripts/tpu_r3_symmetric.py). Deliberately NOT the faster mxu_bf16
+mode: the measured drift table (PARITY.md) shows bf16-reduction force
+noise makes the simulation explode by 10k steps, so its throughput
+would be for a different simulation than the reference runs.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is a nominal 2000 fp32 GFLOP/s — the ballpark a modern desktop
@@ -72,15 +76,21 @@ def main() -> int:
     p, v = jnp.asarray(pos), jnp.asarray(vel)
 
     if on_tpu:
-        from nbody_tpu.ops.symmetric_kernel import nbody_step_symmetric
+        from nbody_tpu.ops.symmetric_kernel import (
+            nbody_step_symmetric_blocked,
+        )
 
         # fastest DRIFT-FAITHFUL configuration measured on v5e: the exact
-        # fp32 Newton's-third-law kernel at (64, 4096) — 285.3 G int/s vs
-        # the one-sided vpu champion's 221.2 (scripts/tpu_r3_symmetric.py)
+        # fp32 Newton's-third-law kernel, half-cap blocked composition —
+        # 288.7 G int/s at (cap=32768, ti=64, tj=4096) vs the single
+        # triangle's 285.3 and the one-sided vpu champion's 221.2
+        # (scripts/tpu_r4_sym_bench_shape.py, scripts/tpu_r3_symmetric.py)
         def step(p, v):
-            return nbody_step_symmetric(p, v, params.time_step,
-                                        params.softening, params.damping,
-                                        tile_i=64, tile_j=4096)
+            return nbody_step_symmetric_blocked(p, v, params.time_step,
+                                                params.softening,
+                                                params.damping,
+                                                tile_i=64, tile_j=4096,
+                                                block_cap=32768)
     else:  # CPU fallback so the bench always reports something
         from nbody_tpu.ops.reference import nbody_step_xla
 

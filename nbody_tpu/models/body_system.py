@@ -428,18 +428,14 @@ class BodySystem:
 
     # ---- stepping ----
 
-    def _sym_default_tj(self) -> int:
-        """Measured default j-tile for the sym force path: the single
-        triangle's champion below SYM_MAX_N, the blocked composition's
-        above it (ops/symmetric_kernel.py sweep provenance)."""
-        from nbody_tpu.ops.symmetric_kernel import (
-            DEFAULT_TILE_J_SYM,
-            DEFAULT_TILE_J_SYM_BLOCKED,
-            SYM_MAX_N,
-        )
+    def _sym_dispatch(self):
+        """Measured default ``(block_cap, tile_j)`` for the sym force
+        path at this N — including the half-cap blocked composition that
+        beats the single triangle in the top of its range
+        (ops/symmetric_kernel.py::sym_default_dispatch provenance)."""
+        from nbody_tpu.ops.symmetric_kernel import sym_default_dispatch
 
-        return (DEFAULT_TILE_J_SYM if self.num_bodies <= SYM_MAX_N
-                else DEFAULT_TILE_J_SYM_BLOCKED)
+        return sym_default_dispatch(self.num_bodies)
 
     def _sym_tiles(self, default_ti: int, default_tj: int,
                    *, cache_ok: bool = True):
@@ -526,12 +522,12 @@ class BodySystem:
                 # the sym kernels have their own tuned defaults (single
                 # triangle vs blocked composition differ); explicit user
                 # tiles or the autotuner cache's measured winner override
-                s_ti, s_tj = self._sym_tiles(symk.TI, self._sym_default_tj())
-                cap = symk.SYM_MAX_N  # module attr: tests shrink it
+                cap, d_tj = self._sym_dispatch()
+                s_ti, s_tj = self._sym_tiles(symk.TI, d_tj)
 
                 def step(pos, vel, dt, soft, damp):
                     # delegates to the single-triangle kernel bit-exactly
-                    # when N <= SYM_MAX_N
+                    # when N <= block_cap
                     return symk.nbody_step_symmetric_blocked(
                         pos, vel, dt, soft, damp,
                         tile_i=s_ti, tile_j=s_tj, interpret=interpret,
@@ -586,12 +582,12 @@ class BodySystem:
             if self.variant == "sym":
                 from nbody_tpu.ops import symmetric_kernel as symk
 
-                s_ti, s_tj = self._sym_tiles(symk.TI, self._sym_default_tj())
-                cap = symk.SYM_MAX_N  # module attr: tests shrink it
+                cap, d_tj = self._sym_dispatch()
+                s_ti, s_tj = self._sym_tiles(symk.TI, d_tj)
 
                 def accel_sym(p4, soft):
                     # delegates to the single-triangle kernel bit-exactly
-                    # when N <= SYM_MAX_N
+                    # when N <= block_cap
                     return symk.compute_accel_symmetric_blocked(
                         p4, soft, tile_i=s_ti, tile_j=s_tj,
                         interpret=interpret, block_cap=cap)

@@ -69,6 +69,35 @@ DEFAULT_TILE_J_SYM = 4096
 DEFAULT_TILE_J_SYM_BLOCKED = 8192
 
 
+def sym_default_dispatch(n: int):
+    """Measured default ``(block_cap, tile_j)`` for the sym force step at
+    N bodies.
+
+    In the top half of the single-triangle range (SYM_MAX_N/2 < N ≤
+    SYM_MAX_N) the blocked composition at ``block_cap = SYM_MAX_N // 2``
+    BEATS the single triangle on its own turf: half the pairs move into
+    mask-free cross rectangles that carry none of the triangle-walk
+    machinery (measured at the official bench shape N=65536:
+    288.7 G int/s at (cap=32768, tj=4096) vs the single triangle's 285.3
+    — scripts/tpu_r4_sym_bench_shape.py, 3 rolls). Above SYM_MAX_N the
+    full cap wins (cap=65536/tj=8192: 301.9 at 131072, 327.6 at 1M vs
+    32768's 301.8/325.7 — scripts/tpu_r4_sym_cap.py), so the half cap is
+    strictly a top-of-triangle-range optimization. At or below the half
+    cap the single triangle is the only shape (N ≤ cap delegates).
+
+    Reads the module attributes at call time so tests that shrink
+    SYM_MAX_N see a consistently scaled policy.
+    """
+    half = SYM_MAX_N // 2
+    if half < n <= SYM_MAX_N and DEFAULT_TILE_J_SYM * 2 <= half:
+        # the guard keeps shrunken test caps on the plain delegation path
+        # (the half cap only exists where the default tile fits it)
+        return half, DEFAULT_TILE_J_SYM
+    if n <= SYM_MAX_N:
+        return SYM_MAX_N, DEFAULT_TILE_J_SYM
+    return SYM_MAX_N, DEFAULT_TILE_J_SYM_BLOCKED
+
+
 def _sym_kernel(meta_ref, rows_ref, cols_ref, first_ref, last_ref,
                 posi_ref, post_ref, acc_ref, react_ref,
                 ax, ay, az, rx, ry, rz, *, tile_i: int, tile_j: int,

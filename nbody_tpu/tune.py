@@ -311,11 +311,17 @@ def _make_family_harness(family: str, n: int):
     def make_step(cand):
         variant, ti, tj = cand
         if variant == "sym":
-            # any N: above SYM_MAX_N this is the blocked composition,
-            # below it delegates to the single triangle bit-exactly
+            # any N, at the same block_cap policy BodySystem ships (the
+            # half cap wins the top of the single-triangle range): the
+            # tuned tile is measured on the kernel shape it will run on
+            from nbody_tpu.ops.symmetric_kernel import sym_default_dispatch
+
+            cap = sym_default_dispatch(n)[0]
+
             def step(pp, vv):
                 return nbody_step_symmetric_blocked(pp, vv, dt, soft, damp,
-                                                    tile_i=ti, tile_j=tj)
+                                                    tile_i=ti, tile_j=tj,
+                                                    block_cap=cap)
         else:
             def step(pp, vv):
                 return nbody_step_pallas(pp, vv, dt, soft, damp,

@@ -384,3 +384,46 @@ def test_blocked_clamps_block_wide_stream():
         p, SOFT, tile_i=64, tile_j=256, interpret=True, block_cap=256))
     ref = np.asarray(compute_accel_xla(p, SOFT))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_sym_default_dispatch_policy(monkeypatch):
+    """The measured default (block_cap, tile_j) policy: half-cap blocked
+    composition in the top of the single-triangle range (the bench-shape
+    winner, scripts/tpu_r4_sym_bench_shape.py), full cap elsewhere —
+    and the half cap only exists where the default tile fits it."""
+    from nbody_tpu.ops import symmetric_kernel as symk
+    from nbody_tpu.ops.symmetric_kernel import sym_default_dispatch
+
+    assert sym_default_dispatch(65536) == (32768, 4096)
+    assert sym_default_dispatch(40000) == (32768, 4096)
+    assert sym_default_dispatch(32768) == (65536, 4096)
+    assert sym_default_dispatch(1024) == (65536, 4096)
+    assert sym_default_dispatch(131072) == (65536, 8192)
+
+    # shrunken caps (the test idiom) degrade to plain delegation: the
+    # default tile does not fit a 128-body half cap
+    monkeypatch.setattr(symk, "SYM_MAX_N", 256)
+    assert sym_default_dispatch(200) == (256, 4096)
+    assert sym_default_dispatch(640) == (256, 8192)
+
+
+def test_body_system_sym_half_cap_matches_xla(monkeypatch):
+    """variant='sym' in the top half of the single-triangle range routes
+    through the half-cap blocked composition by default and matches the
+    xla backend (caps monkeypatched small; the dispatch guard is widened
+    by also shrinking the default tile so the policy engages)."""
+    from nbody_tpu.models import BodySystem
+    from nbody_tpu.ops import symmetric_kernel as symk
+    from nbody_tpu.params import NBodyParams
+
+    monkeypatch.setattr(symk, "SYM_MAX_N", 512)
+    monkeypatch.setattr(symk, "DEFAULT_TILE_J_SYM", 128)
+    assert symk.sym_default_dispatch(384) == (256, 128)
+
+    params = NBodyParams(softening=SOFT, damping=1.0)
+    a = BodySystem(384, params, backend="pallas", variant="sym",
+                   interpret=True, seed=12)
+    b = BodySystem(384, params, backend="xla", seed=12)
+    a.update(0.01)
+    b.update(0.01)
+    np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
