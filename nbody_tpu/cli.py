@@ -248,10 +248,25 @@ def _run_ds(args) -> int:
         print("error: --precision ds supports --benchmark, --compare/"
               "--qatest, and --drift-check", file=sys.stderr)
         return 1
+    mesh = None
     if args.devices is not None and args.devices > 1:
-        print("error: --precision ds is single-device (shard the fp32 "
-              "kernels for multi-chip)", file=sys.stderr)
-        return 1
+        # same 1-D-mesh surface the ds demo path exposes: the sharded ds
+        # step (parallel/sharded.py::make_sharded_ds_step) backs the
+        # measurement modes too — the oracle comparisons read gathered
+        # host arrays either way
+        if args.mesh_rows is not None:
+            print("error: --precision ds shards over the 1-D body mesh; "
+                  "drop --mesh-rows", file=sys.stderr)
+            return 1
+        if args.strategy not in ("auto", "allgather", "ring"):
+            print("error: the sharded ds step gathers or ring-rotates "
+                  "the hi/lo planes; use --strategy auto/allgather/ring "
+                  "(ring_fused and sym are fp32 mesh paths)",
+                  file=sys.stderr)
+            return 1
+        from nbody_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
 
     n = args.numbodies or 16384
     params = DEMO_PARAMS[0]
@@ -259,12 +274,16 @@ def _run_ds(args) -> int:
     if scales is not None:
         params = params.replace(cluster_scale=scales[0],
                                 velocity_scale=scales[1])
-    s = DSBodySystem(n, params, seed=args.seed, integrator=args.integrator)
+    s = DSBodySystem(n, params, seed=args.seed, integrator=args.integrator,
+                     mesh=mesh, strategy=args.strategy)
+    n = s.num_bodies  # rounded up so body shards divide evenly
     import jax
 
     dev = jax.devices()[0]
-    print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
-          f"[double-single kernel, fp64-grade]")
+    mesh_note = (f", {args.devices}-device mesh [{s.strategy}]"
+                 if mesh is not None else "")
+    print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind}"
+          f"{mesh_note} [double-single kernel, fp64-grade]")
 
     if args.drift_check is not None:
         from nbody_tpu.oracle.numpy_oracle import step_numpy

@@ -70,7 +70,11 @@ class DSBodySystem:
                 raise ValueError(
                     "DSBodySystem shards over the 1-D body mesh "
                     "(make_sharded_ds_step); 2-D meshes are fp32-only")
-        if strategy not in ("auto", "allgather", "ring"):
+        if mesh is not None and strategy not in ("auto", "allgather",
+                                                 "ring"):
+            # without a mesh, strategy is irrelevant and silently
+            # coerced below — the BodySystem convention (fp32
+            # single-device ignores --strategy too)
             raise ValueError(
                 "DSBodySystem strategy must be 'auto', 'allgather', or "
                 f"'ring' (got {strategy!r}); ring_fused/sym are fp32 "

@@ -368,7 +368,7 @@ def _ds_accel_kernel(scal_ref, pihi_ref, pilo_ref, pthi_ref, ptlo_ref,
     integrating. This is the building block the ring strategy needs —
     partial forces from a rotating j-shard must accumulate ACROSS kernel
     calls (one per ppermute hop), so integration happens once at the XLA
-    level after the last hop (`_ds_integrate` / `_ds_leapfrog_finish`)."""
+    level after the last hop (`_ds_integrate` / `ds_leapfrog_finish`)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -481,26 +481,10 @@ def ds_leapfrog_finish(half_hi, half_lo, vel_hi, vel_lo, acc, scal):
     mirroring `_ds_leapfrog_kernel`'s finalize exactly: v' = (v + a·dt)·
     damping, p' = p_half + v'·(dt/2). `acc` = (acc_hi, acc_lo), each
     (N, 3) at the half-step positions."""
-    dt = (scal[0, 0], scal[1, 0])
-    damping = (scal[0, 2], scal[1, 2])
-    dt_half = (scal[0, 3], scal[1, 3])
-    nph, npl, nvh, nvl = [], [], [], []
-    for c in range(3):
-        a_c = (acc[0][:, c], acc[1][:, c])
-        v_c = (vel_hi[:, c], vel_lo[:, c])
-        vnew = ds_mul(ds_add(v_c, ds_mul(a_c, dt)), damping)
-        pnew = ds_add((half_hi[:, c], half_lo[:, c]),
-                      ds_mul(vnew, dt_half))
-        nph.append(pnew[0])
-        npl.append(pnew[1])
-        nvh.append(vnew[0])
-        nvl.append(vnew[1])
-    nph.append(half_hi[:, 3])
-    npl.append(half_lo[:, 3])
-    nvh.append(vel_hi[:, 3])
-    nvl.append(vel_lo[:, 3])
-    stack = lambda cols_: jnp.stack(cols_, axis=1)  # noqa: E731
-    return stack(nph), stack(npl), stack(nvh), stack(nvl)
+    return _ds_kick_drift(half_hi, half_lo, vel_hi, vel_lo, acc,
+                          dt=(scal[0, 0], scal[1, 0]),
+                          damping=(scal[0, 2], scal[1, 2]),
+                          dt_pos=(scal[0, 3], scal[1, 3]))
 
 
 def nbody_step_ds(pos64, vel64, dt, softening, damping,
@@ -1284,18 +1268,19 @@ def compute_accel_pallas_ds_sym(pos_hi, pos_lo, scal,
     return jnp.stack(acc_h, axis=1), jnp.stack(acc_l, axis=1)
 
 
-def _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal):
-    """Damped semi-implicit Euler in anchored XLA-level ds.
-    `acc` = (acc_hi, acc_lo), each (N, 3)."""
-    dt = (scal[0, 0], scal[1, 0])
-    damping = (scal[0, 2], scal[1, 2])
+def _ds_kick_drift(pos_hi, pos_lo, vel_hi, vel_lo, acc, *, dt, damping,
+                   dt_pos):
+    """The shared ds kick+drift scaffolding: per coordinate column,
+    v' = (v + a·dt)·damping and p' = pos + v'·dt_pos (anchored ds),
+    mass columns carried through. The Euler update is the dt_pos=dt
+    case; the DKD finalize drifts the HALF-step positions by dt/2."""
     nph, npl = [], []
     nvh, nvl = [], []
     for c in range(3):
         a_c = (acc[0][:, c], acc[1][:, c])
         v_c = (vel_hi[:, c], vel_lo[:, c])
         vnew = ds_mul(ds_add(v_c, ds_mul(a_c, dt)), damping)
-        pnew = ds_add((pos_hi[:, c], pos_lo[:, c]), ds_mul(vnew, dt))
+        pnew = ds_add((pos_hi[:, c], pos_lo[:, c]), ds_mul(vnew, dt_pos))
         nph.append(pnew[0])
         npl.append(pnew[1])
         nvh.append(vnew[0])
@@ -1306,6 +1291,14 @@ def _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal):
     nvl.append(vel_lo[:, 3])
     stack = lambda cols_: jnp.stack(cols_, axis=1)  # noqa: E731
     return stack(nph), stack(npl), stack(nvh), stack(nvl)
+
+
+def _ds_integrate(pos_hi, pos_lo, vel_hi, vel_lo, acc, scal):
+    """Damped semi-implicit Euler in anchored XLA-level ds.
+    `acc` = (acc_hi, acc_lo), each (N, 3)."""
+    dt = (scal[0, 0], scal[1, 0])
+    return _ds_kick_drift(pos_hi, pos_lo, vel_hi, vel_lo, acc, dt=dt,
+                          damping=(scal[0, 2], scal[1, 2]), dt_pos=dt)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))

@@ -100,12 +100,16 @@ def _ring_accel_fn(accel_vs, axis, ndev):
     def accel_fn(p_sh):
         def hop(carry, _):
             jp, acc = carry
-            acc = acc + accel_vs(p_sh, jp)
             jp = jax.lax.ppermute(jp, axis, perm)
+            acc = acc + accel_vs(p_sh, jp)
             return (jp, acc), None
 
-        z = jnp.zeros((p_sh.shape[0], 3), p_sh.dtype)
-        (_, acc), _ = jax.lax.scan(hop, (p_sh, z), None, length=ndev)
+        # hop 0 (the local shard) runs outside the scan so exactly
+        # ndev-1 ppermutes are issued — a permute after the last kernel
+        # would be dead weight XLA cannot DCE inside a scan body. Same
+        # accumulation order (0 + a_0 is exact), so bit-identical.
+        (_, acc), _ = jax.lax.scan(hop, (p_sh, accel_vs(p_sh, p_sh)),
+                                   None, length=ndev - 1)
         return acc
 
     return accel_fn
@@ -1007,9 +1011,11 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     (ops.ds_kernel._scal_ds).
 
     strategy="ring": the j-planes rotate around the ICI ring via
-    `ppermute` inside a scan (the fp32 `_ring_accel_fn` dataflow), one
-    accel-ONLY ds kernel call per hop (`compute_accel_pallas_ds` /
-    `compute_accel_jerk_pallas_ds`), with the per-hop partial forces
+    `ppermute` inside a scan (the fp32 `_ring_accel_fn` dataflow: hop 0
+    evaluates the local shard outside the scan, so exactly D-1 permutes
+    are issued per force round), one accel-ONLY ds kernel call per hop
+    (`compute_accel_pallas_ds` / `compute_accel_jerk_pallas_ds`), with
+    the per-hop partial forces
     accumulated in anchored XLA-level ds (`ds_add`) so no fp32 summation
     error leaks between hops; integration happens once after the last
     hop (`_ds_integrate` / `ds_leapfrog_finish` / hermite corrector).
@@ -1081,35 +1087,45 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
         rotating: per-hop accel-only kernel + anchored ds accumulation."""
         def hop(carry, _):
             jh, jl, acch, accl = carry
+            jh = jax.lax.ppermute(jh, axis, perm)
+            jl = jax.lax.ppermute(jl, axis, perm)
             ah, al = compute_accel_pallas_ds(
                 iph, ipl, jh, jl, fscal,
                 tile_i=ti, tile_j=tj, interpret=interpret)
             s = ds_add((acch, accl), (ah, al))
-            jh = jax.lax.ppermute(jh, axis, perm)
-            jl = jax.lax.ppermute(jl, axis, perm)
             return (jh, jl, s[0], s[1]), None
 
-        z = jnp.zeros((iph.shape[0], 3), jnp.float32)
+        # hop 0 (local shard) outside the scan: ndev-1 ppermutes total
+        # (a rotate after the final kernel would be a dead collective
+        # on exactly the j-bytes this strategy exists to minimize)
+        a0h, a0l = compute_accel_pallas_ds(
+            iph, ipl, iph, ipl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
         (_, _, acch, accl), _ = jax.lax.scan(
-            hop, (iph, ipl, z, z), None, length=ndev)
+            hop, (iph, ipl, a0h, a0l), None, length=ndev - 1)
         return acch, accl
 
     def _ring_ds_aj(iph, ipl, ivh, ivl, fscal):
         """Hermite's (acc, jerk) ds force evaluation, j-planes rotating."""
         def hop(carry, _):
             jh, jl, jvh, jvl, ach, acl, jkh, jkl = carry
+            jh, jl, jvh, jvl = (jax.lax.ppermute(x, axis, perm)
+                                for x in (jh, jl, jvh, jvl))
             ah, al, jh_, jl_ = compute_accel_jerk_pallas_ds(
                 iph, ipl, ivh, ivl, jh, jl, jvh, jvl, fscal,
                 tile_i=ti, tile_j=tj, interpret=interpret)
             sa = ds_add((ach, acl), (ah, al))
             sj = ds_add((jkh, jkl), (jh_, jl_))
-            jh, jl, jvh, jvl = (jax.lax.ppermute(x, axis, perm)
-                                for x in (jh, jl, jvh, jvl))
             return (jh, jl, jvh, jvl, sa[0], sa[1], sj[0], sj[1]), None
 
-        z = jnp.zeros((iph.shape[0], 4), jnp.float32)
+        # hop 0 (local shard) outside the scan: ndev-1 rotates of the
+        # 4 j-planes per force round instead of ndev (see _ring_ds_accel)
+        a0h, a0l, jk0h, jk0l = compute_accel_jerk_pallas_ds(
+            iph, ipl, ivh, ivl, iph, ipl, ivh, ivl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
         (_, _, _, _, ach, acl, jkh, jkl), _ = jax.lax.scan(
-            hop, (iph, ipl, ivh, ivl, z, z, z, z), None, length=ndev)
+            hop, (iph, ipl, ivh, ivl, a0h, a0l, jk0h, jk0l), None,
+            length=ndev - 1)
         return ach, acl, jkh, jkl
 
     def _hermite_step(ph, plo, vh, vlo, scal):

@@ -110,6 +110,32 @@ def test_cli_precision_ds_qatest(capsys):
     assert rc == 0, out
 
 
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_cli_precision_ds_qatest_mesh(capsys, strategy):
+    """The ds MEASUREMENT modes shard too (r4): --qatest --devices 8
+    runs the sharded ds step and passes the ds-grade gate."""
+    import jax
+
+    from nbody_tpu.cli import main
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    rc = main(["--precision", "ds", "--qatest", "--numbodies", "512",
+               "--devices", "8", "--strategy", strategy])
+    out = capsys.readouterr().out
+    assert "8-device mesh" in out and strategy in out
+    assert rc == 0, out
+
+
+def test_cli_precision_ds_mesh_strategy_gate(capsys):
+    """fp32-only mesh strategies stay rejected in the measurement modes."""
+    from nbody_tpu.cli import main
+
+    rc = main(["--precision", "ds", "--qatest", "--numbodies", "512",
+               "--devices", "8", "--strategy", "sym"])
+    assert rc == 1
+
+
 def test_cli_precision_ds_scope_errors(capsys):
     """ds is a full product surface since r4 — the demo path RUNS; only
     genuinely contradictory combinations error (see test_cli.py's

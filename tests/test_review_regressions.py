@@ -217,3 +217,80 @@ def test_leapfrog_compare_uses_matching_oracle():
     c = Compute(num_bodies=256, backend="xla", cycle_demo=False,
                 integrator="leapfrog", log=lambda *a: None)
     assert c.compare_results() is True
+
+
+def _scan_lengths_with_ppermute(jaxpr):
+    """All lax.scan lengths whose body issues a ppermute, recursively."""
+    found = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            sub = [v for v in eqn.params.values()
+                   if hasattr(v, "jaxpr") or hasattr(v, "eqns")]
+            if eqn.primitive.name == "scan":
+                body = eqn.params["jaxpr"].jaxpr
+                if any(e.primitive.name == "ppermute" for e in body.eqns):
+                    found.append(eqn.params["length"])
+            for v in sub:
+                walk(v.jaxpr if hasattr(v, "jaxpr") else v)
+
+    walk(jaxpr)
+    return found
+
+
+def test_ring_issues_ndev_minus_one_ppermutes():
+    """The ring strategies rotate hop 0 outside the scan: D-1 ppermutes
+    per force round, not D (a rotate after the final kernel is a dead
+    collective XLA cannot DCE inside a scan body) — fp32 and ds."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import _scal_ds, ds_from_f64
+    from nbody_tpu.parallel import (
+        make_mesh,
+        make_sharded_ds_step,
+        make_sharded_step,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(8)
+
+    pos = np.random.default_rng(3).standard_normal((64, 4)).astype("f4")
+    vel = np.zeros((64, 4), "f4")
+    step = make_sharded_step(mesh, strategy="ring", kernel="xla")
+    jx = jax.make_jaxpr(lambda p, v: step(p, v, 0.001, 0.1, 1.0))(
+        jnp.asarray(pos), jnp.asarray(vel))
+    lens = _scan_lengths_with_ppermute(jx.jaxpr)
+    assert lens and all(ln == 7 for ln in lens), lens
+
+    ph, plo = ds_from_f64(pos.astype("f8"))
+    vh, vlo = ds_from_f64(vel.astype("f8"))
+    scal = _scal_ds(0.001, 0.1, 1.0)
+    dstep = make_sharded_ds_step(mesh, strategy="ring", tile_j=512,
+                                 interpret=True)
+    jx = jax.make_jaxpr(dstep)(ph, plo, vh, vlo, scal)
+    lens = _scan_lengths_with_ppermute(jx.jaxpr)
+    assert lens and all(ln == 7 for ln in lens), lens
+
+
+def test_ds_system_ignores_strategy_without_mesh():
+    """Single-device DSBodySystem coerces ANY strategy to 'allgather'
+    (the BodySystem convention: --strategy is a mesh knob and fp32
+    single-device ignores it too); invalid strategies still raise on a
+    mesh."""
+    import jax
+    import pytest
+
+    from nbody_tpu.models.ds_system import DSBodySystem
+
+    s = DSBodySystem(128, NBodyParams(), strategy="sym", interpret=True)
+    assert s.strategy == "allgather"
+
+    if len(jax.devices()) >= 8:
+        from nbody_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="strategy"):
+            DSBodySystem(128, NBodyParams(), mesh=make_mesh(8),
+                         strategy="sym", interpret=True)
