@@ -87,6 +87,12 @@ def sym_default_dispatch(n: int):
 
     Reads the module attributes at call time so tests that shrink
     SYM_MAX_N see a consistently scaled policy.
+
+    Euler-force-family only: the same half-cap swap measured 1.0-2.8%
+    SLOWER for hermite f32 / ds euler / ds hermite at the top of their
+    triangle ranges (scripts/tpu_r4_halfcap_families.py) — heavier
+    per-pair kernels amortize the walk tax the cross rectangles shed —
+    so the accel+jerk and ds dispatches keep their triangle caps.
     """
     half = SYM_MAX_N // 2
     if half < n <= SYM_MAX_N and DEFAULT_TILE_J_SYM * 2 <= half:
