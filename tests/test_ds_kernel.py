@@ -83,6 +83,7 @@ def test_ds_energy_drift_matches_f64_oracle(state64):
     assert abs(d_ds - d_or) < 1e-9, (d_ds, d_or)
 
 
+@pytest.mark.slow
 def test_ds_body_system_api(state64):
     """DSBodySystem: set/get round-trip exact, stepping matches the
     ops-level rollout, energy defaults to the f64 functional."""
@@ -271,7 +272,11 @@ def test_ds_accel_only_plus_integrate_matches_fused_step(state64):
         assert np.abs(np.asarray(g) - np.asarray(w)).max() < 5e-9
 
 
-@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "hermite"])
+@pytest.mark.parametrize("integrator", [
+    "euler", "leapfrog",
+    # the two-gather-round hermite ring is the 36 s heavyweight of the
+    # fast tier; euler/leapfrog keep the ring dataflow covered there
+    pytest.param("hermite", marks=pytest.mark.slow)])
 def test_sharded_ds_ring_matches_single_device(state64, integrator):
     """strategy='ring' (j-planes rotating via ppermute, per-hop partial
     forces accumulated in anchored XLA-level ds) == the single-device ds
@@ -325,6 +330,7 @@ def test_cli_precision_ds_drift_check(capsys):
     assert rc == 0, out
 
 
+@pytest.mark.slow
 def test_cli_precision_ds_drift_check_beyond_horizon(capsys):
     """Crossing DS_PARITY_HORIZON engages the two-tier gate: strict ds
     parity inside the shadowing horizon, the fp32-style scale criterion
@@ -529,6 +535,7 @@ def test_ds_system_sym_variant():
         DSBodySystem(256, params, integrator="leapfrog", variant="sym")
 
 
+@pytest.mark.slow
 def test_ds_aj_sym_matches_one_sided():
     """The symmetric ds accel+jerk agrees with the one-sided kernel to ds
     rounding — BOTH quantities (jerk reaction is antisymmetric too)."""
@@ -604,6 +611,7 @@ def test_rollout_none_tile_defaults_per_integrator():
                   - ds_to_f64(ph2, plo2)).max() < 1e-13
 
 
+@pytest.mark.slow
 def test_ds_sym_blocked_matches_one_sided():
     """The blockwise ds composition (self triangles + ds cross rectangles)
     matches the one-sided ds step; blocking forced via block_cap."""
@@ -728,7 +736,9 @@ def test_ds_system_hermite_sym_any_n(monkeypatch):
 # ---- adaptive ds rollouts (ds_scal_with_dt + make_ds_adaptive_rollout) ----
 
 
-@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "hermite"])
+@pytest.mark.parametrize("integrator", [
+    "euler", "leapfrog",
+    pytest.param("hermite", marks=pytest.mark.slow)])
 def test_ds_adaptive_fixed_window_matches_update_many(integrator):
     """dt_min == dt_max degenerates the adaptive ds rollout to the
     fixed-dt path — this pins ds_scal_with_dt's traced-dt scal rebuild
@@ -754,6 +764,7 @@ def test_ds_adaptive_fixed_window_matches_update_many(integrator):
     np.testing.assert_allclose(a.velocities, b.velocities, rtol=0, atol=tol)
 
 
+@pytest.mark.slow
 def test_ds_adaptive_criterion_matches_f32_formula():
     """The adaptive ds rollout picks dt from the f32 criterion evaluated
     on the HI planes: euler/leapfrog use eta*sqrt(eps/max|a|), hermite

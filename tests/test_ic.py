@@ -141,6 +141,7 @@ def test_plummer_half_mass_radius():
     np.testing.assert_allclose(r2, 2.0 * r_half, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_plummer_virial_equilibrium():
     """velocity_scale=1 gives 2T/|W| ~ 1 (measured 0.975-0.997 over seeds at
     N>=4096; slight deficit is the 10a truncation)."""

@@ -412,6 +412,7 @@ def test_sharded_p3m_pallas_short_range_matches(cloud):
                                    rtol=1e-4, atol=2e-4, err_msg=fft)
 
 
+@pytest.mark.slow
 def test_pallas_pair_tables_properties(cloud):
     """Builder invariants: every kept body lands in a unique padded row of
     its cell's aligned range; live pair block ids stay in range; the pair
@@ -455,6 +456,7 @@ def test_pallas_pair_tables_properties(cloud):
     assert (np.diff(ibs[:pc].astype(np.int64)) >= 0).all()  # grouped by i
 
 
+@pytest.mark.slow
 def test_pallas_short_range_reports_overflow(cloud):
     """capacity too small for the cloud -> the pallas engine reports the
     same body-overflow contract as the XLA engine."""
