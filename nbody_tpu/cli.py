@@ -502,11 +502,10 @@ def _main(argv=None) -> int:
                       "kernels only (pm/p3m are fixed-dt); drop "
                       "--devices or --adaptive-dt", file=sys.stderr)
                 return 1
-            if args.strategy in ("ring_fused", "sym"):
+            if args.strategy == "ring_fused":
                 print("error: --adaptive-dt supports allgather/ring/"
-                      "auto (ring_fused fuses the fixed-dt update; "
-                      "sym has no adaptive form yet)",
-                      file=sys.stderr)
+                      "auto/sym (ring_fused fuses the fixed-dt update "
+                      "into its kernel)", file=sys.stderr)
                 return 1
         if args.adaptive_dt <= 0:
             print("error: --adaptive-dt eta must be > 0", file=sys.stderr)

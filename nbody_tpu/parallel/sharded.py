@@ -798,17 +798,25 @@ def make_sharded_adaptive_rollout(
     paths, softening/damping are baked (the criterion folds softening
     into the compiled scan).
 
-    strategy: "allgather", "ring", or "auto" (ring_fused fuses the
-    fixed-dt Euler update into its kernel — not composable here).
+    strategy: "allgather", "ring", "auto", or "sym" (the Newton's-
+    third-law mesh decomposition — each global pair evaluated once, the
+    flagship kernel family; its per-shard force closure plugs straight
+    into the adaptive scan because the dt criterion only needs the
+    local accelerations + one pmax). ring_fused fuses the fixed-dt
+    Euler update into its kernel — not composable here.
     """
     if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(f"unknown integrator {integrator!r}")
     if kernel not in ("pallas", "xla"):
         raise ValueError(f"unknown kernel {kernel!r}")
-    if strategy not in ("allgather", "ring", "auto"):
+    if strategy not in ("allgather", "ring", "auto", "sym"):
         raise ValueError(
             "adaptive rollouts support strategies 'allgather'/'ring'/"
-            f"'auto' (got {strategy!r})")
+            f"'auto'/'sym' (got {strategy!r})")
+    if strategy == "sym" and kernel != "pallas":
+        raise ValueError(
+            "strategy='sym' runs the Newton's-third-law Pallas "
+            "kernels; use kernel='pallas'")
     from nbody_tpu.ops.adaptive import make_adaptive_scan
 
     ndev = mesh.shape[axis]
@@ -825,7 +833,36 @@ def make_sharded_adaptive_rollout(
         return compute_accel_xla_vs(pos_sh, pos_j, softening,
                                     chunk_size=chunk_size)
 
+    def _sym_fns():
+        """Force closures for strategy='sym': the sharded Newton's-
+        third-law kernels with their own tuned tile defaults (explicit
+        caller tiles win — the None-sentinel semantics of
+        make_sharded_step's local_sym)."""
+        from nbody_tpu.ops.symmetric_kernel import (
+            AJ_SYM_TILE_J,
+            DEFAULT_TILE_J_SYM_BLOCKED,
+            TI,
+        )
+
+        s_ti = tile_i if explicit_i else TI
+        if integrator == "hermite":
+            aj_tj = tile_j if explicit_j else AJ_SYM_TILE_J
+            sym_aj = _sym_sharded_aj_fn(axis, ndev, tile_i=s_ti,
+                                        tile_j=aj_tj, interpret=interpret)
+            return None, lambda p, v: sym_aj(p, v, softening)
+        s_tj = tile_j if explicit_j else DEFAULT_TILE_J_SYM_BLOCKED
+        sym_accel = _sym_sharded_accel_fn(axis, ndev, tile_i=s_ti,
+                                          tile_j=s_tj, interpret=interpret)
+        return lambda p: sym_accel(p, softening), None
+
     def local(pos_sh, vel_sh):
+        if strategy == "sym":
+            accel_fn, aj_fn = _sym_fns()
+            run = make_adaptive_scan(
+                integrator, accel_fn=accel_fn, accel_jerk_fn=aj_fn,
+                softening=softening, damping=damping, eta=eta,
+                dt_min=dt_min, dt_max=dt_max, steps=steps, mesh_axis=axis)
+            return run(pos_sh, vel_sh)
         n_global = pos_sh.shape[0] * ndev
         use_ring = strategy == "ring" or (
             strategy == "auto"

@@ -362,6 +362,16 @@ def test_adaptive_dt_sharded_demo(capsys):
     assert rc == 0
 
 
+def test_adaptive_dt_sym_strategy_demo(capsys):
+    """--adaptive-dt --devices N --strategy sym: the flagship Newton's-
+    third-law kernels under the adaptive global-dt scan (r5 item 1 —
+    the last cell of the adaptive x strategy matrix)."""
+    rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "pallas",
+               "--no-cycle", "--adaptive-dt", "0.01", "--devices", "8",
+               "--strategy", "sym", "--steps-per-frame", "2"])
+    assert rc == 0
+
+
 def test_adaptive_dt_2d_mesh_demo(capsys):
     """--adaptive-dt over the 2-D decomposition: the dt criterion
     pmax-reduces over BOTH mesh axes (VERDICT r3 item 5)."""
