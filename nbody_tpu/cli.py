@@ -494,14 +494,10 @@ def _main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
         if args.devices is not None and args.devices > 1:
-            # the sharded adaptive path covers the exact kernels over
-            # the 1-D body mesh (one pmax collective per step); the
-            # mesh solvers and the 2-D decomposition stay fixed-dt
-            if args.kernel in ("pm", "p3m"):
-                print("error: --adaptive-dt shards with the exact "
-                      "kernels only (pm/p3m are fixed-dt); drop "
-                      "--devices or --adaptive-dt", file=sys.stderr)
-                return 1
+            # every backend shards its adaptive rollout over the 1-D
+            # body mesh (exact kernels: one pmax collective per step
+            # inside shard_map; pm/p3m: a jit-level scan over the
+            # shard_map'd force decomposition)
             if args.strategy == "ring_fused":
                 print("error: --adaptive-dt supports allgather/ring/"
                       "auto/sym (ring_fused fuses the fixed-dt update "
@@ -697,6 +693,14 @@ def _main(argv=None) -> int:
              if mesh else "")
           + (", host memory" if args.hostmem else "")
           + f", {compute.precision if compute.precision != 'ds' else 'ds (fp64-grade)'}]")
+    if (mesh is not None and compute.precision == "ds"
+            and args.adaptive_dt is not None and args.strategy == "ring"):
+        # the ds adaptive rollout's decomposition is allgather regardless
+        # of the requested strategy (the criterion kernel needs the full
+        # gathered hi planes anyway — DSBodySystem.update_many_adaptive);
+        # say so instead of letting the banner imply a ring is running
+        print("note: ds adaptive rollouts run the allgather decomposition"
+              " ('ring' applies to fixed-dt ds stepping only)")
 
     if not (0 <= args.demo < len(DEMO_PARAMS)):
         raise ValueError(

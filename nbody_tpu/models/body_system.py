@@ -432,10 +432,24 @@ class BodySystem:
         """Measured default ``(block_cap, tile_j)`` for the sym force
         path at this N — including the half-cap blocked composition that
         beats the single triangle in the top of its range
-        (ops/symmetric_kernel.py::sym_default_dispatch provenance)."""
-        from nbody_tpu.ops.symmetric_kernel import sym_default_dispatch
+        (ops/symmetric_kernel.py::sym_default_dispatch provenance).
 
-        return sym_default_dispatch(self.num_bodies)
+        An explicit (or autotuner-cached) tile_j too wide for the half
+        cap keeps the FULL triangle cap: the blocked path silently clamps
+        its j-stream to <= cap/2, which would turn an explicitly
+        requested tile into a different shape (advisor r4); the single
+        triangle honors it as given."""
+        from nbody_tpu.ops.symmetric_kernel import (
+            SYM_MAX_N,
+            sym_default_dispatch,
+        )
+
+        cap, d_tj = sym_default_dispatch(self.num_bodies)
+        if (cap < SYM_MAX_N
+                and (self._explicit_tiles[1] or self._tiles_from_cache)
+                and self.tile_j * 2 > cap):
+            return SYM_MAX_N, d_tj
+        return cap, d_tj
 
     def _sym_tiles(self, default_ti: int, default_tj: int,
                    *, cache_ok: bool = True):
@@ -709,18 +723,12 @@ class BodySystem:
         self._rollout_cache[steps] = run
         return run
 
-    def _p3m_probed_rollout(self, step, steps: int):
-        """p3m rollout that carries the contract probe THROUGH the scan:
-        per step, an O(N) bincount checks cell-capacity overflow (and the
-        Pallas pair-tile budget) against the evolving state — cheap next to
-        the force evaluation — and the carry records the FIRST breached
-        step plus a snapshot of the last in-contract state. A 20k-step
-        collapsing rollout thus reports (or, with p3m_auto_refresh,
-        recovers at) the breach step instead of warning post-hoc after
-        every short-range term since the breach was silently dropped
-        (VERDICT r2 item 5; the contract machinery is this framework's
-        replacement for the reference's runtime asserts,
-        /root/reference/src/nbody/bodysystemcuda_default.cu:40,49)."""
+    def _p3m_breach_fn(self):
+        """`breach(pos4) -> bool` — the p3m contract probe (cell-capacity
+        overflow + Pallas pair-tile budget) against an evolving state.
+        Runs at the jit level on possibly-sharded global arrays (GSPMD
+        inserts the bincount collectives), shared by the fixed-dt AND
+        adaptive probed rollouts."""
         from nbody_tpu.ops.p3m import p3m_overflow_count
 
         grid, cap = self.pm_grid, self.p3m_capacity
@@ -734,6 +742,22 @@ class BodySystem:
             if sr == "pallas" and budget:
                 b = b | (p3m_pair_count(p32, grid=grid, capacity=cap) > budget)
             return b
+
+        return breach
+
+    def _p3m_probed_rollout(self, step, steps: int):
+        """p3m rollout that carries the contract probe THROUGH the scan:
+        per step, an O(N) bincount checks cell-capacity overflow (and the
+        Pallas pair-tile budget) against the evolving state — cheap next to
+        the force evaluation — and the carry records the FIRST breached
+        step plus a snapshot of the last in-contract state. A 20k-step
+        collapsing rollout thus reports (or, with p3m_auto_refresh,
+        recovers at) the breach step instead of warning post-hoc after
+        every short-range term since the breach was silently dropped
+        (VERDICT r2 item 5; the contract machinery is this framework's
+        replacement for the reference's runtime asserts,
+        /root/reference/src/nbody/bodysystemcuda_default.cu:40,49)."""
+        breach = self._p3m_breach_fn()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def run(pos, vel, dt, soft, damp):
@@ -994,24 +1018,27 @@ class BodySystem:
         rather than looping 1-step calls, which would double the per-step
         force work.
 
-        Mesh-capable for the exact kernels over the 1-D body mesh AND
-        the 2-D (rows x cols) decomposition: the dt criterion adds ONE
-        scalar pmax/pmin collective per step (over both axes for 2-D —
-        parallel.sharded.make_sharded_adaptive_rollout[_2d]); pm/p3m
-        stay fixed-dt."""
+        Mesh-capable over the 1-D body mesh for EVERY backend (exact
+        kernels via parallel.sharded.make_sharded_adaptive_rollout —
+        one pmax/pmin collective per step inside shard_map; pm/p3m via
+        a jit-level scan over the shard_map'd force decomposition, the
+        criterion max reducing over the sharded array through GSPMD)
+        and over the 2-D (rows x cols) decomposition for the exact
+        kernels (make_sharded_adaptive_rollout_2d, two-axis pmax).
+
+        p3m rollouts (single-device AND sharded) carry the contract
+        probe THROUGH the adaptive scan exactly like the fixed-dt
+        probed rollout: the first breached step is reported (or, with
+        p3m_auto_refresh, rewound to, re-sized from, and resumed —
+        adaptive dt matters most for collapsing states, which is also
+        where the contract breaches)."""
         from nbody_tpu.utils.profiling import annotate
 
-        if self.mesh is not None:
-            if self.backend not in ("pallas", "xla"):
-                raise ValueError(
-                    "adaptive rollouts shard with the exact kernels "
-                    "only (pm/p3m are fixed-dt); drop mesh= or use "
-                    "update_many")
-            if self.strategy == "ring_fused":
-                raise ValueError(
-                    "strategy='ring_fused' fuses the fixed-dt Euler "
-                    "update into its kernel; use allgather/ring/auto "
-                    "for adaptive rollouts")
+        if self.mesh is not None and self.strategy == "ring_fused":
+            raise ValueError(
+                "strategy='ring_fused' fuses the fixed-dt Euler "
+                "update into its kernel; use allgather/ring/auto "
+                "for adaptive rollouts")
         p = self.params
         if dt_max is None:
             dt_max = p.time_step
@@ -1023,8 +1050,17 @@ class BodySystem:
         if not eta > 0.0:   # also rejects NaN
             raise ValueError(f"need eta > 0, got {eta}")
         host = self.placement == "host"
+        probed = self.backend == "p3m"
         totals = {"t": 0.0, "dt_last": float(dt_max),
                   "dt_lo": float("inf"), "dt_hi": 0.0, "steps": steps}
+
+        def merge(stats):
+            stats = np.asarray(stats)
+            totals["t"] += float(stats[0])
+            totals["dt_last"] = float(stats[1])
+            totals["dt_lo"] = min(totals["dt_lo"], float(stats[2]))
+            totals["dt_hi"] = max(totals["dt_hi"], float(stats[3]))
+
         seg_max = self._segment_steps()
         done = 0
         while done < steps:
@@ -1032,18 +1068,48 @@ class BodySystem:
             run = self._adaptive_rollout_fn(seg, eta, dt_min, dt_max)
             with annotate(f"nbody.adaptive_rollout[{seg}]"):
                 if host:
-                    npos, nvel, stats = run(jnp.asarray(self._pos),
-                                            jnp.asarray(self._vel))
-                    self._pos, self._vel = np.asarray(npos), np.asarray(nvel)
+                    out = run(jnp.asarray(self._pos), jnp.asarray(self._vel))
                 else:
-                    self._pos, self._vel, stats = run(self._pos, self._vel)
-            stats = np.asarray(stats)
-            totals["t"] += float(stats[0])
-            totals["dt_last"] = float(stats[1])
-            totals["dt_lo"] = min(totals["dt_lo"], float(stats[2]))
-            totals["dt_hi"] = max(totals["dt_hi"], float(stats[3]))
+                    out = run(self._pos, self._vel)
+            if probed:
+                npos, nvel, stats, first, bp, bv, bst = out
+                first = int(first)
+            else:
+                npos, nvel, stats = out
+                first = -1
+            self._pos = np.asarray(npos) if host else npos
+            self._vel = np.asarray(nvel) if host else nvel
             done += seg
-            self._warn_if_p3m_contract_broken()
+            if first < 0:
+                merge(stats)
+                self._p3m_contract_warned = False if probed else getattr(
+                    self, "_p3m_contract_warned", False)
+                continue
+            # p3m contract breach at segment-local step `first` — the
+            # same recovery ladder as the fixed-dt rollout (update_many)
+            if self.p3m_auto_refresh:
+                # rewind to the snapshot of the first breached step and
+                # account only the simulated time THROUGH it (bstats)
+                self._pos = np.asarray(bp) if host else bp
+                self._vel = np.asarray(bv) if host else bv
+                merge(bst)
+                self.refresh_p3m_contract()
+                done -= seg - first - 1
+            else:
+                merge(stats)
+                if not getattr(self, "_p3m_contract_warned", False):
+                    import warnings
+
+                    warnings.warn(
+                        f"p3m contract broken mid-rollout: first breach "
+                        f"at adaptive step {done - seg + first} of "
+                        f"{steps} — short-range terms have been dropped "
+                        "since. Call refresh_p3m_contract() and re-run, "
+                        "enable p3m_auto_refresh (--p3m-auto-refresh), "
+                        "or raise --p3m-capacity / --pm-grid.",
+                        stacklevel=2,
+                    )
+                    self._p3m_contract_warned = True
         return totals
 
     def _adaptive_rollout_fn(self, steps: int, eta: float,
@@ -1058,6 +1124,11 @@ class BodySystem:
         cached = self._adaptive_cache.get(key)
         if cached is not None:
             return cached
+        if self.mesh is not None and self.backend in ("pm", "p3m"):
+            run = self._mesh_solver_adaptive_rollout(steps, eta,
+                                                     dt_min, dt_max)
+            self._adaptive_cache[key] = run
+            return run
         if self.mesh is not None:
             from nbody_tpu.parallel.sharded import (
                 make_sharded_adaptive_rollout,
@@ -1084,13 +1155,15 @@ class BodySystem:
             return run
         from nbody_tpu.ops.adaptive import make_adaptive_rollout
 
+        probe = self._p3m_breach_fn() if self.backend == "p3m" else None
         if self.integrator == "hermite":
             aj = self._accel_jerk_closure()
             run = make_adaptive_rollout(
                 "hermite",
                 accel_jerk_fn=lambda p4, v4: aj(p4, v4, p.softening),
                 softening=p.softening, damping=p.damping,
-                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps)
+                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps,
+                probe_fn=probe)
         else:
             integrator = "leapfrog" if self.integrator == "leapfrog" else "euler"
             accel = self._accel_closure()
@@ -1098,9 +1171,57 @@ class BodySystem:
                 integrator,
                 accel_fn=lambda p4: accel(p4, p.softening),
                 softening=p.softening, damping=p.damping,
-                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps)
+                eta=eta, dt_min=dt_min, dt_max=dt_max, steps=steps,
+                probe_fn=probe)
         self._adaptive_cache[key] = run
         return run
+
+    def _mesh_solver_adaptive_rollout(self, steps: int, eta: float,
+                                      dt_min: float, dt_max: float):
+        """Adaptive rollout for pm/p3m over the 1-D body mesh: a
+        jit-level scan around the shard_map'd force decomposition
+        (make_sharded_pm_accel / make_sharded_p3m_accel). The dt
+        criterion's global max and the p3m contract probe's bincounts
+        run at the jit level on the sharded global arrays — GSPMD
+        inserts the collectives, exactly like the fixed-dt probed
+        rollout (_rollout_fn's p3m comment)."""
+        from nbody_tpu.ops.adaptive import make_adaptive_scan
+
+        p = self.params
+        if self.backend == "pm":
+            from nbody_tpu.ops.pm import make_sharded_pm_accel
+
+            acc_sh = make_sharded_pm_accel(
+                self.mesh, grid=self.pm_grid,
+                assignment=self.pm_assignment, fft=self.pm_fft)
+
+            def accel_fn(p4):
+                return acc_sh(p4)
+
+            probe = None
+        else:
+            from nbody_tpu.ops.p3m import make_sharded_p3m_accel
+
+            acc_sh = make_sharded_p3m_accel(
+                self.mesh, grid=self.pm_grid, capacity=self.p3m_capacity,
+                assignment=self.pm_assignment, fft=self.pm_fft,
+                short_range=self.p3m_short_range,
+                pair_budget=self._p3m_pair_budget,
+                interpret=self.interpret)
+            soft = p.softening
+
+            def accel_fn(p4):
+                return acc_sh(p4, jnp.asarray(soft, p4.dtype))
+
+            probe = self._p3m_breach_fn()
+
+        integrator = ("leapfrog" if self.integrator == "leapfrog"
+                      else "euler")
+        run = make_adaptive_scan(
+            integrator, accel_fn=accel_fn,
+            softening=p.softening, damping=p.damping, eta=eta,
+            dt_min=dt_min, dt_max=dt_max, steps=steps, probe_fn=probe)
+        return jax.jit(run, donate_argnums=(0, 1))
 
     def block_until_ready(self) -> None:
         if self.placement != "host":

@@ -90,7 +90,7 @@ def _with_mass(p3, mass_col):
 def make_adaptive_scan(integrator: str, *, accel_fn=None,
                        accel_jerk_fn=None, softening, damping,
                        eta: float, dt_min: float, dt_max: float,
-                       steps: int, mesh_axis=None):
+                       steps: int, mesh_axis=None, probe_fn=None):
     """Build an UNJITTED `(pos, vel) -> (pos, vel, stats)` adaptive scan.
 
     stats is a (4,) array [t_total, dt_last, dt_lo, dt_hi]: simulated
@@ -104,6 +104,15 @@ def make_adaptive_scan(integrator: str, *, accel_fn=None,
     see the LOCAL shard (they carry their own collectives) and the dt
     criterion pmax/pmin-reduces across the axis, so every device steps
     with one global dt and the per-device stats are replicated.
+
+    `probe_fn(pos4) -> bool` threads a per-step contract probe through
+    the scan carry (the p3m capacity/pair-budget breach detector,
+    BodySystem._p3m_probed_rollout's pattern composed with the adaptive
+    carry): the return grows to `(pos, vel, stats, first, bpos, bvel,
+    bstats)` where `first` is the first breached step index (-1 = the
+    contract held), `bpos/bvel` snapshot the state at that step, and
+    `bstats` snapshots the stats THROUGH it — so an auto-refresh caller
+    can rewind to the snapshot and account the simulated time exactly.
     """
     if integrator not in ("euler", "leapfrog", "hermite"):
         raise ValueError(f"unknown integrator {integrator!r}")
@@ -121,90 +130,103 @@ def make_adaptive_scan(integrator: str, *, accel_fn=None,
                           jnp.minimum(stats[2], dt),
                           jnp.maximum(stats[3], dt)])
 
-    if integrator == "euler":
-
+    def _wrap(step_body, extra_init):
+        """Drive `step_body(p, v, extra) -> (np, nv, nextra, nstats)`
+        through the scan, threading the optional breach probe."""
         def run(pos, vel):
-            damp = jnp.asarray(damping, pos.dtype)
+            if probe_fn is None:
+                def body(state, _):
+                    p, v, extra, stats = state
+                    np_, nv_, nextra, nstats = step_body(p, v, extra, stats)
+                    return (np_, nv_, nextra, nstats), None
 
-            def body(state, _):
-                p, v, stats = state
-                acc = accel_fn(p)
-                dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
-                                    mesh_axis=mesh_axis)
-                v3 = (v[:, :3] + acc * dt) * damp
-                p3 = p[:, :3] + v3 * dt
-                np_ = _with_mass(p3, p[:, 3:4])
-                nv_ = _with_mass(v3, v[:, 3:4])
-                return (np_, nv_, stats_update(stats, dt)), None
+                init = (pos, vel, extra_init(pos, vel), stats_init(pos.dtype))
+                (pos, vel, _, stats), _ = jax.lax.scan(body, init, None,
+                                                       length=steps)
+                return pos, vel, stats
 
-            init = (pos, vel, stats_init(pos.dtype))
-            (pos, vel, stats), _ = jax.lax.scan(body, init, None,
-                                                length=steps)
-            return pos, vel, stats
+            def body(state, i):
+                p, v, extra, stats, first, bp, bv, bst = state
+                np_, nv_, nextra, nstats = step_body(p, v, extra, stats)
+                newly = (first < 0) & probe_fn(np_)
+                first = jnp.where(newly, i, first)
+                bp = jnp.where(newly, np_, bp)
+                bv = jnp.where(newly, nv_, bv)
+                bst = jnp.where(newly, nstats, bst)
+                return (np_, nv_, nextra, nstats, first, bp, bv, bst), None
+
+            st0 = stats_init(pos.dtype)
+            init = (pos, vel, extra_init(pos, vel), st0,
+                    jnp.int32(-1), pos, vel, st0)
+            (pos, vel, _, stats, first, bp, bv, bst), _ = jax.lax.scan(
+                body, init, jnp.arange(steps, dtype=jnp.int32))
+            return pos, vel, stats, first, bp, bv, bst
 
         return run
+
+    if integrator == "euler":
+
+        def step_euler(p, v, extra, stats):
+            damp = jnp.asarray(damping, p.dtype)
+            acc = accel_fn(p)
+            dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
+                                mesh_axis=mesh_axis)
+            v3 = (v[:, :3] + acc * dt) * damp
+            p3 = p[:, :3] + v3 * dt
+            np_ = _with_mass(p3, p[:, 3:4])
+            nv_ = _with_mass(v3, v[:, 3:4])
+            return np_, nv_, extra, stats_update(stats, dt)
+
+        return _wrap(step_euler, lambda pos, vel: jnp.zeros((), pos.dtype))
 
     if integrator == "leapfrog":
 
-        def run(pos, vel):
-            damp = jnp.asarray(damping, pos.dtype)
+        def step_leapfrog(p, v, acc, stats):
+            damp = jnp.asarray(damping, p.dtype)
+            dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
+                                mesh_axis=mesh_axis)
+            v_half = v[:, :3] + acc * (dt / 2)
+            p3 = p[:, :3] + v_half * dt
+            np_ = _with_mass(p3, p[:, 3:4])
+            acc_new = accel_fn(np_)
+            v3 = (v_half + acc_new * (dt / 2)) * damp
+            nv_ = _with_mass(v3, v[:, 3:4])
+            return np_, nv_, acc_new, stats_update(stats, dt)
 
-            def body(state, _):
-                p, v, acc, stats = state
-                dt = accel_timestep(acc, softening, eta, dt_min, dt_max,
-                                    mesh_axis=mesh_axis)
-                v_half = v[:, :3] + acc * (dt / 2)
-                p3 = p[:, :3] + v_half * dt
-                np_ = _with_mass(p3, p[:, 3:4])
-                acc_new = accel_fn(np_)
-                v3 = (v_half + acc_new * (dt / 2)) * damp
-                nv_ = _with_mass(v3, v[:, 3:4])
-                return (np_, nv_, acc_new, stats_update(stats, dt)), None
+        return _wrap(step_leapfrog, lambda pos, vel: accel_fn(pos))
 
-            init = (pos, vel, accel_fn(pos), stats_init(pos.dtype))
-            (pos, vel, _, stats), _ = jax.lax.scan(body, init, None,
-                                                   length=steps)
-            return pos, vel, stats
+    from nbody_tpu.ops.reference import hermite_correct, hermite_predict
 
-        return run
+    def step_hermite(p, v, extra, stats):
+        damp = jnp.asarray(damping, p.dtype)
+        x0, v0 = p[:, :3], v[:, :3]
+        a0, j0 = accel_jerk_fn(p, v)
+        dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max,
+                              mesh_axis=mesh_axis)
 
-    def run(pos, vel):
-        from nbody_tpu.ops.reference import hermite_correct, hermite_predict
+        xp, vp = hermite_predict(x0, v0, a0, j0, dt)
+        pos_p = _with_mass(xp, p[:, 3:4])
+        vel_p = _with_mass(vp, v[:, 3:4])
+        a1, j1 = accel_jerk_fn(pos_p, vel_p)
 
-        damp = jnp.asarray(damping, pos.dtype)
+        x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, dt, damp)
+        np_ = _with_mass(x1, p[:, 3:4])
+        nv_ = _with_mass(v1, v[:, 3:4])
+        return np_, nv_, extra, stats_update(stats, dt)
 
-        def body(state, _):
-            p, v, stats = state
-            x0, v0 = p[:, :3], v[:, :3]
-            a0, j0 = accel_jerk_fn(p, v)
-            dt = aarseth_timestep(a0, j0, eta, dt_min, dt_max,
-                                  mesh_axis=mesh_axis)
-
-            xp, vp = hermite_predict(x0, v0, a0, j0, dt)
-            pos_p = _with_mass(xp, p[:, 3:4])
-            vel_p = _with_mass(vp, v[:, 3:4])
-            a1, j1 = accel_jerk_fn(pos_p, vel_p)
-
-            x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, dt, damp)
-            np_ = _with_mass(x1, p[:, 3:4])
-            nv_ = _with_mass(v1, v[:, 3:4])
-            return (np_, nv_, stats_update(stats, dt)), None
-
-        init = (pos, vel, stats_init(pos.dtype))
-        (pos, vel, stats), _ = jax.lax.scan(body, init, None, length=steps)
-        return pos, vel, stats
-
-    return run
+    return _wrap(step_hermite, lambda pos, vel: jnp.zeros((), pos.dtype))
 
 
 def make_adaptive_rollout(integrator: str, *, accel_fn=None,
                           accel_jerk_fn=None, softening, damping,
                           eta: float, dt_min: float, dt_max: float,
-                          steps: int):
-    """Jitted single-device `(pos, vel) -> (pos, vel, stats)` adaptive
-    rollout (make_adaptive_scan under jit with donated state buffers)."""
+                          steps: int, probe_fn=None):
+    """Jitted single-device `(pos, vel) -> (pos, vel, stats[, first,
+    bpos, bvel, bstats])` adaptive rollout (make_adaptive_scan under jit
+    with donated state buffers; the breach-carry tail appears iff
+    `probe_fn` is given)."""
     run = make_adaptive_scan(
         integrator, accel_fn=accel_fn, accel_jerk_fn=accel_jerk_fn,
         softening=softening, damping=damping, eta=eta,
-        dt_min=dt_min, dt_max=dt_max, steps=steps)
+        dt_min=dt_min, dt_max=dt_max, steps=steps, probe_fn=probe_fn)
     return jax.jit(run, donate_argnums=(0, 1))

@@ -456,84 +456,31 @@ def nbody_step_p3m(pos, vel, dt, softening, damping, *, grid: int = 64,
     return new_pos, new_vel, overflow
 
 
-def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
-                          chunk: int = 2048, axis: str = "bodies",
-                          integrator: str = "euler",
-                          assignment: str = "cic",
-                          fft: str = "replicated",
-                          short_range: str = "xla",
-                          pair_budget: int | None = None,
-                          influence: str = "optimal",
-                          interpret: bool = False):
-    """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
-    (pos, vel), pos/vel sharded P(axis, None).
-
-    Multi-chip structure (TPU-first — no halo bookkeeping):
-
-    * **long-range**: exactly the sharded-PM shape — each chip deposits its
-      body shard locally, ONE ``psum`` of the G^3 density grid over ICI,
-      a redundant (cheap) per-chip FFT solve with the smoothed kernel, and
-      a local gather for its own shard.
-    * **short-range**: the shards ``all_gather`` positions (N·16 B — the
-      same collective the exact allgather strategy pays), every chip sorts
-      the full set into cells REDUNDANTLY (one O(N log N) XLA sort, a few
-      ms — far cheaper than exchanging halo cells and rebalancing), then
-      computes only ITS 1/D subset of the cells — assigned round-robin
-      (cells d, d+D, d+2D, …), so the occupancy-adaptive worklist's
-      per-cell cost variation (i-subtiles + j-classes scale with LOCAL
-      occupancy) spreads statistically instead of concentrating a dense
-      core's cells on one chip. One ``psum`` of the (N, 3) short-range
-      accelerations (each sorted row is written by exactly one chip)
-      completes the field, and each chip keeps its body rows.
-
-    Per-step ICI traffic: N·16 B gather + N·12 B psum + G^3·4 B psum
-    (~29 MB at N=1M, G=64) — comparable to the exact allgather strategy.
-
-    ``fft="slab"`` switches the long-range solve to the distributed-FFT
-    x-slab pipeline (see make_sharded_pm_step / _solve_force_grids_slab):
-    the padded (2G)^3 grid is never materialized on any single chip, so
-    the mesh resolution scales past one chip's HBM (needs ndev | 2*grid).
-
-    Overflow is NOT returned (shard_map outputs are the stepped state);
-    callers must validate `capacity` against their initial state with
-    ``p3m_overflow_count`` / ``p3m_max_occupancy`` — BodySystem does this
-    at every state-set.
-    """
-    from jax.sharding import PartitionSpec as P
-
-    from nbody_tpu.ops.reference import integrate, nbody_step_leapfrog
-
-    if integrator not in ("euler", "leapfrog"):
-        raise ValueError(f"unknown integrator {integrator!r}")
-    if fft not in ("replicated", "slab"):
-        raise ValueError(f"unknown fft {fft!r}")
-    if short_range not in ("xla", "pallas"):
-        raise ValueError(f"unknown short_range {short_range!r}")
-    if influence not in ("naive", "optimal"):
-        raise ValueError(f"unknown influence {influence!r}")
+def _p3m_accel_local_factory(*, axis: str, ndev: int, grid: int,
+                             capacity: int, chunk: int, assignment: str,
+                             fft: str, short_range: str,
+                             pair_budget: int | None, influence: str,
+                             interpret: bool):
+    """Shared shard_map-local P3M force evaluation: `accel_local(pos_sh,
+    soft) -> (nloc, 3)` — the long-range (replicated or slab FFT) +
+    short-range (round-robin cells or block-sparse Pallas chunk range)
+    decomposition documented on make_sharded_p3m_step, factored so the
+    fixed-dt sharded step and the sharded adaptive rollout drive ONE
+    force implementation."""
     deconv = "optimal" if influence == "optimal" else True
-    ndev = mesh.shape[axis]
-    if short_range == "pallas":
-        if pair_budget is None:
-            raise ValueError(
-                "short_range='pallas' needs pair_budget (probe with "
-                "p3m_pair_count at blk=p3m_kernel_blk(capacity))")
-        from nbody_tpu.ops.p3m_kernel import PAIR_CHUNK
-
-        # pad so every device runs the same static chunk count
-        pair_budget = -(-pair_budget // (PAIR_CHUNK * ndev)) * (
-            PAIR_CHUNK * ndev)
-        nchunk_dev = pair_budget // PAIR_CHUNK // ndev
-    if fft == "slab" and (2 * grid) % ndev:
-        raise ValueError(
-            f"fft='slab' needs the device count ({ndev}) to divide the "
-            f"padded grid 2*{grid}")
     assign, wexp = ASSIGNMENTS[assignment]
     comp, _ = ASSIGNMENT_COMPONENTS[assignment]
     gc = _cell_grid_size(grid)
     ncell = gc * gc * gc
     ncell_loc = -(-ncell // ndev)       # cells per chip (static)
     ncell_pad = ncell_loc * ndev
+    if short_range == "pallas":
+        from nbody_tpu.ops.p3m_kernel import PAIR_CHUNK
+
+        # pad so every device runs the same static chunk count
+        pair_budget = -(-pair_budget // (PAIR_CHUNK * ndev)) * (
+            PAIR_CHUNK * ndev)
+        nchunk_dev = pair_budget // PAIR_CHUNK // ndev
 
     def accel_local(pos_sh, soft):
         f32 = jnp.float32
@@ -634,6 +581,112 @@ def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
         acc_sr_local = jax.lax.dynamic_slice_in_dim(
             acc_sr, (d * nloc).astype(jnp.int32), nloc, axis=0)
         return acc_lr + acc_sr_local
+
+    return accel_local
+
+
+def make_sharded_p3m_accel(mesh, *, grid: int = 64, capacity: int = 128,
+                           chunk: int = 2048, axis: str = "bodies",
+                           assignment: str = "cic", fft: str = "replicated",
+                           short_range: str = "xla",
+                           pair_budget: int | None = None,
+                           influence: str = "optimal",
+                           interpret: bool = False):
+    """Jitted sharded P3M force evaluation: `(pos4 sharded P(axis, None),
+    soft) -> (N, 3)` with the same sharding — the building block for the
+    sharded adaptive rollout's jit-level scan (see make_sharded_pm_accel)."""
+    from jax.sharding import PartitionSpec as P
+
+    if fft not in ("replicated", "slab"):
+        raise ValueError(f"unknown fft {fft!r}")
+    if short_range not in ("xla", "pallas"):
+        raise ValueError(f"unknown short_range {short_range!r}")
+    if short_range == "pallas" and pair_budget is None:
+        raise ValueError(
+            "short_range='pallas' needs pair_budget (probe with "
+            "p3m_pair_count at blk=p3m_kernel_blk(capacity))")
+    ndev = mesh.shape[axis]
+    if fft == "slab" and (2 * grid) % ndev:
+        raise ValueError(
+            f"fft='slab' needs the device count ({ndev}) to divide the "
+            f"padded grid 2*{grid}")
+    accel_local = _p3m_accel_local_factory(
+        axis=axis, ndev=ndev, grid=grid, capacity=capacity, chunk=chunk,
+        assignment=assignment, fft=fft, short_range=short_range,
+        pair_budget=pair_budget, influence=influence, interpret=interpret)
+    return jax.shard_map(
+        accel_local, mesh=mesh, in_specs=(P(axis, None), P()),
+        out_specs=P(axis, None), check_vma=False)
+
+
+def make_sharded_p3m_step(mesh, *, grid: int = 64, capacity: int = 128,
+                          chunk: int = 2048, axis: str = "bodies",
+                          integrator: str = "euler",
+                          assignment: str = "cic",
+                          fft: str = "replicated",
+                          short_range: str = "xla",
+                          pair_budget: int | None = None,
+                          influence: str = "optimal",
+                          interpret: bool = False):
+    """Body-sharded P3M step over a mesh: (pos, vel, dt, soft, damp) ->
+    (pos, vel), pos/vel sharded P(axis, None).
+
+    Multi-chip structure (TPU-first — no halo bookkeeping):
+
+    * **long-range**: exactly the sharded-PM shape — each chip deposits its
+      body shard locally, ONE ``psum`` of the G^3 density grid over ICI,
+      a redundant (cheap) per-chip FFT solve with the smoothed kernel, and
+      a local gather for its own shard.
+    * **short-range**: the shards ``all_gather`` positions (N·16 B — the
+      same collective the exact allgather strategy pays), every chip sorts
+      the full set into cells REDUNDANTLY (one O(N log N) XLA sort, a few
+      ms — far cheaper than exchanging halo cells and rebalancing), then
+      computes only ITS 1/D subset of the cells — assigned round-robin
+      (cells d, d+D, d+2D, …), so the occupancy-adaptive worklist's
+      per-cell cost variation (i-subtiles + j-classes scale with LOCAL
+      occupancy) spreads statistically instead of concentrating a dense
+      core's cells on one chip. One ``psum`` of the (N, 3) short-range
+      accelerations (each sorted row is written by exactly one chip)
+      completes the field, and each chip keeps its body rows.
+
+    Per-step ICI traffic: N·16 B gather + N·12 B psum + G^3·4 B psum
+    (~29 MB at N=1M, G=64) — comparable to the exact allgather strategy.
+
+    ``fft="slab"`` switches the long-range solve to the distributed-FFT
+    x-slab pipeline (see make_sharded_pm_step / _solve_force_grids_slab):
+    the padded (2G)^3 grid is never materialized on any single chip, so
+    the mesh resolution scales past one chip's HBM (needs ndev | 2*grid).
+
+    Overflow is NOT returned (shard_map outputs are the stepped state);
+    callers must validate `capacity` against their initial state with
+    ``p3m_overflow_count`` / ``p3m_max_occupancy`` — BodySystem does this
+    at every state-set.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.ops.reference import integrate, nbody_step_leapfrog
+
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if fft not in ("replicated", "slab"):
+        raise ValueError(f"unknown fft {fft!r}")
+    if short_range not in ("xla", "pallas"):
+        raise ValueError(f"unknown short_range {short_range!r}")
+    if influence not in ("naive", "optimal"):
+        raise ValueError(f"unknown influence {influence!r}")
+    ndev = mesh.shape[axis]
+    if short_range == "pallas" and pair_budget is None:
+        raise ValueError(
+            "short_range='pallas' needs pair_budget (probe with "
+            "p3m_pair_count at blk=p3m_kernel_blk(capacity))")
+    if fft == "slab" and (2 * grid) % ndev:
+        raise ValueError(
+            f"fft='slab' needs the device count ({ndev}) to divide the "
+            f"padded grid 2*{grid}")
+    accel_local = _p3m_accel_local_factory(
+        axis=axis, ndev=ndev, grid=grid, capacity=capacity, chunk=chunk,
+        assignment=assignment, fft=fft, short_range=short_range,
+        pair_budget=pair_budget, influence=influence, interpret=interpret)
 
     def local(pos_sh, vel_sh, dt, soft, damp):
         if integrator == "leapfrog":

@@ -529,6 +529,66 @@ def nbody_step_pm(pos, vel, dt, softening, damping, *, grid: int = 64,
     return integrate(pos, vel, a, dt, damping)
 
 
+def _pm_accel_local_factory(*, axis: str, ndev: int, grid: int,
+                            assignment: str, fft: str):
+    """Shared shard_map-local PM force evaluation: `accel_local(pos_sh)
+    -> (nloc, 3)`, used by the fixed-dt sharded step AND the sharded
+    adaptive rollout (one force decomposition, two drivers)."""
+    assign, _ = ASSIGNMENTS[assignment]
+    comp, _ = ASSIGNMENT_COMPONENTS[assignment]
+
+    def accel_local_replicated(pos_sh):
+        pos3 = pos_sh[:, :3].astype(jnp.float32)
+        mass = pos_sh[:, 3].astype(jnp.float32)
+        lo, h = _fit_box(pos3, grid, axis=axis)
+        idx, w = assign(pos3, lo, h, grid)
+        rho = jax.lax.psum(_deposit(idx, w, mass, grid), axis)
+        return _gather(_solve_force_grids(rho, h, grid), idx, w)
+
+    def accel_local_slab(pos_sh):
+        f32 = jnp.float32
+        nloc = pos_sh.shape[0]
+        pos_all = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
+        pos3 = pos_all[:, :3].astype(f32)
+        mass = pos_all[:, 3].astype(f32)
+        lo, h = _fit_box(pos3, grid)     # gathered -> identical per chip
+        ix, iy, iz, w = comp(pos3, lo, h, grid)
+        gl = 2 * grid // ndev
+        d = jax.lax.axis_index(axis)
+        x0 = (d * gl).astype(jnp.int32)
+        rho = _deposit_slab(ix, iy, iz, w, mass, grid, x0, gl)
+        grids = _solve_force_grids_slab(rho, h, grid, axis=axis, ndev=ndev)
+        acc = jax.lax.psum(
+            _gather_slab(grids, ix, iy, iz, w, x0, gl, grid), axis)
+        return jax.lax.dynamic_slice_in_dim(
+            acc, (d * nloc).astype(jnp.int32), nloc)
+
+    return accel_local_slab if fft == "slab" else accel_local_replicated
+
+
+def make_sharded_pm_accel(mesh, *, grid: int = 64, axis: str = "bodies",
+                          assignment: str = "cic", fft: str = "replicated"):
+    """Jitted sharded PM force evaluation: `(pos4 sharded P(axis, None))
+    -> (N, 3)` with the same sharding — the building block the sharded
+    ADAPTIVE rollout plugs into its jit-level scan (the dt criterion's
+    global max then reduces over the sharded array via GSPMD, exactly
+    like the p3m probed rollout's jit-level bincounts)."""
+    from jax.sharding import PartitionSpec as P
+
+    if fft not in ("replicated", "slab"):
+        raise ValueError(f"unknown fft {fft!r}")
+    ndev = mesh.shape[axis]
+    if fft == "slab" and (2 * grid) % ndev:
+        raise ValueError(
+            f"fft='slab' needs the device count ({ndev}) to divide the "
+            f"padded grid 2*{grid}")
+    accel_local = _pm_accel_local_factory(axis=axis, ndev=ndev, grid=grid,
+                                          assignment=assignment, fft=fft)
+    return jax.shard_map(
+        accel_local, mesh=mesh, in_specs=(P(axis, None),),
+        out_specs=P(axis, None), check_vma=False)
+
+
 def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
                          integrator: str = "euler",
                          assignment: str = "cic",
@@ -562,37 +622,8 @@ def make_sharded_pm_step(mesh, *, grid: int = 64, axis: str = "bodies",
             f"fft='slab' needs the device count ({ndev}) to divide the "
             f"padded grid 2*{grid}")
 
-    assign, _ = ASSIGNMENTS[assignment]
-    comp, _ = ASSIGNMENT_COMPONENTS[assignment]
-
-    def accel_local_replicated(pos_sh):
-        pos3 = pos_sh[:, :3].astype(jnp.float32)
-        mass = pos_sh[:, 3].astype(jnp.float32)
-        lo, h = _fit_box(pos3, grid, axis=axis)
-        idx, w = assign(pos3, lo, h, grid)
-        rho = jax.lax.psum(_deposit(idx, w, mass, grid), axis)
-        return _gather(_solve_force_grids(rho, h, grid), idx, w)
-
-    def accel_local_slab(pos_sh):
-        f32 = jnp.float32
-        nloc = pos_sh.shape[0]
-        pos_all = jax.lax.all_gather(pos_sh, axis, axis=0, tiled=True)
-        pos3 = pos_all[:, :3].astype(f32)
-        mass = pos_all[:, 3].astype(f32)
-        lo, h = _fit_box(pos3, grid)     # gathered -> identical per chip
-        ix, iy, iz, w = comp(pos3, lo, h, grid)
-        gl = 2 * grid // ndev
-        d = jax.lax.axis_index(axis)
-        x0 = (d * gl).astype(jnp.int32)
-        rho = _deposit_slab(ix, iy, iz, w, mass, grid, x0, gl)
-        grids = _solve_force_grids_slab(rho, h, grid, axis=axis, ndev=ndev)
-        acc = jax.lax.psum(
-            _gather_slab(grids, ix, iy, iz, w, x0, gl, grid), axis)
-        return jax.lax.dynamic_slice_in_dim(
-            acc, (d * nloc).astype(jnp.int32), nloc)
-
-    accel_local = (accel_local_slab if fft == "slab"
-                   else accel_local_replicated)
+    accel_local = _pm_accel_local_factory(axis=axis, ndev=ndev, grid=grid,
+                                          assignment=assignment, fft=fft)
 
     def local(pos_sh, vel_sh, dt, soft, damp):
         del soft  # PM's effective softening is the cell scale

@@ -275,15 +275,91 @@ def test_2d_mesh_adaptive_matches_single_device(integ):
         assert ss[k] == pytest.approx(ms[k], rel=1e-5), k
 
 
-def test_mesh_solver_and_ring_fused_rejected():
-    bs = BodySystem(512, P, backend="pm", mesh=_body_mesh(), seed=10,
-                    pm_grid=16, integrator="leapfrog")
-    with pytest.raises(ValueError, match="exact kernels"):
-        bs.update_many_adaptive(5)
+def test_ring_fused_rejected():
     bs = BodySystem(256, P, backend="pallas", mesh=_body_mesh(), seed=10,
                     strategy="ring_fused", interpret=True)
     with pytest.raises(ValueError, match="ring_fused"):
         bs.update_many_adaptive(5)
+
+
+@pytest.mark.parametrize("backend", ["pm", "p3m"])
+@pytest.mark.parametrize("integ", ["euler", "leapfrog"])
+def test_sharded_mesh_solver_adaptive_matches_single_device(backend, integ):
+    """Adaptive dt for pm/p3m over the 1-D body mesh (VERDICT r4 item
+    2): the jit-level adaptive scan over the shard_map'd force
+    decomposition tracks the single-device pm/p3m adaptive rollout.
+    The sharded force differs from single-device only in summation
+    order, so dt sequences and positions agree to fp32 tolerance."""
+    kw = dict(pm_grid=16, integrator=integ, seed=10)
+    if backend == "p3m":
+        kw["p3m_short_range"] = "xla"
+    single = BodySystem(512, P, backend=backend, **kw)
+    sharded = BodySystem(512, P, backend=backend, mesh=_body_mesh(), **kw)
+    ss = single.update_many_adaptive(10, eta=0.01)
+    ms = sharded.update_many_adaptive(10, eta=0.01)
+    np.testing.assert_allclose(single.positions, sharded.positions,
+                               atol=1e-4)
+    for k in ("t", "dt_lo", "dt_hi", "dt_last"):
+        assert ss[k] == pytest.approx(ms[k], rel=1e-4), k
+
+
+def test_adaptive_p3m_breach_carry_and_auto_refresh():
+    """The p3m contract probe rides the ADAPTIVE scan carry: a
+    collapsing shell that outgrows its cell capacity mid-rollout is
+    (a) reported at the first breached step via the warn path and
+    (b) rewound, re-sized, and resumed by p3m_auto_refresh — the
+    fixed-dt probed-rollout ladder composed with adaptive dt
+    (VERDICT r4 item 2)."""
+    import warnings
+
+    from nbody_tpu import NBodyConfig
+
+    from nbody_tpu.params import NBodyParams
+
+    # cold shell: purely radial infall concentrates the core fast
+    cold = NBodyParams(time_step=0.05, cluster_scale=0.3,
+                       velocity_scale=0.0, softening=0.05)
+
+    def collapsing(**kw):
+        bs = BodySystem(512, cold, backend="p3m", pm_grid=16,
+                        p3m_short_range="xla", seed=3,
+                        config=NBodyConfig.SHELL, **kw)
+        # shrink the contract so the collapse breaches it mid-rollout
+        bs.p3m_capacity = max(8, int(bs.p3m_capacity * 0.8))
+        return bs
+
+    # dt_min keeps the collapse progressing (the criterion alone would
+    # shrink dt ~1000x near core formation and the breach would sit
+    # beyond any reasonable test window — which is adaptive dt doing
+    # its job; the contract machinery is what is under test here)
+    window = dict(eta=0.2, dt_min=0.002, dt_max=0.05)
+
+    warn_sys = collapsing()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        warn_sys.update_many_adaptive(80, **window)
+    assert any("p3m contract broken" in str(w.message) for w in rec), \
+        "collapse must breach the shrunken contract via the warn path"
+
+    auto_sys = collapsing(p3m_auto_refresh=True)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        stats = auto_sys.update_many_adaptive(80, **window)
+    assert not any("p3m contract broken" in str(w.message) for w in rec)
+    assert stats["t"] > 0
+    # post-run contract holds for the final state
+    from nbody_tpu.ops.p3m import p3m_overflow_count
+
+    assert int(p3m_overflow_count(
+        jnp_asarray32(auto_sys.positions), grid=16,
+        capacity=auto_sys.p3m_capacity)) == 0
+    assert np.isfinite(auto_sys.positions).all()
+
+
+def jnp_asarray32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x), jnp.float32)
 
 
 # ---- Compute integration (the CLI's demo-mode surface) ----

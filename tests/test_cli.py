@@ -252,9 +252,11 @@ def test_adaptive_dt_demo(capsys):
 
 
 def test_adaptive_dt_rejects_fixed_dt_modes(capsys):
+    # (--devices N --kernel pm/p3m is no longer here: the mesh solvers
+    # got their sharded adaptive rollout in r5 — tested in
+    # tests/test_adaptive.py::test_sharded_mesh_solver_adaptive_*)
     for extra in (["--benchmark"], ["--qatest"], ["--drift-check", "10"],
                   ["--selftest"],
-                  ["--devices", "2", "--kernel", "pm"],
                   ["--devices", "2", "--strategy", "ring_fused"]):
         rc = main(["--numbodies", "512", "--kernel", "xla",
                    "--adaptive-dt", *extra])
@@ -369,6 +371,16 @@ def test_adaptive_dt_sym_strategy_demo(capsys):
     rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "pallas",
                "--no-cycle", "--adaptive-dt", "0.01", "--devices", "8",
                "--strategy", "sym", "--steps-per-frame", "2"])
+    assert rc == 0
+
+
+def test_adaptive_dt_p3m_mesh_demo(capsys):
+    """--kernel p3m --adaptive-dt --devices N: the mesh-solver adaptive
+    rollout (jit-level scan over the shard_map'd P3M force, probe
+    carried through the scan — r5 item 2)."""
+    rc = main(["--numbodies", "512", "--frames", "2", "--kernel", "p3m",
+               "--pm-grid", "16", "--no-cycle", "--adaptive-dt", "0.01",
+               "--devices", "8", "--steps-per-frame", "2"])
     assert rc == 0
 
 

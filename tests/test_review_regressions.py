@@ -225,7 +225,13 @@ def _scan_lengths_with_ppermute(jaxpr):
 
     def walk(jx):
         for eqn in jx.eqns:
-            sub = [v for v in eqn.params.values()
+            # params may hold jaxpr-likes directly OR inside tuples/lists
+            # (e.g. cond's 'branches') — walk both so a scan nested in a
+            # future cond cannot slip past the assertion (advisor r4)
+            flat = []
+            for v in eqn.params.values():
+                flat.extend(v if isinstance(v, (tuple, list)) else (v,))
+            sub = [v for v in flat
                    if hasattr(v, "jaxpr") or hasattr(v, "eqns")]
             if eqn.primitive.name == "scan":
                 body = eqn.params["jaxpr"].jaxpr
@@ -294,3 +300,28 @@ def test_ds_system_ignores_strategy_without_mesh():
         with pytest.raises(ValueError, match="strategy"):
             DSBodySystem(128, NBodyParams(), mesh=make_mesh(8),
                          strategy="sym", interpret=True)
+
+
+def test_explicit_wide_tile_keeps_full_sym_cap(monkeypatch):
+    """An explicit tile_j too wide for the half-cap blocked composition
+    keeps the FULL triangle cap (the blocked path silently clamps its
+    j-stream to <= cap/2, which would reshape an explicitly requested
+    tile — advisor r4): the dispatch falls back to the single triangle,
+    where user tiles are honored as given."""
+    import nbody_tpu.ops.symmetric_kernel as symk
+    from nbody_tpu.models.body_system import BodySystem
+
+    monkeypatch.setattr(symk, "SYM_MAX_N", 512)
+    monkeypatch.setattr(symk, "DEFAULT_TILE_J_SYM", 128)
+
+    # default tiles in the half-cap window: the blocked composition
+    bs = BodySystem(384, NBodyParams(), backend="pallas", variant="sym",
+                    interpret=True, seed=1)
+    cap, _ = bs._sym_dispatch()
+    assert cap == 256
+
+    # explicit tile_j wider than cap/2: full triangle cap instead
+    bs = BodySystem(384, NBodyParams(), backend="pallas", variant="sym",
+                    interpret=True, seed=1, tile_j=256)
+    cap, _ = bs._sym_dispatch()
+    assert cap == 512
