@@ -356,7 +356,8 @@ from nbody_tpu.ops.p3m_kernel import p3m_kernel_blk  # noqa: E402,F401
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "capacity", "chunk", "assignment",
-                     "short_range", "pair_budget", "influence", "interpret"),
+                     "short_range", "pair_budget", "influence", "blk",
+                     "interpret"),
 )
 def p3m_accel(pos, softening, *, grid: int = 64, capacity: int = 128,
               chunk: int = 2048, assignment: str = "cic",

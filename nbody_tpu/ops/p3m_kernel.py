@@ -102,21 +102,35 @@ def _cells_and_neighbors(pos3, lo, rcut, gc: int):
 
 
 def p3m_kernel_blk(capacity: int) -> int:
-    """Pair-tile edge for the Pallas short-range: 256 amortizes DMA issue
-    overhead once cells span multiple blocks (measured at N=1M/cap=1000:
-    888/661/769 ms for blk 128/256/512); 128 avoids padding waste for
-    small-capacity states. Probe (p3m_pair_count) and engine
-    (p3m_short_range_pallas / p3m_accel) both default blk through this, so
-    a budget sized by the probe can never be measured against a different
-    tile count than the engine runs.
+    """Pair-tile edge for the Pallas short-range. Probe (p3m_pair_count)
+    and engine (p3m_short_range_pallas / p3m_accel) both default blk
+    through this, so a budget sized by the probe can never be measured
+    against a different tile count than the engine runs.
 
     An autotuner winner (``nbody-tune --family p3m``, cached per
     CAPACITY bucket) overrides the compile-time heuristic — and because
     every probe and engine resolves blk HERE, the override keeps them
-    consistent by construction."""
+    consistent by construction.
+
+    The compile-time fallback ladder freezes the r5 on-chip sweep
+    (scripts/tpu_r5_p3m_tune.py, SHELL at grid=64, G interactions/s for
+    blk 128/256/512 per capacity bucket):
+
+        cap bucket  128:  13.7 /  9.1 /  4.0   -> 128
+        cap bucket  512:  90.4 / 90.8 / 50.4   -> 256
+        cap bucket 2048: 256.8 / 350.4 / 321.8 -> 256
+        cap bucket 8192: 414.4 / 729.7 / 817.3 -> 512
+
+    Wider tiles amortize DMA issue once cells span many blocks but pad
+    small cells to waste; the crossovers sit near cap 192 and cap 4096
+    (geometric midpoint of the measured 2048->256 / 8192->512 flip).
+    This supersedes the r4 hand note (N=1M/cap=1000: 888/661/769 ms for
+    128/256/512), which the bucket-2048 row reproduces."""
     tuned = _tuned_blk(int(capacity))
     if tuned is not None:
         return tuned
+    if capacity > 4096:
+        return 512
     return 256 if capacity > 192 else 128
 
 

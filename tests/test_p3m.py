@@ -664,3 +664,21 @@ def test_pm_influence_options_run():
         assert np.isfinite(np.asarray(acc)).all()
     with pytest.raises(ValueError):
         pm_accel(p4, grid=16, influence="bogus")
+
+
+def test_p3m_accel_explicit_blk_is_static(cloud):
+    """An EXPLICIT blk must reach the Pallas short-range as a static
+    (the tuner passes candidate blks directly; blk missing from
+    p3m_accel's static_argnames turned it into a tracer and broke every
+    on-chip `nbody-tune --family p3m` candidate — r5)."""
+    from nbody_tpu.ops.p3m_kernel import p3m_pair_count
+
+    pos, _ = cloud
+    a_def, ovf = p3m_accel(pos, SOFT, grid=32, capacity=64)
+    pc = int(p3m_pair_count(pos, grid=32, capacity=64, blk=128))
+    a_blk, ovf_b = p3m_accel(pos, SOFT, grid=32, capacity=64,
+                             short_range="pallas", pair_budget=pc + 8,
+                             blk=128, interpret=True)
+    assert int(ovf) == int(ovf_b) == 0
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_def),
+                               rtol=1e-4, atol=2e-4)

@@ -74,9 +74,11 @@ def test_p3m_kernel_blk_consumes_tuned_winner(tmp_path):
     p3m_kernel._tuned_blk.cache_clear()
     try:
         assert p3m_kernel.p3m_kernel_blk(1000) == 512
-        # un-tuned capacity bucket falls back to the heuristic
+        # un-tuned capacity buckets fall back to the heuristic ladder
+        # frozen from the r5 on-chip sweep (scripts/tpu_r5_p3m_tune.py)
         assert p3m_kernel.p3m_kernel_blk(128) == 128
         assert p3m_kernel.p3m_kernel_blk(200) == 256
+        assert p3m_kernel.p3m_kernel_blk(6680) == 512
     finally:
         p3m_kernel._tuned_blk.cache_clear()
 
