@@ -135,8 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dt-min", type=float, default=None,
                    help="adaptive dt floor (default: dt_max/1024)")
     p.add_argument("--dt-max", type=float, default=None,
-                   help="adaptive dt ceiling (default: the preset's "
-                        "time_step)")
+                   help="adaptive/block dt ceiling (default: the "
+                        "preset's time_step)")
+    p.add_argument("--block-dt", nargs="?", const=0.025, type=float,
+                   default=None, metavar="ETA", dest="block_dt",
+                   help="PER-BODY block timesteps (demo mode): each "
+                        "body integrates at the largest power-of-two "
+                        "rung dt_max/2^k not exceeding its own "
+                        "eta*sqrt(softening/|a_i|) (KDK leapfrog, "
+                        "exact kernels, single device). Optional value "
+                        "is eta (default 0.025)")
+    p.add_argument("--block-classes", type=int, default=4, metavar="K",
+                   help="block-dt ladder depth: K power-of-two rungs "
+                        "(default 4; deepest rung is dt_max/2^(K-1))")
     p.add_argument("--seed", type=int, default=42, help="initial-condition RNG seed")
     p.add_argument("--config",
                    choices=["shell", "random", "expand", "plummer", "galaxy"],
@@ -517,10 +528,58 @@ def _main(argv=None) -> int:
             print(f"error: --dt-min {args.dt_min} exceeds --dt-max "
                   f"{args.dt_max}", file=sys.stderr)
             return 1
-    elif args.dt_min is not None or args.dt_max is not None:
-        print("error: --dt-min/--dt-max only apply with --adaptive-dt",
-              file=sys.stderr)
+    elif args.dt_min is not None or (args.dt_max is not None
+                                     and args.block_dt is None):
+        print("error: --dt-min applies with --adaptive-dt; --dt-max "
+              "with --adaptive-dt or --block-dt", file=sys.stderr)
         return 1
+
+    if args.block_dt is not None:
+        if args.adaptive_dt is not None:
+            print("error: --block-dt and --adaptive-dt are exclusive "
+                  "(per-body ladder vs one global dt)", file=sys.stderr)
+            return 1
+        for name, on in (("--benchmark", args.benchmark),
+                         ("--compare/--qatest", args.compare or args.qatest),
+                         ("--drift-check", args.drift_check is not None),
+                         ("--selftest", args.selftest)):
+            if on:
+                print(f"error: --block-dt is a demo-mode integrator "
+                      f"option; {name} measures the fixed-dt path",
+                      file=sys.stderr)
+                return 1
+        if args.devices is not None and args.devices > 1:
+            print("error: --block-dt is single-device in this release "
+                  "(the sharded class-sorted composition is the "
+                  "documented follow-up); drop --devices",
+                  file=sys.stderr)
+            return 1
+        if args.kernel in ("pm", "p3m"):
+            print("error: --block-dt drives the exact kernels; pm/p3m "
+                  "take --adaptive-dt (per-body ladders below the mesh "
+                  "force's cell-scale error floor are meaningless)",
+                  file=sys.stderr)
+            return 1
+        if args.integrator == "hermite":
+            print("error: --block-dt integrates KDK leapfrog per class "
+                  "(no hermite block form); use --adaptive-dt for "
+                  "hermite", file=sys.stderr)
+            return 1
+        if args.precision == "ds":
+            print("error: --block-dt is an fp32 exact-kernel path; "
+                  "--precision ds takes --adaptive-dt", file=sys.stderr)
+            return 1
+        if args.block_dt <= 0:
+            print("error: --block-dt eta must be > 0", file=sys.stderr)
+            return 1
+        if not 1 <= args.block_classes <= 16:
+            print(f"error: --block-classes must be in [1, 16] (got "
+                  f"{args.block_classes})", file=sys.stderr)
+            return 1
+        if args.dt_max is not None and args.dt_max <= 0:
+            print(f"error: --dt-max must be > 0 (got {args.dt_max})",
+                  file=sys.stderr)
+            return 1
 
     mesh = None
     if args.mesh_rows is not None and (args.devices is None
@@ -683,6 +742,11 @@ def _main(argv=None) -> int:
                   f"--dt-max)", file=sys.stderr)
             return 1
         compute.set_adaptive(args.adaptive_dt, args.dt_min, args.dt_max)
+    if args.block_dt is not None:
+        if args.integrator == "euler":
+            print("note: --block-dt integrates KDK leapfrog (per-class "
+                  "kicks have no semi-implicit Euler form)")
+        compute.set_block(args.block_dt, args.dt_max, args.block_classes)
     n = compute.num_bodies
     dev = jax.devices()[0]
     print(f"nbody_tpu: {n} bodies on {dev.platform}:{dev.device_kind} "
@@ -946,6 +1010,12 @@ def _run_demo(compute, args) -> int:
                 st = compute.adaptive_stats
                 adaptive_note = (f" | dt={st['dt_last']:.3e} "
                                  f"t={st['t']:.4f}")
+            elif compute.block_stats is not None:
+                st = compute.block_stats
+                frac = st["rows"] / max(st["global_rows"], 1.0)
+                adaptive_note = (f" | rows={100.0 * frac:.0f}% of "
+                                 f"global k_max={st['k_max']} "
+                                 f"t={st['t']:.4f}")
             report = (
                 f"[demo {compute.active_demo}] frame {frames_done}/{args.frames} | "
                 f"{compute.fps:.1f} fps | {compute.interactions_per_second:.2f} "
@@ -972,6 +1042,11 @@ def _run_demo(compute, args) -> int:
                 if compute.adaptive_stats is not None:
                     record["dt_last"] = compute.adaptive_stats["dt_last"]
                     record["sim_t"] = compute.adaptive_stats["t"]
+                elif compute.block_stats is not None:
+                    record["sim_t"] = compute.block_stats["t"]
+                    record["eval_rows"] = compute.block_stats["rows"]
+                    record["global_rows"] = compute.block_stats["global_rows"]
+                    record["k_max"] = compute.block_stats["k_max"]
                 with open(args.metrics, "a") as f:
                     f.write(json.dumps(record) + "\n")
             last_report = now

@@ -112,6 +112,8 @@ class Compute:
         self._tipsy_state = tipsy_state
         self.adaptive = None        # {"eta", "dt_min", "dt_max"} when on
         self.adaptive_stats = None  # accumulated {"t", "dt_last", ...}
+        self.block = None           # {"eta", "dt_max", "n_classes"} when on
+        self.block_stats = None     # accumulated {"t", "rows", ...}
         # simulation steps taken through update_simulation (checkpoint
         # metadata); a resumed run seeds this with the loaded step counter
         self.steps_taken = 0
@@ -226,7 +228,9 @@ class Compute:
         if self.cycle_demo and time.monotonic() - self._demo_reset_time > DEMO_TIME_S:
             self.next_demo(camera)
         if not self.paused:
-            if self.adaptive is not None:
+            if self.block is not None:
+                self.step_block(steps)
+            elif self.adaptive is not None:
                 self.step_adaptive(steps)
             elif steps == 1:
                 self.system.update(self.active_params.time_step)
@@ -242,6 +246,32 @@ class Compute:
         time_step across demo cycles."""
         self.adaptive = {"eta": eta, "dt_min": dt_min, "dt_max": dt_max}
         self.adaptive_stats = None
+
+    def set_block(self, eta: float, dt_max: Optional[float] = None,
+                  n_classes: int = 4) -> None:
+        """Switch frame stepping to PER-BODY block timesteps
+        (BodySystem.update_many_block): each frame's `steps` become
+        macro steps of dt_max (None = the active preset's time_step,
+        tracking demo cycles), so a frame spans the same simulated time
+        as the fixed-dt demo while tight bodies sub-cycle on the
+        power-of-two ladder."""
+        self.block = {"eta": eta, "dt_max": dt_max, "n_classes": n_classes}
+        self.block_stats = None
+        self._block_rows_reported = 0.0
+
+    def step_block(self, steps: int) -> None:
+        """Advance `steps` block macro steps; accumulate the eval-row
+        accounting (rows vs the global-dt bill) for reporting."""
+        st = self.system.update_many_block(steps, **self.block)
+        acc = self.block_stats
+        if acc is None:
+            self.block_stats = st
+        else:
+            acc["t"] += st["t"]
+            acc["rows"] += st["rows"]
+            acc["global_rows"] += st["global_rows"]
+            acc["k_max"] = max(acc["k_max"], st["k_max"])
+            acc["macro_steps"] += st["macro_steps"]
 
     def step_adaptive(self, steps: int) -> None:
         """Advance `steps` adaptive steps and fold the rollout stats into
@@ -298,6 +328,19 @@ class Compute:
     def calculate_fps(self, frame_count: int, milliseconds: float,
                       *, steps_per_frame: int = 1) -> None:
         self.fps = frame_count * 1000.0 / max(milliseconds, 1e-9)
+        if self.block_stats is not None:
+            # block mode: the N^2-per-step formula would report the
+            # EQUIVALENT fixed-dt work; charge the rows the ladder
+            # actually computed instead (each i-row is N interactions)
+            rows = self.block_stats["rows"]
+            d_rows = rows - self._block_rows_reported
+            self._block_rows_reported = rows
+            secs = max(milliseconds / 1000.0, 1e-9)
+            self.interactions_per_second = (
+                d_rows * float(self.num_bodies) * 1e-9 / secs)
+            self.g_flops = (self.interactions_per_second
+                            * flops_per_interaction(self.fp64_enabled))
+            return
         # perf formulas are per simulation STEP, not per frame
         self.compute_perf_stats(self.fps * steps_per_frame)
 

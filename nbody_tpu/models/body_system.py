@@ -1223,6 +1223,118 @@ class BodySystem:
             dt_min=dt_min, dt_max=dt_max, steps=steps, probe_fn=probe)
         return jax.jit(run, donate_argnums=(0, 1))
 
+    def update_many_block(self, macro_steps: int, *, eta: float = 0.025,
+                          dt_max: Optional[float] = None,
+                          n_classes: int = 4) -> dict:
+        """Advance `macro_steps` macro steps of dt_max with PER-BODY
+        block timesteps on a power-of-two ladder (ops/block_timestep.py
+        — the collisional-dynamics standard the global adaptive path's
+        docstring named as its follow-up). Each body integrates at the
+        largest rung dt_max/2^k not exceeding its own criterion dt, so
+        a collapsing core no longer drags every halo body down to the
+        global minimum: force work per macro step is the sum of active
+        prefix rows instead of 2^(K-1) * N.
+
+        Same criterion family as update_many_adaptive (KDK leapfrog,
+        eta*sqrt(softening/|a_i|), per body instead of globally
+        reduced). dt_max defaults to params.time_step. Returns
+        {"t", "rows", "global_rows", "k_max", "macro_steps"} — rows is
+        the force-eval rows actually computed, global_rows what a
+        global dt at the deepest occupied rung would have cost over the
+        same span (the measured saving; scripts/tpu_r5_block_dt.py).
+
+        Exact kernels, single device, damping=1 only: pm/p3m force
+        error floors sit at the cell scale (their adaptive path is
+        update_many_adaptive), the sharded composition (class-sorted
+        shards over the body mesh) is the documented follow-up, and a
+        per-kick damping is not the reference's per-step multiplier
+        once bodies kick at different cadences."""
+        from nbody_tpu.utils.profiling import annotate
+
+        p = self.params
+        if self.mesh is not None:
+            raise ValueError(
+                "block timesteps are single-device in this release "
+                "(the sharded composition is the documented follow-up);"
+                " use update_many_adaptive on meshes")
+        if self.backend in ("pm", "p3m"):
+            raise ValueError(
+                "block timesteps drive the exact kernels; pm/p3m take "
+                "update_many_adaptive (per-body ladders below the mesh "
+                "force's cell-scale error floor are meaningless)")
+        if p.damping != 1.0:
+            raise ValueError(
+                "block timesteps need damping=1.0 (a per-kick damping "
+                "is not the reference's per-step multiplier once bodies"
+                " kick at different cadences)")
+        if dt_max is None:
+            dt_max = p.time_step
+        if not dt_max > 0:
+            raise ValueError(f"need dt_max > 0, got {dt_max}")
+        if not eta > 0.0:   # also rejects NaN
+            raise ValueError(f"need eta > 0, got {eta}")
+        if not 1 <= n_classes <= 16:
+            raise ValueError(f"need 1 <= n_classes <= 16, got {n_classes}")
+        host = self.placement == "host"
+        totals = {"t": 0.0, "rows": 0.0, "global_rows": 0.0, "k_max": 0,
+                  "macro_steps": macro_steps}
+        # a macro step spans 2^(K-1) substeps: bound the per-dispatch
+        # work the same way the fixed-dt segments do
+        s_count = 1 << (n_classes - 1)
+        seg_max = max(1, self._segment_steps() // s_count)
+        accel = self._accel_closure()
+        a0 = accel(jnp.asarray(self._pos) if host else self._pos,
+                   p.softening)
+        done = 0
+        while done < macro_steps:
+            seg = min(seg_max, macro_steps - done)
+            run = self._block_rollout_fn(seg, eta, dt_max, n_classes)
+            with annotate(f"nbody.block_rollout[{seg}]"):
+                if host:
+                    npos, nvel, a0, stats = run(jnp.asarray(self._pos),
+                                                jnp.asarray(self._vel), a0)
+                else:
+                    npos, nvel, a0, stats = run(self._pos, self._vel, a0)
+            self._pos = np.asarray(npos) if host else npos
+            self._vel = np.asarray(nvel) if host else nvel
+            stats = np.asarray(stats)
+            totals["t"] += float(stats[0])
+            totals["rows"] += float(stats[1])
+            totals["global_rows"] += float(stats[2])
+            totals["k_max"] = max(totals["k_max"], int(stats[3]))
+            done += seg
+        return totals
+
+    def _block_rollout_fn(self, macro_steps: int, eta: float,
+                          dt_max: float, n_classes: int):
+        """Compiled block-timestep rollout for the current backend
+        (cached like the adaptive rollouts; the pallas backend plugs
+        its one-sided i-vs-j kernel into the prefix tiles)."""
+        key = ("block", macro_steps, float(eta), float(dt_max),
+               n_classes, self.backend, float(self.params.softening))
+        cached = self._adaptive_cache.get(key)
+        if cached is not None:
+            return cached
+        from nbody_tpu.ops.block_timestep import make_block_rollout
+
+        accel_vs_fn = None
+        if self.backend == "pallas":
+            from nbody_tpu.ops.pallas_kernel import compute_accel_pallas
+
+            tile_j, interpret = self.tile_j, self.interpret
+
+            def accel_vs_fn(pi4, pj4, soft):
+                return compute_accel_pallas(pi4, pj4, soft,
+                                            tile_j=tile_j,
+                                            interpret=interpret)
+
+        run = make_block_rollout(
+            softening=self.params.softening, eta=eta, dt_max=dt_max,
+            n_classes=n_classes, macro_steps=macro_steps,
+            accel_vs_fn=accel_vs_fn)
+        self._adaptive_cache[key] = run
+        return run
+
     def block_until_ready(self) -> None:
         if self.placement != "host":
             jax.block_until_ready((self._pos, self._vel))

@@ -466,3 +466,25 @@ def test_autosave_requires_checkpoint_save(capsys):
                  "--no-cycle", "--autosave", "0", "--checkpoint-save",
                  "x.npz"]) == 1
     assert "positive frame interval" in capsys.readouterr().err
+
+
+def test_block_dt_demo(capsys):
+    """--block-dt: per-body block timesteps drive the demo loop; the
+    frame report carries the eval-row accounting (r5 item 3)."""
+    rc = main(["--numbodies", "300", "--frames", "3", "--kernel", "xla",
+               "--no-cycle", "--block-dt", "0.05", "--block-classes", "3",
+               "--steps-per-frame", "2", "--energy"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "KDK leapfrog" in out          # euler->KDK note
+    assert "of global" in out             # rows accounting in the report
+
+
+def test_block_dt_rejects_incompatible_modes(capsys):
+    for extra in (["--adaptive-dt"], ["--benchmark"], ["--qatest"],
+                  ["--selftest"], ["--devices", "2"], ["--kernel", "pm"],
+                  ["--integrator", "hermite"], ["--precision", "ds"],
+                  ["--block-classes", "0"], ["--block-classes", "17"]):
+        rc = main(["--numbodies", "256", "--block-dt", *extra])
+        assert rc == 1, extra
+        assert "error:" in capsys.readouterr().err
