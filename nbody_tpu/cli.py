@@ -261,23 +261,34 @@ def _run_ds(args) -> int:
         return 1
     mesh = None
     if args.devices is not None and args.devices > 1:
-        # same 1-D-mesh surface the ds demo path exposes: the sharded ds
-        # step (parallel/sharded.py::make_sharded_ds_step) backs the
-        # measurement modes too — the oracle comparisons read gathered
-        # host arrays either way
+        # same mesh surface the ds demo path exposes: the sharded ds
+        # step (make_sharded_ds_step, or make_sharded_ds_step_2d with
+        # --mesh-rows) backs the measurement modes too — the oracle
+        # comparisons read gathered host arrays either way
         if args.mesh_rows is not None:
-            print("error: --precision ds shards over the 1-D body mesh; "
-                  "drop --mesh-rows", file=sys.stderr)
-            return 1
-        if args.strategy not in ("auto", "allgather", "ring"):
-            print("error: the sharded ds step gathers or ring-rotates "
-                  "the hi/lo planes; use --strategy auto/allgather/ring "
-                  "(ring_fused and sym are fp32 mesh paths)",
-                  file=sys.stderr)
-            return 1
-        from nbody_tpu.parallel import make_mesh
+            if args.strategy != "auto":
+                print("error: the ds 2-D decomposition is its own "
+                      "communication pattern; leave --strategy auto",
+                      file=sys.stderr)
+                return 1
+            if args.devices % args.mesh_rows:
+                print(f"error: --mesh-rows {args.mesh_rows} does not "
+                      f"divide --devices {args.devices}", file=sys.stderr)
+                return 1
+            from nbody_tpu.parallel import make_mesh_2d
 
-        mesh = make_mesh(args.devices)
+            mesh = make_mesh_2d(args.mesh_rows,
+                                args.devices // args.mesh_rows)
+        else:
+            if args.strategy not in ("auto", "allgather", "ring"):
+                print("error: the sharded ds step gathers or ring-rotates "
+                      "the hi/lo planes; use --strategy auto/allgather/"
+                      "ring (ring_fused and sym are fp32 mesh paths)",
+                      file=sys.stderr)
+                return 1
+            from nbody_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.devices)
 
     n = args.numbodies or 16384
     params = DEMO_PARAMS[0]
@@ -460,11 +471,13 @@ def _main(argv=None) -> int:
                   f"kernels; use --kernel auto/pallas (got {args.kernel})",
                   file=sys.stderr)
             return 1
-        if args.mesh_rows is not None:
-            print("error: --precision ds shards over the 1-D body mesh; "
-                  "drop --mesh-rows", file=sys.stderr)
+        if args.mesh_rows is not None and args.strategy != "auto":
+            print("error: the ds 2-D decomposition is its own "
+                  "communication pattern (two-axis gathers + a ds "
+                  "reduce-scatter over cols); leave --strategy auto",
+                  file=sys.stderr)
             return 1
-        if (args.devices or 0) > 1:
+        if (args.devices or 0) > 1 and args.mesh_rows is None:
             if args.strategy not in ("auto", "allgather", "ring"):
                 print("error: the sharded ds step gathers or ring-"
                       "rotates the hi/lo planes; use --strategy "
@@ -1056,6 +1069,13 @@ def _run_demo(compute, args) -> int:
             live_view.close()  # restore the terminal even on an exception
 
     compute.system.block_until_ready()
+    if compute.block_stats is not None:
+        # short runs never hit the 1 Hz frame report: always close the
+        # session with the ladder's eval-row accounting
+        st = compute.block_stats
+        frac = st["rows"] / max(st["global_rows"], 1.0)
+        print(f"block-dt: rows={100.0 * frac:.0f}% of global "
+              f"k_max={st['k_max']} t={st['t']:.4f}")
     if args.energy:
         e1 = compute.system.total_energy(precise=True)
         drift = (e1 - e0) / abs(e0) if e0 else 0.0

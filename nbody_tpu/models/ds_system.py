@@ -64,12 +64,21 @@ class DSBodySystem:
         strategy: str = "auto",
     ):
         ndev = 1
+        is2d = False
         if mesh is not None:
             ndev = int(np.prod(list(mesh.shape.values())))
-            if len(mesh.axis_names) != 1:
+            if len(mesh.axis_names) not in (1, 2):
                 raise ValueError(
-                    "DSBodySystem shards over the 1-D body mesh "
-                    "(make_sharded_ds_step); 2-D meshes are fp32-only")
+                    "DSBodySystem shards over a 1-D body mesh "
+                    "(make_sharded_ds_step) or a 2-D rows×cols mesh "
+                    f"(make_sharded_ds_step_2d); got {mesh.axis_names}")
+            is2d = len(mesh.axis_names) == 2
+        if is2d and strategy != "auto":
+            raise ValueError(
+                "the ds 2-D decomposition is its own communication "
+                "pattern (two-axis gathers + a ds reduce-scatter over "
+                "cols); leave strategy at 'auto' — allgather/ring are "
+                "1-D body-mesh strategies")
         if mesh is not None and strategy not in ("auto", "allgather",
                                                  "ring"):
             # without a mesh, strategy is irrelevant and silently
@@ -88,9 +97,12 @@ class DSBodySystem:
         # O(N/D) live j-bytes matter MORE here, making the shared threshold
         # conservative for ds, never wrong)
         if mesh is not None and strategy == "auto":
-            from nbody_tpu.parallel import choose_strategy
+            if is2d:
+                strategy = "2d"
+            else:
+                from nbody_tpu.parallel import choose_strategy
 
-            strategy = choose_strategy(self.num_bodies, ndev)
+                strategy = choose_strategy(self.num_bodies, ndev)
         self.strategy = strategy if mesh is not None else "allgather"
         self.params = params
         # None = "pick for me" (compile-time default, autotuner may
@@ -177,13 +189,22 @@ class DSBodySystem:
             v64 = np.concatenate([v64, np.zeros((padn, 4), np.float64)])
         self._ph, self._pl = ds_from_f64(p64)
         self._vh, self._vl = ds_from_f64(v64)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        self._place_planes()
 
-            sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
-            self._ph, self._pl, self._vh, self._vl = (
-                jax.device_put(a, sh)
-                for a in (self._ph, self._pl, self._vh, self._vl))
+    def _place_planes(self) -> None:
+        """Shard the four hi/lo planes over the body mesh (1-D axis or
+        the joint 2-D rows×cols chunking, matching the sharded step's
+        in_specs)."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = tuple(self.mesh.axis_names)
+        ax = names[0] if len(names) == 1 else names
+        sh = NamedSharding(self.mesh, P(ax, None))
+        self._ph, self._pl, self._vh, self._vl = (
+            jax.device_put(a, sh)
+            for a in (self._ph, self._pl, self._vh, self._vl))
 
     def get_ds_state(self):
         """The raw (pos_hi, pos_lo, vel_hi, vel_lo) float32 planes as host
@@ -201,13 +222,7 @@ class DSBodySystem:
             raise ValueError(
                 f"ds planes must be (N, 4) with N={self.num_bodies}")
         self._ph, self._pl, self._vh, self._vl = planes
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0], None))
-            self._ph, self._pl, self._vh, self._vl = (
-                jax.device_put(a, sh)
-                for a in (self._ph, self._pl, self._vh, self._vl))
+        self._place_planes()
 
     @property
     def state(self):
@@ -258,14 +273,24 @@ class DSBodySystem:
     def _sharded_step_fn(self):
         """Lazily-built body-sharded ds step (one-sided kernels; the hi/lo
         planes either gather over ICI or rotate the ring per
-        self.strategy — parallel.sharded.make_sharded_ds_step)."""
+        self.strategy — parallel.sharded.make_sharded_ds_step — or, on a
+        2-D rows×cols mesh, gather along both axes with a ds
+        reduce-scatter over cols: make_sharded_ds_step_2d)."""
         if getattr(self, "_sharded_step", None) is None:
-            from nbody_tpu.parallel import make_sharded_ds_step
+            if len(self.mesh.axis_names) == 2:
+                from nbody_tpu.parallel import make_sharded_ds_step_2d
 
-            self._sharded_step = make_sharded_ds_step(
-                self.mesh, tile_i=self.tile_i, tile_j=self.tile_j,
-                interpret=self.interpret, integrator=self.integrator,
-                strategy=self.strategy)
+                self._sharded_step = make_sharded_ds_step_2d(
+                    self.mesh, axes=tuple(self.mesh.axis_names),
+                    tile_i=self.tile_i, tile_j=self.tile_j,
+                    interpret=self.interpret, integrator=self.integrator)
+            else:
+                from nbody_tpu.parallel import make_sharded_ds_step
+
+                self._sharded_step = make_sharded_ds_step(
+                    self.mesh, tile_i=self.tile_i, tile_j=self.tile_j,
+                    interpret=self.interpret, integrator=self.integrator,
+                    strategy=self.strategy)
         return self._sharded_step
 
     def _step_fn(self):
@@ -367,13 +392,17 @@ class DSBodySystem:
         the step itself stays full ds — ops/ds_kernel.py
         make_ds_adaptive_rollout). Same criterion family, [dt_min,
         dt_max] defaults, stats dict, and segmenting as
-        BodySystem.update_many_adaptive. Mesh-capable: on a body mesh
-        the rollout shards like the fixed-dt ds step (allgather hi/lo
-        planes) with ONE scalar pmax/pmin collective per step for the
-        global dt (parallel.sharded.make_sharded_ds_adaptive_rollout).
-        The adaptive decomposition is allgather regardless of
+        BodySystem.update_many_adaptive. Mesh-capable: on a 1-D body
+        mesh the rollout shards like the fixed-dt ds step (allgather
+        hi/lo planes) with ONE scalar pmax/pmin collective per step for
+        the global dt (parallel.sharded.make_sharded_ds_adaptive_rollout).
+        The 1-D adaptive decomposition is allgather regardless of
         self.strategy — the criterion kernel needs the full gathered
-        hi planes anyway, so a ring would move the same bytes twice."""
+        hi planes anyway, so a ring would move the same bytes twice.
+        On a 2-D rows×cols mesh the rollout composes the ds 2-D step's
+        gathers + ds reduce-scatter with an f32 criterion psum'd over
+        cols (make_sharded_ds_adaptive_rollout_2d; dt matches
+        single-device to f32 rounding, the step stays full ds)."""
         from nbody_tpu.ops import ds_kernel as dsk
 
         p = self.params
@@ -398,7 +427,19 @@ class DSBodySystem:
             key = (seg, eta, dt_min, dt_max, p.softening, p.damping)
             run = cache.get(key)
             if run is None:
-                if self.mesh is not None:
+                if self.mesh is not None and len(self.mesh.axis_names) == 2:
+                    from nbody_tpu.parallel import (
+                        make_sharded_ds_adaptive_rollout_2d,
+                    )
+
+                    run = make_sharded_ds_adaptive_rollout_2d(
+                        self.mesh, axes=tuple(self.mesh.axis_names),
+                        integrator=self.integrator,
+                        softening=p.softening, damping=p.damping,
+                        eta=eta, dt_min=dt_min, dt_max=dt_max,
+                        steps=seg, tile_i=self.tile_i,
+                        tile_j=self.tile_j, interpret=self.interpret)
+                elif self.mesh is not None:
                     from nbody_tpu.parallel import (
                         make_sharded_ds_adaptive_rollout,
                     )

@@ -21,7 +21,13 @@ TPU-first design decisions:
   shapes): TPU-hostile and XLA-unfriendly. A global criterion keeps
   every step a full dense all-pairs evaluation on the MXU/VPU-shaped
   tiles, trading wasted small steps for regularity. (Block steps on a
-  sorted power-of-two ladder are the pod-scale follow-up.)
+  sorted power-of-two ladder exist too — ops/block_timestep.py,
+  ``BodySystem.update_many_block`` — and the measured comparison in
+  ARCHITECTURE "Per-body block timesteps" found THIS global adaptive
+  path the wall-clock default at all measured configs: against an
+  adaptive (not floor-pinned) global dt, the ladder's row savings
+  largely vanish in globally-coupled states (0.85-1.06x rows) while
+  its substep machinery costs 1.6-4.1x wall at N=16384-65536.)
 * Criteria:
     - euler / leapfrog: dt = eta * sqrt(softening / max_i |a_i|) — the
       softening length is the smallest resolved scale, so eps/|a| is the

@@ -11,7 +11,9 @@ from nbody_tpu.parallel.sharded import (
     choose_strategy,
     make_sharded_step,
     make_sharded_ds_adaptive_rollout,
+    make_sharded_ds_adaptive_rollout_2d,
     make_sharded_ds_step,
+    make_sharded_ds_step_2d,
     make_sharded_step_2d,
 )
 from nbody_tpu.parallel.multihost import initialize_multihost, is_multihost
@@ -23,7 +25,9 @@ __all__ = [
     "choose_strategy",
     "make_sharded_step",
     "make_sharded_ds_adaptive_rollout",
+    "make_sharded_ds_adaptive_rollout_2d",
     "make_sharded_ds_step",
+    "make_sharded_ds_step_2d",
     "make_sharded_step_2d",
     "initialize_multihost",
     "is_multihost",

@@ -1236,6 +1236,184 @@ def make_sharded_ds_step(mesh: Mesh, *, axis: str = BODY_AXIS,
     return step
 
 
+def _make_ds_col_reduce_scatter(col_ax, ncols: int, col_perm, ds_add):
+    """Build the anchored-ds ring reduce-scatter over the cols axis
+    (shared by the fixed-dt and adaptive ds 2-D builders).
+
+    The returned fn takes (pairs, nloc): pairs is a list of (hi, lo)
+    planes, each (C·nloc, k) — this device's one-sided partial forces
+    for its FULL row-block i-set — and returns the list reduced to
+    (nloc, k) chunks: this device's own bodies' forces with all C
+    column partials ds-added. Chunk c's sum order is
+    P_{c+1} + ... + P_{c} around the ring — deterministic, the same
+    for every step."""
+
+    def reduce_scatter(pairs, nloc):
+        if ncols == 1:
+            return [(h, lo) for h, lo in pairs]
+        c = jax.lax.axis_index(col_ax)
+        resh = [(h.reshape(ncols, nloc, h.shape[-1]),
+                 lo.reshape(ncols, nloc, lo.shape[-1])) for h, lo in pairs]
+
+        def chunk(x, idx):
+            return jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)[0]
+
+        # device c seeds chunk (c-1)%C; at hop s it receives the ring
+        # neighbour's accumulator and ds-adds its own partial of chunk
+        # (c-s-1)%C — after C-1 hops it holds chunk c, fully reduced
+        idx0 = jnp.mod(c - 1, ncols).astype(jnp.int32)
+        acc = tuple((chunk(h, idx0), chunk(lo, idx0)) for h, lo in resh)
+
+        def hop(carry, s):
+            idx = jnp.mod(c - s - 1, ncols).astype(jnp.int32)
+            out = []
+            for (ah, al), (h, lo) in zip(carry, resh):
+                ah = jax.lax.ppermute(ah, col_ax, col_perm)
+                al = jax.lax.ppermute(al, col_ax, col_perm)
+                out.append(ds_add((ah, al), (chunk(h, idx), chunk(lo, idx))))
+            return tuple(out), None
+
+        acc, _ = jax.lax.scan(hop, acc, jnp.arange(1, ncols))
+        return list(acc)
+
+    return reduce_scatter
+
+
+def make_sharded_ds_step_2d(mesh: Mesh, *, axes: tuple = ("rows", "cols"),
+                            tile_i: int | None = None,
+                            tile_j: int | None = None,
+                            interpret: bool = False,
+                            integrator: str = "euler"):
+    """2-D (rows × cols) force decomposition at double-single (fp64-grade)
+    precision — the pod-scale ds strategy.
+
+    Same dataflow as the fp32 `make_sharded_step_2d`: bodies shard into
+    R·C chunks P(axes, None); device (r, c) all-gathers its row-block
+    i-planes over "cols" and its column-block j-planes over "rows" and
+    evaluates the (N/R × N/C) ds interaction block with the one-sided
+    accel kernels (`compute_accel_pallas_ds` / the hermite aj form) —
+    with ONE structural substitution: the fp32 path's col-axis `psum`
+    would re-round the C per-column ds partials at float32, losing
+    exactly the ~20 low bits the format exists to keep. Instead the
+    partials ride a **ring reduce-scatter over the cols axis with
+    anchored ds adds**: C-1 `ppermute` hops, each accumulating one
+    N/(R·C)-row chunk via `ds_add` (the same anchored two-sum the ds
+    ring strategy uses per hop), so device (r, c) ends holding its OWN
+    chunk's force with every partial combined at ds precision and in a
+    deterministic ring order. Reduce-scatter bytes are (C-1)/C · N/R
+    rows/device — the same order as the gathers, vs an all-reduce's 2×.
+
+    Per-device ICI traffic stays O(N/R + N/C) per plane pair (2 planes
+    euler/leapfrog, 4 hermite): at 256 chips (16×16) and fp64-grade
+    precision this moves ~2·2·16 MB per chip for N=16M where the 1-D ds
+    allgather moves 512 MB — the reason this path exists (ds pays 2-4×
+    the fp32 gather bytes, so the 2-D byte reduction matters MORE here).
+
+    Integrators: euler (accel + XLA-level ds integrate), leapfrog (each
+    chunk half-drifts ONCE at the XLA level — `ds_half_drift`, the
+    bit-identical op sequence to the fused kernel's in-kernel drift —
+    and the DRIFTED planes gather), hermite (two gather+reduce-scatter
+    rounds: start state, then the chunk-locally-predicted state; acc and
+    jerk share one reduce-scatter scan). Results differ from the 1-D
+    allgather/single-device step only by ds-level reduction order
+    (per-column partials vs one in-kernel j-sweep), like the ds ring.
+
+    Reference analogue: beyond `bodysystemcuda.cu` (single-GPU); this is
+    SURVEY §7's pod-scale mandate at the fp64-grade tier.
+    """
+    from nbody_tpu.ops.ds_kernel import (
+        DS_HERMITE_TILE_J,
+        DS_TILE_I,
+        DS_TILE_J,
+        compute_accel_jerk_pallas_ds,
+        compute_accel_pallas_ds,
+        ds_add,
+        ds_half_drift,
+        ds_leapfrog_finish,
+        hermite_assemble,
+        hermite_correct,
+        hermite_planes,
+        hermite_predict,
+    )
+    from nbody_tpu.ops.ds_kernel import (
+        _ds_integrate,  # noqa: PLC2701 — shared with the 1-D ds strategies
+    )
+
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if len(axes) != 2:
+        raise ValueError(f"need a (rows, cols) axis pair, got {axes!r}")
+    row_ax, col_ax = axes
+    ncols = int(mesh.shape[col_ax])
+    col_perm = [(d, (d + 1) % ncols) for d in range(ncols)]
+    ti = DS_TILE_I if tile_i is None else tile_i
+    tj = ((DS_HERMITE_TILE_J if integrator == "hermite" else DS_TILE_J)
+          if tile_j is None else tile_j)
+
+    def ag_cols(x):
+        return jax.lax.all_gather(x, col_ax, axis=0, tiled=True)
+
+    def ag_rows(x):
+        return jax.lax.all_gather(x, row_ax, axis=0, tiled=True)
+
+    _ds_col_reduce_scatter = _make_ds_col_reduce_scatter(
+        col_ax, ncols, col_perm, ds_add)
+
+    def _accel_2d(ph, plo, fscal, nloc):
+        iph, ipl = ag_cols(ph), ag_cols(plo)
+        jph, jpl = ag_rows(ph), ag_rows(plo)
+        ah, al = compute_accel_pallas_ds(
+            iph, ipl, jph, jpl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        (acc,) = _ds_col_reduce_scatter([(ah, al)], nloc)
+        return acc
+
+    def _aj_2d(ph, plo, vh, vlo, fscal, nloc):
+        iph, ipl, ivh, ivl = (ag_cols(x) for x in (ph, plo, vh, vlo))
+        jph, jpl, jvh, jvl = (ag_rows(x) for x in (ph, plo, vh, vlo))
+        ah, al, jkh, jkl = compute_accel_jerk_pallas_ds(
+            iph, ipl, ivh, ivl, jph, jpl, jvh, jvl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        return _ds_col_reduce_scatter([(ah, al), (jkh, jkl)], nloc)
+
+    def _hermite_step(ph, plo, vh, vlo, scal):
+        fscal = scal[:, :4]
+        nloc = ph.shape[0]
+        (a0h, a0l), (j0h, j0l) = _aj_2d(ph, plo, vh, vlo, fscal, nloc)
+        x0, v0 = hermite_planes(ph, plo), hermite_planes(vh, vlo)
+        a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
+        xp, vp = hermite_predict(x0, v0, a0, j0, scal)
+        pph, ppl = hermite_assemble(xp, ph[:, 3:4], plo[:, 3:4])
+        vph, vpl = hermite_assemble(vp, vh[:, 3:4], vlo[:, 3:4])
+        (a1h, a1l), (j1h, j1l) = _aj_2d(pph, ppl, vph, vpl, fscal, nloc)
+        a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
+        x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
+        nph, npl = hermite_assemble(x1, ph[:, 3:4], plo[:, 3:4])
+        nvh, nvl = hermite_assemble(v1, vh[:, 3:4], vlo[:, 3:4])
+        return nph, npl, nvh, nvl
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None),) * 4 + (P(),),
+        out_specs=(P(axes, None),) * 4,
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    def step(ph, plo, vh, vlo, scal):
+        nloc = ph.shape[0]
+        if integrator == "hermite":
+            return _hermite_step(ph, plo, vh, vlo, scal)
+        if integrator == "leapfrog":
+            hh, hl = ds_half_drift(ph, plo, vh, vlo, scal)
+            acc = _accel_2d(hh, hl, scal[:, :4], nloc)
+            return ds_leapfrog_finish(hh, hl, vh, vlo, acc, scal)
+        acc = _accel_2d(ph, plo, scal[:, :4], nloc)
+        return _ds_integrate(ph, plo, vh, vlo, acc, scal)
+
+    return step
+
+
 def make_sharded_ds_adaptive_rollout(
     mesh: Mesh,
     *,
@@ -1383,6 +1561,190 @@ def make_sharded_ds_adaptive_rollout(
         in_specs=(P(axis, None),) * 4,
         # stats replicate: the pmax/pmin'd dt is identical on every shard
         out_specs=(P(axis, None),) * 4 + (P(),),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2, 3))
+
+
+def make_sharded_ds_adaptive_rollout_2d(
+    mesh: Mesh,
+    *,
+    axes: tuple = ("rows", "cols"),
+    integrator: str = "euler",
+    softening,
+    damping,
+    eta: float,
+    dt_min: float,
+    dt_max: float,
+    steps: int,
+    tile_i: int | None = None,
+    tile_j: int | None = None,
+    interpret: bool = False,
+):
+    """Adaptive global timestep over the 2-D rows×cols ds decomposition:
+    (pos_hi, pos_lo, vel_hi, vel_lo) -> same four sharded planes + the
+    replicated (4,) f32 stats [t, dt_last, dt_lo, dt_hi].
+
+    Composes make_sharded_ds_step_2d's dataflow (two-axis hi/lo plane
+    gathers + the anchored ds ring reduce-scatter over cols) with the ds
+    adaptive design (criterion in f32 on the HI planes, ds step from a
+    traced-dt `ds_scal_with_dt` rebuild). Per step, each device:
+
+    1. gathers the f32 hi planes along both axes and evaluates the
+       criterion kernel on its (N/R × N/C) block; a col-axis psum
+       completes the row-block's f32 accel (and jerk for hermite) and
+       the dt reduction pmax/pmins over BOTH mesh axes — still one
+       scalar collective family per step. Unlike the 1-D ds adaptive,
+       the criterion accel is a psum of per-column partials, so the
+       chosen dt matches single-device to f32 rounding (not bitwise) —
+       the step itself stays full ds either way.
+    2. rebuilds the scal block's dt columns from the traced dt and runs
+       the same ds 2-D physics as the fixed-dt step (euler/hermite
+       reuse the criterion's hi gathers; leapfrog half-drifts each
+       chunk at the XLA level with the traced dt and gathers the
+       DRIFTED planes).
+
+    The scan stays inside ONE compiled shard_map dispatch.
+    """
+    from nbody_tpu.ops.adaptive import aarseth_timestep, accel_timestep
+    from nbody_tpu.ops.ds_kernel import (
+        DS_HERMITE_TILE_J,
+        DS_TILE_I,
+        DS_TILE_J,
+        _scal_ds,
+        _scal_ds_hermite,
+        _scal_ds_leapfrog,
+        compute_accel_jerk_pallas_ds,
+        compute_accel_pallas_ds,
+        ds_add,
+        ds_half_drift,
+        ds_leapfrog_finish,
+        ds_scal_with_dt,
+        hermite_assemble,
+        hermite_correct,
+        hermite_planes,
+        hermite_predict,
+    )
+    from nbody_tpu.ops.ds_kernel import (
+        _ds_integrate,  # noqa: PLC2701 — shared with the 1-D ds strategies
+    )
+    from nbody_tpu.ops.pallas_kernel import (
+        compute_accel_jerk_pallas,
+        compute_accel_pallas,
+    )
+
+    if integrator not in ("euler", "leapfrog", "hermite"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if not (0.0 < dt_min <= dt_max):
+        raise ValueError(f"need 0 < dt_min <= dt_max, got "
+                         f"[{dt_min}, {dt_max}]")
+    row_ax, col_ax = axes
+    ncols = int(mesh.shape[col_ax])
+    col_perm = [(d, (d + 1) % ncols) for d in range(ncols)]
+    ti = DS_TILE_I if tile_i is None else tile_i
+    tj = ((DS_HERMITE_TILE_J if integrator == "hermite" else DS_TILE_J)
+          if tile_j is None else tile_j)
+    base = {"euler": _scal_ds, "leapfrog": _scal_ds_leapfrog,
+            "hermite": _scal_ds_hermite}[integrator](0.0, softening, damping)
+    rs = _make_ds_col_reduce_scatter(col_ax, ncols, col_perm, ds_add)
+
+    def ag_cols(x):
+        return jax.lax.all_gather(x, col_ax, axis=0, tiled=True)
+
+    def ag_rows(x):
+        return jax.lax.all_gather(x, row_ax, axis=0, tiled=True)
+
+    def stats_init():
+        return jnp.asarray([0.0, 0.0, jnp.inf, 0.0], jnp.float32)
+
+    def stats_update(stats, dt):
+        return jnp.stack([stats[0] + dt, dt,
+                          jnp.minimum(stats[2], dt),
+                          jnp.maximum(stats[3], dt)])
+
+    def hermite_body(ph, plo, vh, vlo, stats):
+        nloc = ph.shape[0]
+        iph, ivh = ag_cols(ph), ag_cols(vh)
+        jph, jvh = ag_rows(ph), ag_rows(vh)
+        a_p, jk_p = compute_accel_jerk_pallas(iph, ivh, jph, jvh,
+                                              softening, interpret=interpret)
+        acc = jax.lax.psum(a_p, col_ax)
+        jerk = jax.lax.psum(jk_p, col_ax)
+        dt = aarseth_timestep(acc, jerk, eta, dt_min, dt_max,
+                              mesh_axis=axes)
+        scal = ds_scal_with_dt(base, dt, integrator="hermite")
+        fscal = scal[:, :4]
+        # round 1 reuses the criterion's hi gathers; only lo planes move
+        ipl, ivl = ag_cols(plo), ag_cols(vlo)
+        jpl, jvl = ag_rows(plo), ag_rows(vlo)
+        a0h, a0l, j0h, j0l = compute_accel_jerk_pallas_ds(
+            iph, ipl, ivh, ivl, jph, jpl, jvh, jvl, fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        (a0h, a0l), (j0h, j0l) = rs([(a0h, a0l), (j0h, j0l)], nloc)
+        x0, v0 = hermite_planes(ph, plo), hermite_planes(vh, vlo)
+        a0, j0 = hermite_planes(a0h, a0l), hermite_planes(j0h, j0l)
+        xp, vp = hermite_predict(x0, v0, a0, j0, scal)
+        pph, ppl = hermite_assemble(xp, ph[:, 3:4], plo[:, 3:4])
+        vph, vpl = hermite_assemble(vp, vh[:, 3:4], vlo[:, 3:4])
+        a1h, a1l, j1h, j1l = compute_accel_jerk_pallas_ds(
+            ag_cols(pph), ag_cols(ppl), ag_cols(vph), ag_cols(vpl),
+            ag_rows(pph), ag_rows(ppl), ag_rows(vph), ag_rows(vpl), fscal,
+            tile_i=ti, tile_j=tj, interpret=interpret)
+        (a1h, a1l), (j1h, j1l) = rs([(a1h, a1l), (j1h, j1l)], nloc)
+        a1, j1 = hermite_planes(a1h, a1l), hermite_planes(j1h, j1l)
+        x1, v1 = hermite_correct(x0, v0, a0, j0, a1, j1, scal)
+        nph, npl = hermite_assemble(x1, ph[:, 3:4], plo[:, 3:4])
+        nvh, nvl = hermite_assemble(v1, vh[:, 3:4], vlo[:, 3:4])
+        return nph, npl, nvh, nvl, stats_update(stats, dt)
+
+    def euler_leapfrog_body(ph, plo, vh, vlo, stats):
+        nloc = ph.shape[0]
+        iph, jph = ag_cols(ph), ag_rows(ph)
+        a_p = compute_accel_pallas(iph, jph, softening,
+                                   interpret=interpret)
+        acc_f32 = jax.lax.psum(a_p, col_ax)
+        dt = accel_timestep(acc_f32, softening, eta, dt_min, dt_max,
+                            mesh_axis=axes)
+        scal = ds_scal_with_dt(base, dt, integrator=integrator)
+        fscal = scal[:, :4]
+        if integrator == "leapfrog":
+            # forces act at the half-drifted positions: drift each chunk
+            # once at the XLA level, gather the DRIFTED planes (the
+            # criterion's start-state gathers are not reusable here)
+            hh, hl = ds_half_drift(ph, plo, vh, vlo, scal)
+            ah, al = compute_accel_pallas_ds(
+                ag_cols(hh), ag_cols(hl), ag_rows(hh), ag_rows(hl),
+                fscal, tile_i=ti, tile_j=tj, interpret=interpret)
+            (acc,) = rs([(ah, al)], nloc)
+            out = ds_leapfrog_finish(hh, hl, vh, vlo, acc, scal)
+        else:
+            ipl, jpl = ag_cols(plo), ag_rows(plo)
+            ah, al = compute_accel_pallas_ds(
+                iph, ipl, jph, jpl, fscal,
+                tile_i=ti, tile_j=tj, interpret=interpret)
+            (acc,) = rs([(ah, al)], nloc)
+            out = _ds_integrate(ph, plo, vh, vlo, acc, scal)
+        return (*out, stats_update(stats, dt))
+
+    body_fn = (hermite_body if integrator == "hermite"
+               else euler_leapfrog_body)
+
+    def local(ph, plo, vh, vlo):
+        def body(state, _):
+            return body_fn(*state), None
+
+        init = (ph, plo, vh, vlo, stats_init())
+        (ph, plo, vh, vlo, stats), _ = jax.lax.scan(body, init, None,
+                                                    length=steps)
+        return ph, plo, vh, vlo, stats
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None),) * 4,
+        # stats replicate: the two-axis pmax/pmin'd dt is identical on
+        # every chunk
+        out_specs=(P(axes, None),) * 4 + (P(),),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1, 2, 3))

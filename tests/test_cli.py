@@ -341,11 +341,34 @@ def test_precision_ds_mesh_adaptive_demo(capsys):
     assert "8-device" in capsys.readouterr().out
 
 
+def test_precision_ds_2d_mesh_demo(capsys):
+    """--precision ds --devices N --mesh-rows R: the 2-D rows×cols ds
+    decomposition (plane gathers along both axes + the anchored ds
+    reduce-scatter over cols) through the full CLI demo path (r5
+    item 5)."""
+    rc = main(["--precision", "ds", "--numbodies", "256", "--frames", "1",
+               "--no-cycle", "--devices", "8", "--mesh-rows", "2"])
+    assert rc == 0
+    assert "2x4 2-D mesh" in capsys.readouterr().out
+
+
+def test_precision_ds_2d_mesh_adaptive_demo(capsys):
+    """--precision ds --devices N --mesh-rows R --adaptive-dt: the 2-D
+    ds ADAPTIVE rollout (f32 criterion psum'd over cols, ds step from
+    the traced-dt scal rebuild) through the full CLI demo path."""
+    rc = main(["--precision", "ds", "--numbodies", "128", "--frames", "2",
+               "--no-cycle", "--devices", "8", "--mesh-rows", "2",
+               "--adaptive-dt", "0.02"])
+    assert rc == 0
+    assert "2x4 2-D mesh" in capsys.readouterr().out
+
+
 def test_precision_ds_demo_gates(capsys):
     for argv, frag in (
         (["--hostmem"], "device"),
         (["--kernel", "pm"], "auto/pallas"),
-        (["--devices", "4", "--mesh-rows", "2"], "1-D body mesh"),
+        (["--devices", "4", "--mesh-rows", "2", "--strategy", "ring"],
+         "leave --strategy auto"),
         (["--devices", "2", "--strategy", "ring_fused"], "allgather/ring"),
         (["--variant", "mxu"], "auto/sym"),
         (["--selftest"], "fp32/fp64"),

@@ -320,6 +320,128 @@ def test_sharded_ds_ring_matches_single_device(state64, integrator):
         make_sharded_ds_step(mesh, strategy="ring_fused")
 
 
+@pytest.mark.parametrize("integrator", [
+    "euler", "leapfrog",
+    # two gather+reduce-scatter rounds per step: slow-tier like the
+    # hermite ring (euler/leapfrog keep the 2-D ds dataflow covered)
+    pytest.param("hermite", marks=pytest.mark.slow)])
+def test_sharded_ds_2d_matches_single_device(state64, integrator):
+    """The 2-D rows×cols ds decomposition (two-axis plane gathers + the
+    anchored ds ring reduce-scatter over cols) == the single-device ds
+    step. Differences are ds-level reduction order only — per-column
+    partials combined around the cols ring vs one in-kernel j-sweep
+    (parallel/sharded.py::make_sharded_ds_step_2d)."""
+    import jax
+
+    from nbody_tpu.ops.ds_kernel import (
+        _scal_ds,
+        _scal_ds_hermite,
+        _scal_ds_leapfrog,
+        nbody_step_pallas_ds,
+        nbody_step_pallas_ds_hermite,
+        nbody_step_pallas_ds_leapfrog,
+    )
+    from nbody_tpu.parallel import make_mesh_2d, make_sharded_ds_step_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    ph, plo = ds_from_f64(p64)
+    vh, vlo = ds_from_f64(v64)
+    scal, single = {
+        "euler": (_scal_ds, nbody_step_pallas_ds),
+        "leapfrog": (_scal_ds_leapfrog, nbody_step_pallas_ds_leapfrog),
+        "hermite": (_scal_ds_hermite, nbody_step_pallas_ds_hermite),
+    }[integrator]
+    scal = scal(DT, SOFT, DAMP)
+    ref = single(ph, plo, vh, vlo, scal, tile_j=512, interpret=True)
+
+    mesh = make_mesh_2d(2, 4)
+    step = make_sharded_ds_step_2d(mesh, tile_j=512, interpret=True,
+                                   integrator=integrator)
+    out = step(ph, plo, vh, vlo, scal)
+    for got, want in zip(out, ref):
+        # ring-order ds partial combination vs one in-kernel sweep +
+        # the CPU-jit FMA-contraction caveat — fp64-grade either way
+        # (f32 would be ~1e-5 here)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-9
+
+
+def test_ds_system_2d_mesh(state64):
+    """DSBodySystem on a 2-D mesh: strategy resolves to '2d', planes
+    shard P(('rows','cols'), None), update_many matches the
+    single-device ds rollout at ds tolerance; allgather/ring and
+    adaptive rollouts are rejected with instructive errors."""
+    import jax
+
+    from nbody_tpu.models import DSBodySystem
+    from nbody_tpu.params import NBodyParams
+    from nbody_tpu.parallel import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    prm = NBodyParams(time_step=DT, cluster_scale=1.68,
+                      velocity_scale=2.98, softening=SOFT, damping=DAMP)
+    mesh = make_mesh_2d(4, 2)
+    s = DSBodySystem(512, prm, mesh=mesh, tile_j=512,
+                     state=(p64, v64))
+    assert s.strategy == "2d"
+    ref = DSBodySystem(512, prm, tile_j=512, variant="one_sided",
+                       state=(p64, v64))
+    s.update_many(3)
+    ref.update_many(3)
+    assert np.abs(s.positions - ref.positions).max() < 5e-9
+    assert np.abs(s.velocities - ref.velocities).max() < 5e-9
+
+    with pytest.raises(ValueError, match="1-D body-mesh strategies"):
+        DSBodySystem(512, prm, mesh=mesh, strategy="ring")
+
+
+def test_sharded_ds_2d_adaptive_matches_single_device(state64):
+    """The 2-D ds ADAPTIVE rollout == the single-device ds adaptive
+    rollout, with one documented relaxation: the f32 criterion accel is
+    a psum of per-column partials, so the traced dt (and hence the
+    trajectory) matches to f32 rounding rather than bitwise — the step
+    itself stays full ds (make_sharded_ds_adaptive_rollout_2d)."""
+    import jax
+    import numpy as np
+
+    from nbody_tpu.ops.ds_kernel import (
+        ds_to_f64,
+        make_ds_adaptive_rollout,
+    )
+    from nbody_tpu.parallel import (
+        make_mesh_2d,
+        make_sharded_ds_adaptive_rollout_2d,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    p64, v64 = state64
+    kw = dict(integrator="leapfrog", softening=SOFT, damping=DAMP,
+              eta=0.02, dt_min=1e-5, dt_max=DT, steps=3, tile_j=512,
+              interpret=True)
+
+    def planes():
+        # both rollouts donate their inputs: fresh planes per call
+        ph, plo = ds_from_f64(p64)
+        vh, vlo = ds_from_f64(v64)
+        return ph, plo, vh, vlo
+
+    ref = make_ds_adaptive_rollout(**kw)(*planes())
+    mesh = make_mesh_2d(2, 4)
+    got = make_sharded_ds_adaptive_rollout_2d(mesh, **kw)(*planes())
+    # dt agreement: f32-rounding-level (psum'd criterion partials)
+    assert np.allclose(np.asarray(got[4]), np.asarray(ref[4]),
+                       rtol=1e-5, atol=0.0)
+    # trajectory agreement: dominated by the dt difference (dt scales
+    # the update directly), far below fp32-grade state error either way
+    p_ref = ds_to_f64(np.asarray(ref[0]), np.asarray(ref[1]))
+    p_got = ds_to_f64(np.asarray(got[0]), np.asarray(got[1]))
+    assert np.abs(p_got - p_ref).max() < 1e-6
+
+
 def test_cli_precision_ds_drift_check(capsys):
     from nbody_tpu.cli import main
 
