@@ -94,6 +94,7 @@ def test_block_k1_equals_global_kdk():
     assert float(stats[1]) == 8 * 256
 
 
+@pytest.mark.slow
 def test_block_multiclass_tracks_tight_global_dt():
     """A K=4 ladder must track the same state integrated globally at
     the ladder's DEEPEST rung (the block scheme's wasted-work saving
@@ -153,6 +154,7 @@ def test_block_eval_rows_scale_with_active_population():
     assert rows < 0.5 * global_rows, (rows, global_rows)
 
 
+@pytest.mark.slow
 def test_block_rollout_chains_via_carried_force():
     """Two chained 2-macro rollouts (passing the returned acc) must
     equal one 4-macro rollout — the carried synchronized force is the
@@ -171,6 +173,7 @@ def test_block_rollout_chains_via_carried_force():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_block_rollout_pads_non_tile_multiple_n():
     """N not a multiple of the tile is padded with far-field zero-mass
     rows — the physics must match the same N run with a tile that

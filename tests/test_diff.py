@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody_tpu import NBodyConfig, ic
 from nbody_tpu.ops.diff import nbody_step_diff
@@ -27,6 +28,7 @@ def test_xla_step_is_differentiable():
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_xla_grad():
     pos, vel = _state()
 

@@ -53,6 +53,7 @@ def test_ds_step_fp64_grade_vs_oracle(state64):
     assert rel_force < 5e-8
 
 
+@pytest.mark.slow
 def test_ds_rollout_matches_repeated_oracle_steps(state64):
     p64, v64 = state64
     gp, gv = rollout_ds(p64, v64, DT, SOFT, DAMP, steps=5, tile_j=512,
@@ -102,6 +103,7 @@ def test_ds_body_system_api(state64):
     assert np.isfinite(s.total_energy())
 
 
+@pytest.mark.slow
 def test_cli_precision_ds_qatest(capsys):
     from nbody_tpu.cli import main
 
@@ -111,7 +113,8 @@ def test_cli_precision_ds_qatest(capsys):
     assert rc == 0, out
 
 
-@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+@pytest.mark.parametrize("strategy", [
+    "allgather", pytest.param("ring", marks=pytest.mark.slow)])
 def test_cli_precision_ds_qatest_mesh(capsys, strategy):
     """The ds MEASUREMENT modes shard too (r4): --qatest --devices 8
     runs the sharded ds step and passes the ds-grade gate."""
@@ -174,6 +177,7 @@ def test_sharded_ds_matches_single_device(state64):
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_sharded_ds_leapfrog_matches_single_device(state64):
     """8-device allgather ds DKD step == single-device fused DKD step.
     Bit-identical by construction: both half-drift from the same gathered
@@ -273,9 +277,10 @@ def test_ds_accel_only_plus_integrate_matches_fused_step(state64):
 
 
 @pytest.mark.parametrize("integrator", [
-    "euler", "leapfrog",
-    # the two-gather-round hermite ring is the 36 s heavyweight of the
-    # fast tier; euler/leapfrog keep the ring dataflow covered there
+    "euler",
+    # euler keeps the ring dataflow covered fast; the two-gather-round
+    # hermite ring is a 36 s heavyweight (r5 re-tier)
+    pytest.param("leapfrog", marks=pytest.mark.slow),
     pytest.param("hermite", marks=pytest.mark.slow)])
 def test_sharded_ds_ring_matches_single_device(state64, integrator):
     """strategy='ring' (j-planes rotating via ppermute, per-hop partial
@@ -442,6 +447,7 @@ def test_sharded_ds_2d_adaptive_matches_single_device(state64):
     assert np.abs(p_got - p_ref).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_cli_precision_ds_drift_check(capsys):
     from nbody_tpu.cli import main
 
@@ -490,6 +496,7 @@ def test_ds_leapfrog_matches_f64_oracle(state64):
     assert np.abs(ds_to_f64(nvh, nvl)[:, :3] - ov[:, :3]).max() < 5e-8
 
 
+@pytest.mark.slow
 def test_ds_body_system_leapfrog_bounded_drift(state64):
     """Symplectic + fp64-grade: 50-step leapfrog drift stays bounded and
     far below the Euler ds run's secular drift at the same dt."""
@@ -516,6 +523,7 @@ def test_cli_precision_ds_leapfrog_qatest(capsys):
     assert rc == 0, out
 
 
+@pytest.mark.slow
 def test_ds_hermite_matches_f64_oracle(state64):
     """Two-dispatch ds Hermite P(EC) step vs the f64 oracle hermite. CPU
     interpret carries the contraction floor; TPU measures ~1e-14
@@ -635,6 +643,7 @@ def test_ds_sym_validation():
                                  _scal_ds(1e-3, 0.1, 1.0), interpret=True)
 
 
+@pytest.mark.slow
 def test_ds_system_sym_variant():
     """DSBodySystem variant plumbing: auto picks sym for euler at small N;
     rollouts match the one-sided system to ds rounding."""
@@ -687,6 +696,7 @@ def test_ds_aj_sym_matches_one_sided():
     assert np.abs(jr1 - jr2).max() / np.abs(jr1).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_ds_hermite_sym_step_and_system():
     """hermite + variant='sym' through the step AND DSBodySystem matches
     the one-sided hermite to ds rounding; auto picks sym at small N."""
@@ -770,6 +780,7 @@ def test_ds_sym_blocked_matches_one_sided():
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_ds_system_euler_sym_any_n(monkeypatch):
     """DSBodySystem euler auto-resolves to sym at ANY N now (the blocked
     composition); the cap monkeypatched small BEFORE construction so the
@@ -858,9 +869,8 @@ def test_ds_system_hermite_sym_any_n(monkeypatch):
 # ---- adaptive ds rollouts (ds_scal_with_dt + make_ds_adaptive_rollout) ----
 
 
-@pytest.mark.parametrize("integrator", [
-    "euler", "leapfrog",
-    pytest.param("hermite", marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator", ["euler", "leapfrog", "hermite"])
 def test_ds_adaptive_fixed_window_matches_update_many(integrator):
     """dt_min == dt_max degenerates the adaptive ds rollout to the
     fixed-dt path — this pins ds_scal_with_dt's traced-dt scal rebuild
@@ -944,7 +954,9 @@ def test_ds_explicit_tile_i_beats_tune_cache(monkeypatch):
 
 
 @pytest.mark.parametrize("integrator", [
-    "euler", "leapfrog",
+    "euler",
+    # euler is the fast-tier representative (r5 re-tier)
+    pytest.param("leapfrog", marks=pytest.mark.slow),
     pytest.param("hermite", marks=pytest.mark.slow)])
 def test_sharded_ds_adaptive_matches_single_device(integrator):
     """8-device sharded ds ADAPTIVE rollout == the single-device ds

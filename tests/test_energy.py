@@ -8,6 +8,7 @@ the comparison is device-vs-oracle, not drift-vs-zero).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody_tpu import NBodyConfig, ic
 from nbody_tpu.ops.energy import kinetic_energy, potential_energy, total_energy
@@ -58,6 +59,7 @@ def test_body_system_energy_pallas_matches_xla():
     assert abs(ea - eb) / abs(eb) < 1e-5
 
 
+@pytest.mark.slow
 def test_potential_chunked_equals_dense(shell_state_small):
     pos, _ = shell_state_small
     dense = float(potential_energy(jnp.asarray(pos), SOFT, chunk_size=None))
@@ -134,6 +136,7 @@ def test_fp32_drift_close_to_fp64():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_precise_functional_hybrid_matches_full_f64(shell_state_small):
     """The hybrid path (device f32 pair terms + host f64 accumulation) must
     agree with the full host-f64 functional to ~1e-7 relative — the claim
@@ -146,6 +149,7 @@ def test_precise_functional_hybrid_matches_full_f64(shell_state_small):
     assert abs(hybrid - full) / abs(full) < 1e-6
 
 
+@pytest.mark.slow
 def test_precise_functional_state_dtype_invariant(shell_state_small):
     """Same state in fp32 and fp64 containers -> same precise energy."""
     from nbody_tpu.ops.energy import total_energy_precise

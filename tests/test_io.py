@@ -94,6 +94,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["config"] == "expand"
 
 
+@pytest.mark.slow
 def test_checkpoint_orbax_roundtrip(tmp_path):
     from nbody_tpu.io import save_checkpoint_orbax
 

@@ -25,6 +25,7 @@ def _rel_err(a, a_ref):
     return num / den
 
 
+@pytest.mark.slow
 def test_p3m_accuracy_envelope(cloud):
     """Documented envelope: sub-percent median force error, and ~10x
     tighter than plain PM on the same mesh."""
@@ -98,6 +99,7 @@ def test_cli_p3m_kernel_demo():
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_p3m_and_pm_stable_under_x64(cloud):
     """Mesh solvers must work with jax_enable_x64 on (the --interactive
     process state): int64-defaulting index ops broke dynamic_slice (r2)."""
@@ -176,6 +178,7 @@ def test_p3m_capacity_auto_sizes():
     assert np.isfinite(s.positions).all()
 
 
+@pytest.mark.slow
 def test_sharded_p3m_matches_single_device(cloud):
     """Body-sharded P3M (grid psum + redundant sort + static cell split +
     short-range psum) must reproduce the single-device solve."""
@@ -199,6 +202,7 @@ def test_sharded_p3m_matches_single_device(cloud):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_p3m_uneven_cell_split():
     """Device counts that do not divide the cell count exercise the inert
     cell padding (gc=6 -> 216 cells over 8 devices = 27 each; gc=3 -> 27
@@ -243,6 +247,7 @@ def test_sharded_p3m_body_system():
         assert np.isfinite(s.positions).all()
 
 
+@pytest.mark.slow
 def test_p3m_tsc_beats_cic(cloud):
     """TSC assignment + sinc^3 deconvolution roughly halves the mesh force
     error on the same grid (measured: median 0.36% -> 0.16%, p90 0.94% ->
@@ -259,6 +264,7 @@ def test_p3m_tsc_beats_cic(cloud):
     assert np.median(rel_tsc) < 0.004
 
 
+@pytest.mark.slow
 def test_sharded_p3m_tsc_matches_single_device(cloud):
     from nbody_tpu.ops.p3m import make_sharded_p3m_step
     from nbody_tpu.parallel import make_mesh, shard_state
@@ -636,6 +642,7 @@ def test_p3m_auto_refresh_recovers_mid_rollout():
         grid=16, capacity=s.p3m_capacity)) == 0
 
 
+@pytest.mark.slow
 def test_optimal_influence_matches_naive_at_production_sigma(cloud):
     """At the production split sigma = 1.5h, assignment-alias power is
     e^-11, so the H&E optimal influence function must agree with the naive
@@ -666,6 +673,7 @@ def test_pm_influence_options_run():
         pm_accel(p4, grid=16, influence="bogus")
 
 
+@pytest.mark.slow
 def test_p3m_accel_explicit_blk_is_static(cloud):
     """An EXPLICIT blk must reach the Pallas short-range as a static
     (the tuner passes candidate blks directly; blk missing from

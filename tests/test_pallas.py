@@ -130,6 +130,7 @@ def test_bad_tile_sizes_raise(random_state_tiny):
         )
 
 
+@pytest.mark.slow
 def test_lane_chunk_variants_match(shell_state_small):
     """lane_chunk widens the unrolled j-slices without changing results
     (256/512 measured SLOWER on-chip — vreg pressure — but must stay

@@ -24,6 +24,7 @@ def _median_rel_err(pos, grid):
     return float(np.median(num / den))
 
 
+@pytest.mark.slow
 def test_pm_accuracy_envelope_and_convergence(cloud):
     """PM is resolution-limited: the documented envelope is a few % median
     force error at G=64, converging as the mesh refines."""

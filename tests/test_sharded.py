@@ -241,7 +241,11 @@ def test_sharded_sym_gates():
         make_sharded_step(mesh, kernel="xla", strategy="sym")
 
 
-@pytest.mark.parametrize("ndev", [2, 5, 8])
+@pytest.mark.parametrize("ndev", [
+    # D=2 (even) and D=5 (uneven shards + shrunken-cap sub-block) are the
+    # fast-tier representatives; D=8 runs in the full suite and the
+    # driver's dryrun (r5 re-tier)
+    2, 5, pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_sym_hermite_matches_single_device(ndev):
     """strategy='sym' + hermite: the sharded accel+jerk decomposition
     (self triangles + offset cross rectangles + antipodal quarters, 6

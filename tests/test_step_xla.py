@@ -92,7 +92,11 @@ def test_native_oracle_matches_numpy(shell_state_small):
 
 @pytest.mark.skipif(not native_available(), reason="native oracle not built")
 @pytest.mark.parametrize("integrator", ["leapfrog", "hermite"])
-@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("dtype", [
+    # f32 params are the fast-tier representatives (r5 re-tier: the f64
+    # engine costs ~10 s/integrator on this host); f64 runs in the full
+    # suite
+    np.float32, pytest.param(np.float64, marks=pytest.mark.slow)])
 def test_native_oracle_integrators_match_numpy(shell_state_small, integrator,
                                                dtype):
     """The native C++ engine's leapfrog/hermite match the NumPy oracle

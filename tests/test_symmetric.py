@@ -17,7 +17,9 @@ from conftest import assert_state_close
 SOFT = 0.1
 
 
-@pytest.mark.parametrize("n", [128, 384, 1000])  # incl. non-multiple N
+@pytest.mark.parametrize("n", [
+    # 128 + the non-multiple 1000 are the fast-tier shapes (r5 re-tier)
+    128, pytest.param(384, marks=pytest.mark.slow), 1000])
 @pytest.mark.parametrize("ti,tj", [(64, 256), (128, 256), (32, 128)])
 def test_accel_matches_xla(n, ti, tj):
     pos, _ = ic.generate(NBodyConfig.SHELL, n, 1.52, 2.0, seed=1)
@@ -214,6 +216,7 @@ def test_precision_round_trip_restores_sym(monkeypatch):
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_blocked_matches_xla_and_cross_momentum():
     """The blockwise composition (self triangles + cross rectangles) must
     match the XLA reference, with blocking forced at small N via
@@ -298,6 +301,7 @@ def test_body_system_sym_blocked_above_cap(monkeypatch):
     np.testing.assert_allclose(al.positions, bl.positions, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_aj_blocked_matches_xla_and_momentum():
     """The blocked accel+jerk composition (self triangles + cross
     rectangles with 6 reaction scratches) matches the XLA reference for
@@ -331,6 +335,7 @@ def test_aj_blocked_matches_xla_and_momentum():
         assert np.abs(net).max() / np.abs(pos[:, 3:4] * field).sum() < 1e-6
 
 
+@pytest.mark.slow
 def test_aj_blocked_delegates_below_cap():
     """N <= block_cap is bit-identical to the single-triangle aj kernel."""
     from nbody_tpu.ops.symmetric_kernel import (
