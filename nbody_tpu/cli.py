@@ -562,10 +562,13 @@ def _main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
         if args.devices is not None and args.devices > 1:
-            print("error: --block-dt is single-device in this release "
-                  "(the sharded class-sorted composition is the "
-                  "documented follow-up); drop --devices",
-                  file=sys.stderr)
+            print("error: --block-dt is single-device (the sharded "
+                  "composition is rejected on measured numbers — the "
+                  "ladder already loses 1.6-4.1x wall to the global "
+                  "adaptive scan on one chip and a mesh only adds "
+                  "per-boundary collectives; see ARCHITECTURE.md "
+                  "'Per-body block timesteps'); drop --devices or use "
+                  "--adaptive-dt", file=sys.stderr)
             return 1
         if args.kernel in ("pm", "p3m"):
             print("error: --block-dt drives the exact kernels; pm/p3m "

@@ -1245,18 +1245,22 @@ class BodySystem:
 
         Exact kernels, single device, damping=1 only: pm/p3m force
         error floors sit at the cell scale (their adaptive path is
-        update_many_adaptive), the sharded composition (class-sorted
-        shards over the body mesh) is the documented follow-up, and a
-        per-kick damping is not the reference's per-step multiplier
-        once bodies kick at different cadences."""
+        update_many_adaptive), the sharded composition is REJECTED on
+        the measured single-chip numbers (the ladder loses 1.6-4.1x
+        wall to the global adaptive scan with zero collective costs; a
+        mesh adds a global class re-sort plus per-boundary exchanges —
+        ARCHITECTURE.md "Per-body block timesteps"), and a per-kick
+        damping is not the reference's per-step multiplier once bodies
+        kick at different cadences."""
         from nbody_tpu.utils.profiling import annotate
 
         p = self.params
         if self.mesh is not None:
             raise ValueError(
-                "block timesteps are single-device in this release "
-                "(the sharded composition is the documented follow-up);"
-                " use update_many_adaptive on meshes")
+                "block timesteps are single-device (the sharded "
+                "composition is rejected on measured numbers — "
+                "ARCHITECTURE.md 'Per-body block timesteps'); use "
+                "update_many_adaptive on meshes")
         if self.backend in ("pm", "p3m"):
             raise ValueError(
                 "block timesteps drive the exact kernels; pm/p3m take "
