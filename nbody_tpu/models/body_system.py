@@ -1286,9 +1286,22 @@ class BodySystem:
         # work the same way the fixed-dt segments do
         s_count = 1 << (n_classes - 1)
         seg_max = max(1, self._segment_steps() // s_count)
-        accel = self._accel_closure()
-        a0 = accel(jnp.asarray(self._pos) if host else self._pos,
-                   p.softening)
+        # chain the classifying force across CALLS, not just segments:
+        # the rollout returns the synchronized macro-end force exactly so
+        # the next macro (e.g. the next demo frame's step_block) need not
+        # re-evaluate it. `_pos` is only ever rebound (never mutated in
+        # place), so identity + softening keys the cache soundly.
+        chain = getattr(self, "_block_chain", None)
+        if chain is not None and chain[0] is self._pos \
+                and chain[1] == p.softening:
+            a0 = chain[2]
+        else:
+            # chain-start force: integrator startup a GLOBAL-dt KDK run
+            # pays identically, so it is billed to neither rows column
+            # (and the cache above amortizes it away across calls)
+            accel = self._accel_closure()
+            a0 = accel(jnp.asarray(self._pos) if host else self._pos,
+                       p.softening)
         done = 0
         while done < macro_steps:
             seg = min(seg_max, macro_steps - done)
@@ -1307,6 +1320,7 @@ class BodySystem:
             totals["global_rows"] += float(stats[2])
             totals["k_max"] = max(totals["k_max"], int(stats[3]))
             done += seg
+        self._block_chain = (self._pos, p.softening, a0)
         return totals
 
     def _block_rollout_fn(self, macro_steps: int, eta: float,

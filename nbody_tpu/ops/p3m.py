@@ -602,6 +602,8 @@ def make_sharded_p3m_accel(mesh, *, grid: int = 64, capacity: int = 128,
         raise ValueError(f"unknown fft {fft!r}")
     if short_range not in ("xla", "pallas"):
         raise ValueError(f"unknown short_range {short_range!r}")
+    if influence not in ("naive", "optimal"):
+        raise ValueError(f"unknown influence {influence!r}")
     if short_range == "pallas" and pair_budget is None:
         raise ValueError(
             "short_range='pallas' needs pair_budget (probe with "

@@ -8,6 +8,7 @@ library is absent or the toolchain is unavailable.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import subprocess
 import sys
@@ -38,23 +39,35 @@ def _flags(sanitize: bool) -> list[str]:
     return _FLAGS
 
 
-def build(verbose: bool = True, *, sanitize: bool = False) -> pathlib.Path:
-    out = HERE / "_nbody_oracle_asan.so" if sanitize else LIB
-    cmd = ["g++", *_flags(sanitize), "-shared", "-fPIC",
-           str(SRC), str(IO_SRC), "-o", str(out)]
+def _build_atomic(cmd_prefix: list[str], out: pathlib.Path,
+                  verbose: bool) -> pathlib.Path:
+    # Compile to a temp name, then rename into place: a process that has
+    # the OLD .so mapped (or the old CLI executing) keeps its still-live
+    # old inode — an in-place `-o out` would truncate that inode under the
+    # mapping (SIGBUS risk) or hit ETXTBSY on the running binary.
+    tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+    cmd = [*cmd_prefix, "-o", str(tmp)]
     if verbose:
         print("+", " ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, out)
+    finally:
+        tmp.unlink(missing_ok=True)
     return out
+
+
+def build(verbose: bool = True, *, sanitize: bool = False) -> pathlib.Path:
+    out = HERE / "_nbody_oracle_asan.so" if sanitize else LIB
+    return _build_atomic(
+        ["g++", *_flags(sanitize), "-shared", "-fPIC", str(SRC),
+         str(IO_SRC)], out, verbose)
 
 
 def build_cli(verbose: bool = True, *, sanitize: bool = False) -> pathlib.Path:
     out = HERE / "_nbody_cli_asan" if sanitize else CLI
-    cmd = ["g++", *_flags(sanitize), str(CLI_SRC), str(SRC), "-o", str(out)]
-    if verbose:
-        print("+", " ".join(cmd))
-    subprocess.run(cmd, check=True)
-    return out
+    return _build_atomic(
+        ["g++", *_flags(sanitize), str(CLI_SRC), str(SRC)], out, verbose)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,19 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _dlclose(lib: ctypes.CDLL) -> None:
+    """Release a CDLL's dlopen handle so a later CDLL of the same path
+    maps the file afresh (glibc caches loaded objects by pathname)."""
+    for source in (None, "libdl.so.2"):  # glibc>=2.34 has dlclose in libc
+        try:
+            dl = ctypes.CDLL(source)
+            dl.dlclose.argtypes = [ctypes.c_void_p]
+            dl.dlclose(lib._handle)
+            return
+        except (OSError, AttributeError):
+            continue
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -37,8 +50,13 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
     if not hasattr(lib, "nbody_step_hermite_f64"):
-        # stale library from before the leapfrog/hermite engines: rebuild
-        # once (dlopen holds the old mapping, so bind a fresh handle)
+        # stale library from before the leapfrog/hermite engines: drop the
+        # stale mapping FIRST — glibc's dlopen caches loaded objects by
+        # pathname, so without a dlclose the re-CDLL below would hand back
+        # this same old handle — then rebuild (atomic rename in build(),
+        # so the unmapped-then-remapped path never sees a half-written
+        # file) and bind a fresh handle
+        _dlclose(lib)
         try:
             from nbody_tpu.oracle.build import build
 

@@ -222,6 +222,39 @@ def test_body_system_update_many_block_matches_op():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_body_system_block_chains_classifier_across_calls():
+    """A second update_many_block call must reuse the macro-end force the
+    previous rollout returned (the chain cache) instead of re-evaluating
+    the full N-row classifier — and a state rebind must invalidate it."""
+    from nbody_tpu.models.body_system import BodySystem
+    from nbody_tpu.params import NBodyParams
+
+    prm = NBodyParams(time_step=2e-3, softening=SOFT, damping=1.0)
+    bs = BodySystem(256, prm, backend="xla", seed=7)
+    ref = BodySystem(256, prm, backend="xla", seed=7)
+
+    bs.update_many_block(2, eta=0.1, n_classes=3)
+    real_closure = bs._accel_closure
+
+    def boom():
+        raise AssertionError("classifier re-evaluated despite chain cache")
+
+    bs._accel_closure = boom
+    bs.update_many_block(2, eta=0.1, n_classes=3)  # must hit the cache
+
+    # chained trajectory == one uninterrupted 4-macro run
+    ref.update_many_block(4, eta=0.1, n_classes=3)
+    np.testing.assert_allclose(bs.positions, ref.positions,
+                               rtol=1e-6, atol=1e-6)
+
+    # rebinding state must invalidate the chain (fresh classifier)
+    with pytest.raises(AssertionError, match="chain cache"):
+        bs.set_state(bs.positions, bs.velocities)
+        bs.update_many_block(1, eta=0.1, n_classes=3)
+    bs._accel_closure = real_closure
+    bs.update_many_block(1, eta=0.1, n_classes=3)
+
+
 def test_body_system_update_many_block_rejections():
     from nbody_tpu.models.body_system import BodySystem
     from nbody_tpu.params import NBodyParams

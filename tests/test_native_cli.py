@@ -97,3 +97,53 @@ def test_sanitized_build_runs_clean(built_cli):
                        capture_output=True, text=True, timeout=300, env=env)
     assert r.returncode == 0, r.stderr
     assert "OK" in r.stdout
+
+
+def test_stale_library_reload_needs_dlclose(tmp_path):
+    """The stale-oracle recovery in native._load depends on releasing the
+    old dlopen handle before re-CDLLing the SAME path: glibc caches
+    loaded objects by pathname, so without the _dlclose a rebuilt .so is
+    never seen by the process (the exact round-5 review finding). Pin
+    the mechanism with two tiny libraries swapped at one path."""
+    import ctypes
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no toolchain")
+    from nbody_tpu.oracle.native import _dlclose
+
+    def make(src_name, code):
+        src = tmp_path / src_name
+        src.write_text(code)
+        out = tmp_path / (src_name + ".so")
+        subprocess.run(["g++", "-shared", "-fPIC", str(src), "-o",
+                        str(out)], check=True)
+        return out
+
+    stale = make("stale.c", "extern \"C\" int probe(void){return 1;}\n")
+    fresh = make("fresh.c",
+                 "extern \"C\" int probe(void){return 2;}\n"
+                 "extern \"C\" int marker(void){return 0;}\n")
+    lib_path = tmp_path / "swapped.so"
+    shutil.copy(stale, lib_path)
+    lib = ctypes.CDLL(str(lib_path))
+    assert not hasattr(lib, "marker")
+
+    # the rebuild: atomic replace, as oracle.build._build_atomic does
+    os.replace(fresh, lib_path)
+    # without dlclose the pathname cache would return the stale handle
+    _dlclose(lib)
+    lib2 = ctypes.CDLL(str(lib_path))
+    assert hasattr(lib2, "marker"), (
+        "re-CDLL after _dlclose must bind the rebuilt library")
+    assert lib2.probe() == 2
+    _dlclose(lib2)
+
+
+def test_build_leaves_no_temp_artifacts(built_cli):
+    """_build_atomic must clean its temp object on success (the rename
+    path) — a leftover .tmp* would accumulate per rebuild."""
+    from nbody_tpu.oracle.build import HERE
+
+    leftovers = list(HERE.glob("*.tmp*"))
+    assert leftovers == []

@@ -387,6 +387,18 @@ def test_pallas_short_range_budget_required(cloud):
                   interpret=True)
 
 
+def test_sharded_p3m_accel_validates_influence():
+    """make_sharded_p3m_accel must reject an unknown influence string at
+    construction like every sibling builder — a typo must not silently
+    degrade the adaptive rollout to the naive deconvolution."""
+    from nbody_tpu.ops.p3m import make_sharded_p3m_accel
+    from nbody_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="unknown influence"):
+        make_sharded_p3m_accel(make_mesh(8), grid=32, capacity=64,
+                               influence="optimla")
+
+
 @pytest.mark.slow
 def test_sharded_p3m_pallas_short_range_matches(cloud):
     """Sharded P3M with the Pallas pair kernel (per-device chunk ranges,
