@@ -25,6 +25,21 @@ if not os.environ.get("NBODY_TEST_REAL_DEVICES"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the suite: the fast tier's cost is
+# dominated by CPU XLA compiles (~0.7 s/test average), so warm reruns of an
+# unchanged tree skip most of it. Keyed per-repo under .cache/ (gitignored);
+# NBODY_NO_COMPILE_CACHE=1 opts out (the helper honors it), so a cold-run
+# timing measurement is one env var away.
+import jax  # noqa: E402  (no-op if already imported above)
+
+from nbody_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+
+if _enable_cache(os.path.join(os.path.dirname(__file__), os.pardir,
+                               ".cache", "test_xla")):
+    # the suite's compiles are many and mid-sized (CPU), so cache far more
+    # aggressively than the helper's TPU-oriented 1 s threshold
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np
 import pytest
 
